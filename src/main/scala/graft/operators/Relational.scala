@@ -1,0 +1,298 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The generic relational operator surface: aggregation pipelines, multi-way
+  * joins, semi/anti joins, set operations, rollup/cube, window functions, and
+  * event-time windows. SURVEY.md §2.E records that the reference itself has no
+  * instances of these; they are part of the engine's query surface so a user
+  * gets them "for free" from Catalyst — and they are the operators that matter
+  * at 100 TB, so each one is written in its scale-correct form:
+  *
+  *   - dimension tables are `broadcast()` so fact tables never shuffle for
+  *     the join (plan: BroadcastHashJoin, no Exchange on the big side);
+  *   - aggregations are plain groupBy → two-phase hash agg with map-side
+  *     partials; ORDER BY + LIMIT plans as TakeOrderedAndProject (per-
+  *     partition top-K, single merge — no global sort);
+  *   - window functions shuffle once on the partition key and sort within
+  *     partitions only.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary: the canonical scan→filter→wide-agg
+    * pipeline. All derived doubles rounded on both sides (QueryDef rules). */
+  val q1 = QueryDef(
+    "q1_pricing_summary",
+    "TPC-H Q1: filtered scan + grouped multi-aggregate",
+    Some("""SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus"""),
+    (s, dir) => Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order")))
+
+  /** TPC-H Q3-shaped: selective 3-way join + grouped revenue + ordered top-K.
+    * Ranking is on the *rounded* revenue with the key as tiebreak so both
+    * engines order identically. */
+  val q3 = QueryDef(
+    "q3_top_revenue",
+    "TPC-H Q3: 3-way join, group, deterministic top-10",
+    Some("""SELECT o.o_orderkey,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l.l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+            GROUP BY o.o_orderkey, o.o_orderdate
+            ORDER BY revenue DESC, o_orderkey LIMIT 10"""),
+    (s, dir) => Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > lit("1996-01-01 00:00:00").cast("timestamp"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("o_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10))
+
+  /** TPC-H Q5-shaped: 6-way join with broadcast dimensions. region, nation and
+    * supplier/customer are tiny next to orders⋈lineitem — broadcasting them
+    * keeps the only shuffle on the fact-fact join keys. */
+  val q5 = QueryDef(
+    "q5_region_revenue",
+    "TPC-H Q5: multi-way join, broadcast dims, revenue per nation",
+    Some("""SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM region r
+            JOIN nation n ON n.n_regionkey = r.r_regionkey
+            JOIN supplier s ON s.s_nationkey = n.n_nationkey
+            JOIN customer c ON c.c_nationkey = n.n_nationkey
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey AND l.l_suppkey = s.s_suppkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY n.n_name
+            ORDER BY revenue DESC, n_name"""),
+    (s, dir) => {
+      val region = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val nation = Tables.nation(s, dir)
+      val supplier = Tables.supplier(s, dir)
+      val customer = Tables.customer(s, dir)
+      val orders = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      val lineitem = Tables.lineitem(s, dir)
+      lineitem
+        .join(broadcast(orders), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(customer),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    })
+
+  /** Semi join — customers with at least one order (EXISTS). No payload from
+    * the right side ever crosses the shuffle: left_semi. */
+  val semi = QueryDef(
+    "semi_join_customers",
+    "left-semi join (EXISTS)",
+    Some("""SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"""),
+    (s, dir) => Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name")))
+
+  /** Anti join — customers with no orders (NOT EXISTS). */
+  val anti = QueryDef(
+    "anti_join_customers",
+    "left-anti join (NOT EXISTS)",
+    Some("""SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"""),
+    (s, dir) => Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name")))
+
+  /** EXCEPT — customers who placed open but never finished orders. */
+  val except = QueryDef(
+    "setop_except",
+    "EXCEPT (distinct) set difference",
+    Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"""),
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+    })
+
+  /** INTERSECT — customers with both open and finished orders. */
+  val intersect = QueryDef(
+    "setop_intersect",
+    "INTERSECT (distinct) set intersection",
+    Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"""),
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+    })
+
+  /** ROLLUP — hierarchical subtotals region → nation → grand total. */
+  val rollup_ = QueryDef(
+    "rollup_region_acctbal",
+    "GROUP BY ROLLUP(region, nation) over supplier balances",
+    Some("""SELECT r.r_name, n.n_name, count(*) AS n_sup,
+                   round(sum(s.s_acctbal), 2) AS acctbal
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY ROLLUP(r.r_name, n.n_name)"""),
+    (s, dir) => Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_sup"), round(sum(col("s_acctbal")), 2).as("acctbal")))
+
+  /** CUBE — all grouping combinations of status × priority. */
+  val cube_ = QueryDef(
+    "cube_status_priority",
+    "GROUP BY CUBE(status, priority) over orders",
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""),
+    (s, dir) => Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total")))
+
+  /** Running window aggregate — per-supplier running quantity in fully
+    * deterministic frame order (shipdate, orderkey, linenumber). One shuffle
+    * on l_suppkey, in-partition sort, no global sort. */
+  val running = QueryDef(
+    "window_running_sum",
+    "running sum over a deterministic per-key frame",
+    Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+                   round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+            FROM lineitem"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, dir).select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        round(sum(col("l_quantity")).over(w), 2).as("running_qty"))
+    })
+
+  /** Ranked top-N per group — top-3 parts by price per brand, tiebroken. */
+  val rankTopN = QueryDef(
+    "window_rank_topn",
+    "row_number top-N per group",
+    Some("""SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+              SELECT p_brand, p_partkey, p_retailprice,
+                     row_number() OVER (PARTITION BY p_brand
+                       ORDER BY p_retailprice DESC, p_partkey) AS rn
+              FROM part) WHERE rn <= 3"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      Tables.part(s, dir)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+    })
+
+  /** Tumbling event-time window — the batch shape of the streaming hourly
+    * aggregate (graft.streaming runs the same plan incrementally with a
+    * watermark). Window start is emitted as epoch seconds. */
+  val tumbling = QueryDef(
+    "tumbling_hourly",
+    "1-hour tumbling event-time window aggregate",
+    Some("""SELECT CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS window_start,
+                   event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2"""),
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n"), col("sum_value")))
+
+  /** Sliding event-time window — 1 hour wide, 30-minute slide: every event
+    * lands in exactly two windows. The oracle materializes the same two
+    * window starts per row via unnest. */
+  val sliding = QueryDef(
+    "sliding_hourly",
+    "1-hour sliding (30-min hop) event-time window aggregate",
+    Some("""WITH e AS (
+              SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 1800) AS BIGINT) * 1800 AS b,
+                     event_type, value
+              FROM events)
+            SELECT ws AS window_start, event_type, count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM (SELECT unnest([b, b - 1800]) AS ws, event_type, value FROM e)
+            GROUP BY ws, event_type"""),
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n"), col("sum_value")))
+
+  /** JSON extraction — parse the props payload (B3's transient-JSON analog,
+    * consumer-...-weather.py:39-50) and aggregate on the extracted key. */
+  val json = QueryDef(
+    "json_props_agg",
+    "JSON field extraction + aggregate (weather-parse analog, consumer:39-50)",
+    Some("""SELECT CAST(json_extract_string(props, 'k') AS BIGINT) AS k,
+                   count(*) AS n FROM events GROUP BY 1"""),
+    (s, dir) => Tables.events(s, dir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n")))
+
+  /** Approximate distinct — HLL++ fast path for D1-style tiles. Approximate by
+    * design ⇒ no SQL oracle; pinned instead by AggregatesSpec against the
+    * exact count at fixed rsd. */
+  val approx = QueryDef(
+    "approx_distinct_users",
+    "approx_count_distinct (HLL++) fast-path variant of d1",
+    None,
+    (s, dir) => Tables.events(s, dir)
+      .agg(approx_count_distinct(col("user_id")).as("approx_users")))
+
+  val defs: Seq[QueryDef] = Seq(q1, q3, q5, semi, anti, except, intersect,
+    rollup_, cube_, running, rankTopN, tumbling, sliding, json, approx)
+}

@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md / FIXTURES.md §B).
+  *
+  * One normalization: `events.ts` is stored as parquet TIMESTAMP(NANOS), which
+  * Spark's parquet reader rejects (PARQUET_TYPE_ILLEGAL). We read it as a raw
+  * nanosecond Long (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
+  * microseconds — the same truncation DuckDB applies when casting TIMESTAMP_NS
+  * to TIMESTAMP — so engine results stay oracle-comparable.
+  *
+  * At 100 TB these reads are plain distributed parquet scans; every accessor
+  * returns an un-materialized DataFrame so Catalyst can push filters and prune
+  * columns into the scan (verify via `.explain`: PushedFilters / ReadSchema).
+  */
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** `events` with `ts` as a proper microsecond TimestampType (UTC). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+}

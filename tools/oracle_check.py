@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+For each <name>.parquet result dumped by graft.Verify, runs the matching
+oracle SQL from oracle_sql.json in DuckDB (tables registered as views over
+<sfDir>/*.parquet), sorts columns by name and rows by all columns, and
+compares cell-by-cell (exact; floats must already be rounded engine-side).
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+            want = con.execute(sql).df()
+            got = got.reindex(sorted(got.columns), axis=1)
+            want = want.reindex(sorted(want.columns), axis=1)
+            if list(got.columns) != list(want.columns):
+                raise AssertionError(
+                    f"columns {list(got.columns)} != {list(want.columns)}")
+            if len(got) != len(want):
+                raise AssertionError(f"rows {len(got)} != {len(want)}")
+            gs = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+            ws = want.sort_values(by=list(want.columns)).reset_index(drop=True)
+            # exact compare; engine must have rounded floats already
+            diff = (gs.astype(str) != ws.astype(str))
+            if diff.any().any():
+                bad = diff.any(axis=1)
+                raise AssertionError(
+                    "value mismatch, first diffs:\n"
+                    f"got:\n{gs[bad].head(3)}\nwant:\n{ws[bad].head(3)}")
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: {str(e)[:500]}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
