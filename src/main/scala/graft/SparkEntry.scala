@@ -13,7 +13,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   val catalog: Seq[QueryDef] =
-    operators.Serving.defs ++ operators.Ingest.defs ++ operators.Relational.defs
+    operators.Serving.defs ++ operators.Ingest.defs ++
+      operators.Relational.defs ++ operators.Dedup.defs ++
+      operators.Similarity.defs ++ operators.TextAnalysis.defs ++
+      multimodal.Media.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's dashboard join (console.py:45-51) — D3. */

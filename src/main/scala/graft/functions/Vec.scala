@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>`/`array<double>` embedding columns, built
+  * from codegen'd higher-order functions (`zip_with` + `aggregate`) — no UDFs,
+  * so the expressions inline into WholeStageCodegen and never leave Tungsten
+  * rows.
+  *
+  * Determinism: `aggregate` folds left-to-right, the same order DuckDB's
+  * `list_sum(list_transform(...))` reduces in, so cosine values agree with the
+  * oracle bit-for-bit before rounding (and exactly after `round(_, 6)`).
+  */
+object Vec {
+
+  /** Cast any numeric array to double before arithmetic so float*float
+    * rounding never diverges from the oracle's DOUBLE math. */
+  def toDouble(a: Column): Column = a.cast("array<double>")
+
+  /** Sequential dot product. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine given precomputed norms — at scale norms are computed once per
+    * side before the pair join, not once per pair. */
+  def cosinePrenormed(dotCol: Column, normA: Column, normB: Column): Column =
+    dotCol / (normA * normB)
+}

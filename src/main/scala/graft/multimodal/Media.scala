@@ -1,0 +1,88 @@
+package graft.multimodal
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §7.6): image/audio/video payloads as
+  * opaque `binary` columns with typed metadata, decoded/feature-extracted in
+  * batched per-partition passes.
+  *
+  * The actual codecs are NOT in this container, so the decode step is a
+  * clearly-marked deterministic stub ([[decodeStub]]); everything around it —
+  * schema, binary column handling, partitioning, batch iteration shape — is
+  * real and tested. At 100 TB the payloads dominate row size: the design
+  * keeps them out of every shuffle (metadata-only projections before joins,
+  * payload fetched per-partition), which is why the typed record carries
+  * metadata beside the blob instead of in a separate table.
+  */
+object Media {
+
+  /** A media row: opaque payload + typed metadata. */
+  case class MediaRecord(doc_id: Long, payload: Array[Byte], mime: String)
+
+  /** Extracted features (stub schema matches what a real decoder would emit). */
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, width: Int,
+      height: Int, mime: String)
+
+  /** Batched per-partition "decode": iterates each partition once, touching
+    * payload bytes only here. STUB — a real build links an image/audio codec
+    * at this exact seam; the deterministic fake derives dimensions from the
+    * byte length so tests and the oracle can pin the plumbing.
+    */
+  def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val n = r.payload.length
+        MediaFeatures(r.doc_id, n, n % 640 + 1, (n * 7) % 480 + 1, r.mime)
+      }
+    }
+  }
+
+  /** Documents reinterpreted as a media table (UTF-8 payload bytes). */
+  def asMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        lit("text/plain").as("mime"))
+      .as[MediaRecord]
+  }
+
+  /** Metadata extraction, column-expression form: the oracled equivalent of
+    * [[decodeStub]]'s arithmetic (identical outputs — pinned by MediaSpec). */
+  val metadataQ = QueryDef(
+    "media_metadata",
+    "binary payload + stubbed decode: byte length -> fake dimensions",
+    Some("""SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   octet_length(encode(text)) % 640 + 1 AS width,
+                   (octet_length(encode(text)) * 7) % 480 + 1 AS height,
+                   'text/plain' AS mime
+            FROM documents"""),
+    (s, dir) => {
+      val payload = encode(col("text"), "UTF-8")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        octet_length(payload).as("n_bytes"),
+        (octet_length(payload) % 640 + 1).as("width"),
+        (octet_length(payload) * 7 % 480 + 1).as("height"),
+        lit("text/plain").as("mime"))
+    })
+
+  /** Frame sampling: every 4th frame index of an n_chars/32-frame "video" —
+    * the generate-indices + explode plumbing a video pipeline needs. */
+  val frameSampleQ = QueryDef(
+    "media_frame_sample",
+    "frame-index sampling via sequence + explode (every 4th of n/32 frames)",
+    Some("""SELECT doc_id, unnest(generate_series(0, n_chars // 32 - 1, 4)) AS frame_idx
+            FROM documents WHERE n_chars // 32 >= 1"""),
+    (s, dir) => Tables.documents(s, dir)
+      .withColumn("n_frames", expr("n_chars div 32"))
+      .filter(col("n_frames") >= 1)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(4L))).as("frame_idx")))
+
+  val defs: Seq[QueryDef] = Seq(metadataQ, frameSampleQ)
+}

@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.{Num, Text}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus deduplication operators (SURVEY.md §7.6 north star): exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash. Reusable DataFrame transforms parameterized
+  * by (id, text) columns; QueryDefs at the bottom bind them to `documents`.
+  *
+  * Scale design (100 TB):
+  *   - exact dedup groups by md5(text), not text: 16-byte shuffle keys
+  *     instead of document bodies crossing the wire;
+  *   - n-gram Jaccard builds an inverted shingle index and joins on shingle —
+  *     never an all-pairs product; a document-frequency cap (`maxDf`) drops
+  *     stop-shingles that would otherwise create quadratic hot keys (skew);
+  *   - MinHash replaces per-pair shingle intersection with fixed-width
+  *     signatures (one groupBy) + LSH banding, so candidate generation is an
+  *     equi-join on band hashes; exact Jaccard runs only on candidates;
+  *   - SimHash is a single groupBy producing one 64-bit fingerprint per doc.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: content hash → surviving id + multiplicity. */
+  def exact(df: DataFrame, id: String, text: String): DataFrame =
+    df.groupBy(md5(col(text)).as("text_hash"))
+      .agg(min(col(id)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Inverted shingle index: (doc_id, shingle), distinct per doc.
+    * `maxDf` > 0 drops shingles appearing in more than that many docs —
+    * the skew guard for hot n-grams at scale. */
+  def shingleIndex(df: DataFrame, id: String, text: String, n: Int,
+      maxDf: Long = 0L): DataFrame = {
+    val sh = df.select(col(id).as("doc_id"),
+      explode(Text.shingles(Text.tokens(col(text)), n)).as("s"))
+    if (maxDf <= 0) sh
+    else {
+      val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select(col("s"))
+      sh.join(broadcast(hot), Seq("s"), "left_anti")
+    }
+  }
+
+  private def shingleCounts(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+
+  /** Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
+    * Jaccard is computed on the rounded value so threshold selection is
+    * engine-stable. */
+  def jaccardPairs(df: DataFrame, id: String, text: String, n: Int,
+      threshold: Double): DataFrame = {
+    val sh = shingleIndex(df, id, text, n)
+    val cnt = shingleCounts(sh)
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("c"))
+    pairs
+      .join(cnt.as("na"), col("i") === col("na.doc_id"))
+      .join(cnt.as("nb"), col("j") === col("nb.doc_id"))
+      .select(col("i"), col("j"),
+        Num.pround(col("c").cast("double") /
+          (col("na.n") + col("nb.n") - col("c")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures: numHashes column-wise mins of seeded xxhash64 over
+    * the shingle set — one shuffle, partial aggregation map-side. */
+  def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes)
+      .map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: hash rowsPerBand signature slots per band; docs colliding
+    * in any band become candidate pairs (equi-join on (band, bandHash)). */
+  def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols: Seq[Column] = (0 until bands).map { b =>
+      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"h$i")): _*)
+    }
+    val banded = sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: candidates from banding, then exact
+    * Jaccard verification on candidates only (the whole point at scale: the
+    * quadratic verify runs on the tiny candidate set). */
+  def minHashDedup(df: DataFrame, id: String, text: String, n: Int,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    val sh = shingleIndex(df, id, text, n).cache()
+    val sig = minHashSignatures(sh, numHashes)
+    val cands = lshCandidates(sig, bands, numHashes / bands)
+    val cnt = shingleCounts(sh)
+    val common = sh.as("a")
+      .join(cands.as("cd"), col("a.doc_id") === col("cd.i"))
+      .join(sh.as("b"),
+        col("b.doc_id") === col("cd.j") && col("b.s") === col("a.s"))
+      .groupBy(col("cd.i").as("i"), col("cd.j").as("j"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(cnt.as("na"), col("i") === col("na.doc_id"))
+      .join(cnt.as("nb"), col("j") === col("nb.doc_id"))
+      .select(col("i"), col("j"),
+        Num.pround(col("c").cast("double") /
+          (col("na.n") + col("nb.n") - col("c")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash per document: per-bit signed vote over token hashes,
+    * assembled into one BIGINT fingerprint. Single groupBy. */
+  def simHash(df: DataFrame, id: String, text: String): DataFrame = {
+    val tok = df.select(col(id).as("doc_id"),
+      explode(Text.tokens(col(text))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitAggs = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$b"))
+    val sums = tok.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    // distinct powers of two: addition == bitwise OR, no carries
+    val fp = (0 until 64)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** Hamming distance between two SimHash fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---- QueryDefs over `documents` ------------------------------------------
+
+  private val jaccardOracle =
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              FROM toks CROSS JOIN unnest(generate_series(1, len(t)-2)) AS u(i)
+              WHERE len(t) >= 3),
+       n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       SELECT i, j, ${Num.sql("CAST(c AS DOUBLE) / (na.n + nb.n - c)", 4)} AS jaccard
+       FROM p JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
+       WHERE ${Num.sql("CAST(c AS DOUBLE) / (na.n + nb.n - c)", 4)} >= 0.8"""
+
+  val exactQ = QueryDef(
+    "dedup_exact",
+    "exact dedup: group by content hash, keep min id",
+    Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1"""),
+    (s, dir) => exact(Tables.documents(s, dir), "doc_id", "text"))
+
+  val jaccardQ = QueryDef(
+    "dedup_ngram_jaccard",
+    "near-dup pairs by exact word-3-gram Jaccard >= 0.8 (inverted index join)",
+    Some(jaccardOracle),
+    (s, dir) => jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8))
+
+  /** LSH banding uses Spark's xxhash64, which DuckDB can't replicate — the
+    * driver records the rows-only check; DedupSpec pins recall against
+    * dedup_ngram_jaccard's exact pairs. */
+  val minHashQ = QueryDef(
+    "dedup_minhash_lsh",
+    "near-dup pairs via 32-perm MinHash + 8-band LSH, exact-verified",
+    None,
+    (s, dir) => minHashDedup(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, numHashes = 32, bands = 8, threshold = 0.8))
+
+  val simHashQ = QueryDef(
+    "dedup_simhash",
+    "64-bit SimHash fingerprint per document",
+    None,
+    (s, dir) => simHash(Tables.documents(s, dir), "doc_id", "text"))
+
+  val defs: Seq[QueryDef] = Seq(exactQ, jaccardQ, minHashQ, simHashQ)
+}

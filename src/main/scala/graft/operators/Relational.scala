@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
+import graft.functions.Num
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -27,14 +28,14 @@ object Relational {
   val q1 = QueryDef(
     "q1_pricing_summary",
     "TPC-H Q1: filtered scan + grouped multi-aggregate",
-    Some("""SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-                   round(avg(l_quantity), 4) AS avg_qty,
-                   round(avg(l_extendedprice), 4) AS avg_price,
-                   round(avg(l_discount), 4) AS avg_disc,
+    Some(s"""SELECT l_returnflag, l_linestatus,
+                   ${Num.sql("sum(l_quantity)", 2)} AS sum_qty,
+                   ${Num.sql("sum(l_extendedprice)", 2)} AS sum_base_price,
+                   ${Num.sql("sum(l_extendedprice * (1 - l_discount))", 2)} AS sum_disc_price,
+                   ${Num.sql("sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))", 2)} AS sum_charge,
+                   ${Num.sql("avg(l_quantity)", 4)} AS avg_qty,
+                   ${Num.sql("avg(l_extendedprice)", 4)} AS avg_price,
+                   ${Num.sql("avg(l_discount)", 4)} AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -43,13 +44,13 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        Num.pround(sum(col("l_quantity")), 2).as("sum_qty"),
+        Num.pround(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        Num.pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        Num.pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        Num.pround(avg(col("l_quantity")), 4).as("avg_qty"),
+        Num.pround(avg(col("l_extendedprice")), 4).as("avg_price"),
+        Num.pround(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order")))
 
   /** TPC-H Q3-shaped: selective 3-way join + grouped revenue + ordered top-K.
@@ -58,8 +59,8 @@ object Relational {
   val q3 = QueryDef(
     "q3_top_revenue",
     "TPC-H Q3: 3-way join, group, deterministic top-10",
-    Some("""SELECT o.o_orderkey,
-                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    Some(s"""SELECT o.o_orderkey,
+                   ${Num.sql("sum(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue,
                    strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
             FROM customer c
             JOIN orders o ON c.c_custkey = o.o_custkey
@@ -76,7 +77,7 @@ object Relational {
       .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_shipdate") > lit("1996-01-01 00:00:00").cast("timestamp"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(Num.pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .select(col("o_orderkey"), col("revenue"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
@@ -88,8 +89,8 @@ object Relational {
   val q5 = QueryDef(
     "q5_region_revenue",
     "TPC-H Q5: multi-way join, broadcast dims, revenue per nation",
-    Some("""SELECT n.n_name,
-                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    Some(s"""SELECT n.n_name,
+                   ${Num.sql("sum(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue
             FROM region r
             JOIN nation n ON n.n_regionkey = r.r_regionkey
             JOIN supplier s ON s.s_nationkey = n.n_nationkey
@@ -119,7 +120,7 @@ object Relational {
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(Num.pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     })
 
@@ -176,8 +177,8 @@ object Relational {
   val rollup_ = QueryDef(
     "rollup_region_acctbal",
     "GROUP BY ROLLUP(region, nation) over supplier balances",
-    Some("""SELECT r.r_name, n.n_name, count(*) AS n_sup,
-                   round(sum(s.s_acctbal), 2) AS acctbal
+    Some(s"""SELECT r.r_name, n.n_name, count(*) AS n_sup,
+                   ${Num.sql("sum(s.s_acctbal)", 2)} AS acctbal
             FROM supplier s
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -186,18 +187,18 @@ object Relational {
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      .agg(count(lit(1)).as("n_sup"), round(sum(col("s_acctbal")), 2).as("acctbal")))
+      .agg(count(lit(1)).as("n_sup"), Num.pround(sum(col("s_acctbal")), 2).as("acctbal")))
 
   /** CUBE — all grouping combinations of status × priority. */
   val cube_ = QueryDef(
     "cube_status_priority",
     "GROUP BY CUBE(status, priority) over orders",
-    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-                   round(sum(o_totalprice), 2) AS total
+    Some(s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   ${Num.sql("sum(o_totalprice)", 2)} AS total
             FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""),
     (s, dir) => Tables.orders(s, dir)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total")))
+      .agg(count(lit(1)).as("n"), Num.pround(sum(col("o_totalprice")), 2).as("total")))
 
   /** Running window aggregate — per-supplier running quantity in fully
     * deterministic frame order (shipdate, orderkey, linenumber). One shuffle
@@ -205,10 +206,10 @@ object Relational {
   val running = QueryDef(
     "window_running_sum",
     "running sum over a deterministic per-key frame",
-    Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
-                   round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+    Some(s"""SELECT l_suppkey, l_orderkey, l_linenumber,
+                   ${Num.sql("""sum(l_quantity) OVER (PARTITION BY l_suppkey
                      ORDER BY l_shipdate, l_orderkey, l_linenumber
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""", 2)} AS running_qty
             FROM lineitem"""),
     (s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
@@ -216,7 +217,7 @@ object Relational {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, dir).select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        round(sum(col("l_quantity")).over(w), 2).as("running_qty"))
+        Num.pround(sum(col("l_quantity")).over(w), 2).as("running_qty"))
     })
 
   /** Ranked top-N per group — top-3 parts by price per brand, tiebroken. */
@@ -243,12 +244,12 @@ object Relational {
   val tumbling = QueryDef(
     "tumbling_hourly",
     "1-hour tumbling event-time window aggregate",
-    Some("""SELECT CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS window_start,
-                   event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+    Some(s"""SELECT CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS window_start,
+                   event_type, count(*) AS n, ${Num.sql("sum(value)", 4)} AS sum_value
             FROM events GROUP BY 1, 2"""),
     (s, dir) => Tables.events(s, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Num.pround(sum(col("value")), 4).as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("window_start"),
         col("event_type"), col("n"), col("sum_value")))
 
@@ -258,17 +259,17 @@ object Relational {
   val sliding = QueryDef(
     "sliding_hourly",
     "1-hour sliding (30-min hop) event-time window aggregate",
-    Some("""WITH e AS (
+    Some(s"""WITH e AS (
               SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 1800) AS BIGINT) * 1800 AS b,
                      event_type, value
               FROM events)
             SELECT ws AS window_start, event_type, count(*) AS n,
-                   round(sum(value), 4) AS sum_value
+                   ${Num.sql("sum(value)", 4)} AS sum_value
             FROM (SELECT unnest([b, b - 1800]) AS ws, event_type, value FROM e)
             GROUP BY ws, event_type"""),
     (s, dir) => Tables.events(s, dir)
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Num.pround(sum(col("value")), 4).as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("window_start"),
         col("event_type"), col("n"), col("sum_value")))
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
+import graft.functions.Num
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -82,12 +83,12 @@ object Serving {
   val d5 = QueryDef(
     "d5_center",
     "avg over the stream's numeric coords, map-center analog (console.py:59-60)",
-    Some("""SELECT round(avg(value), 4) AS avg_value,
-                   round(avg(CAST(user_id AS DOUBLE)), 4) AS avg_user
-            FROM events"""),
+    Some(s"""SELECT ${Num.sql("avg(value)", 4)} AS avg_value,
+                    ${Num.sql("avg(CAST(user_id AS DOUBLE))", 4)} AS avg_user
+             FROM events"""),
     (s, dir) => Tables.events(s, dir).agg(
-      round(avg(col("value")), 4).as("avg_value"),
-      round(avg(col("user_id").cast("double")), 4).as("avg_user")))
+      Num.pround(avg(col("value")), 4).as("avg_value"),
+      Num.pround(avg(col("user_id").cast("double")), 4).as("avg_user")))
 
   /** D6 — min/max bounds for map fit_bounds (console.py:102-105). */
   val d6 = QueryDef(

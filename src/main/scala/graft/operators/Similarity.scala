@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.{Num, Vec}
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY.md §7.6): brute-force
+  * cosine as the exact baseline, random-hyperplane LSH bucketing as the
+  * scale path.
+  *
+  * Scale design (100 TB): norms are computed once per vector *before* any
+  * pair join; the query side of ANN is broadcast (queries ≪ corpus), so the
+  * corpus never shuffles; top-K is rank-on-rounded-cosine with id tiebreaks
+  * so results are deterministic under any partitioning. The LSH variant
+  * reduces the per-query candidate set from |corpus| to one bucket — the
+  * 1000-executor path where brute force stops being an option.
+  */
+object Similarity {
+
+  /** Project to (vec_id, v: array<double>, nrm) — norm computed once. */
+  def withNorm(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), Vec.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vec.norm(col("v")))
+
+  /** Exact top-K most similar pairs across the corpus (brute force, i<j). */
+  def topKPairs(e: DataFrame, k: Int): DataFrame = {
+    val n = withNorm(e)
+    n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        Num.pround(Vec.cosinePrenormed(Vec.dot(col("a.v"), col("b.v")),
+          col("a.nrm"), col("b.nrm")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("i"), col("j"))
+      .limit(k)
+  }
+
+  /** Exact top-K nearest neighbors per query vector (brute force).
+    * Queries are broadcast; ranking on rounded cosine + id tiebreak. */
+  def annBruteForce(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = withNorm(queries).select(col("vec_id").as("q_id"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val c = withNorm(corpus)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    c.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        Num.pround(Vec.cosinePrenormed(Vec.dot(col("qv"), col("v")),
+          col("qn"), col("nrm")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic random hyperplanes (seeded JVM PRNG — stable across runs
+    * and machines: java.util.Random's algorithm is specified). */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-of-projection LSH bucket id for a vector column. */
+  def bucketOf(v: org.apache.spark.sql.Column,
+      planes: Seq[Seq[Double]]): org.apache.spark.sql.Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(Vec.dot(v, typedLit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN via multi-probe hyperplane LSH: each query probes its own bucket
+    * plus every hamming-1 neighbor bucket (flip one plane's sign), so
+    * candidates are ~ (numPlanes+1)/2^numPlanes of the corpus instead of all
+    * of it; exact cosine ranks the candidates. A corpus vector lives in
+    * exactly one bucket, so probes never duplicate candidates.
+    * Approximate by construction ⇒ no SQL oracle; SimilaritySpec pins recall
+    * against annBruteForce. */
+  def annLsh(queries: DataFrame, corpus: DataFrame, numPlanes: Int,
+      k: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val probesOf = (b: org.apache.spark.sql.Column) =>
+      array(b +: (0 until numPlanes).map(i => b.bitwiseXOR(lit(1L << i))): _*)
+    val q = withNorm(queries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(probesOf(bucketOf(col("v"), planes))).as("qbucket"))
+    val c = withNorm(corpus).withColumn("bucket", bucketOf(col("v"), planes))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    c.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        Num.pround(Vec.cosinePrenormed(Vec.dot(col("qv"), col("v")),
+          col("qn"), col("nrm")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  // ---- QueryDefs over `embeddings` -----------------------------------------
+
+  private val dotSql =
+    "list_sum(list_transform(list_zip(%s, %s), pr -> pr[1] * pr[2]))"
+
+  val pairsQ = QueryDef(
+    "embedding_topk_pairs",
+    "top-20 most-similar embedding pairs by exact cosine (brute force)",
+    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                        FROM embeddings),
+             n AS (SELECT vec_id, v, sqrt(${dotSql.format("v", "v")}) AS nrm FROM e)
+             SELECT a.vec_id AS i, b.vec_id AS j,
+                    ${Num.sql(dotSql.format("a.v", "b.v") + " / (a.nrm * b.nrm)", 6)} AS cosine
+             FROM n a JOIN n b ON a.vec_id < b.vec_id
+             ORDER BY cosine DESC, i, j LIMIT 20"""),
+    (s, dir) => topKPairs(Tables.embeddings(s, dir), 20))
+
+  val annQ = QueryDef(
+    "ann_cosine_topk",
+    "exact top-10 neighbors for each query vector (vec_id < 5), brute force",
+    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                        FROM embeddings),
+             n AS (SELECT vec_id, v, sqrt(${dotSql.format("v", "v")}) AS nrm FROM e),
+             sims AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+                             ${Num.sql(dotSql.format("q.v", "c.v") + " / (q.nrm * c.nrm)", 6)} AS cosine
+                      FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
+             SELECT q_id, vec_id, cosine, rank FROM (
+               SELECT q_id, vec_id, cosine,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY cosine DESC, vec_id) AS rank
+               FROM sims) WHERE rank <= 10"""),
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      annBruteForce(e.filter(col("vec_id") < 5), e, 10)
+    })
+
+  val annLshQ = QueryDef(
+    "ann_lsh_bucketed",
+    "approximate top-10 neighbors via 6-plane multi-probe sign-LSH",
+    None,
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      annLsh(e.filter(col("vec_id") < 5), e, numPlanes = 6, k = 10, dim = 64)
+    })
+
+  val defs: Seq[QueryDef] = Seq(pairsQ, annQ, annLshQ)
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.{Num, RollingHash, Text}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Text-analysis query surface over `documents` (SURVEY.md §7.6): token
+  * statistics, quality scoring, language ID, fingerprinting. All per-row
+  * column expressions — shuffle-free, codegen'd, scan-speed at 100 TB.
+  */
+object TextAnalysis {
+
+  private def enList = Text.stopwords("en").map(w => s"'$w'").mkString(", ")
+  private def listSql(l: String) =
+    Text.stopwords(l).map(w => s"'$w'").mkString(", ")
+
+  val tokenStats = QueryDef(
+    "text_token_stats",
+    "token count, dense length, mean token length per document",
+    Some(s"""WITH t AS (SELECT doc_id,
+                              len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,
+                              length(regexp_replace(trim(text), '\\s+', '', 'g')) AS dense_len
+                       FROM documents)
+            SELECT doc_id, n_tokens, dense_len,
+                   ${Num.sql("CAST(dense_len AS DOUBLE) / n_tokens", 4)} AS mean_token_len
+            FROM t"""),
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).as("n_tokens"),
+        Text.denseLength(col("text")).as("dense_len"))
+      .withColumn("mean_token_len",
+        Num.pround(col("dense_len").cast("double") / col("n_tokens"), 4)))
+
+  val quality = QueryDef(
+    "text_quality",
+    "composite quality score from length/token-shape/stopword-density",
+    Some(s"""WITH t AS (SELECT doc_id,
+                               string_split_regex(trim(lower(text)), '\\s+') AS toks,
+                               length(regexp_replace(trim(text), '\\s+', '', 'g')) AS dense_len
+                        FROM documents),
+             f AS (SELECT doc_id,
+                          len(toks) AS n_tokens,
+                          CAST(dense_len AS DOUBLE) / len(toks) AS mean_len,
+                          CAST(len(list_filter(toks, x -> x IN ($enList))) AS DOUBLE)
+                            / len(toks) AS stop_ratio
+                   FROM t)
+             SELECT doc_id, n_tokens, ${Num.sql("stop_ratio", 4)} AS stop_ratio,
+                    ${Num.sql("""least(CAST(n_tokens AS DOUBLE) / 200.0, 1.0) * 0.5 +
+                          least(mean_len / 8.0, 1.0) * 0.3 +
+                          (1.0 - least(stop_ratio * 2.0, 1.0)) * 0.2""", 4)} AS quality
+             FROM f"""),
+    (s, dir) => {
+      val toks = Text.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("toks"),
+          Text.denseLength(col("text")).as("dense_len"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          (col("dense_len").cast("double") / size(col("toks"))).as("mean_len"),
+          (Text.hitCount(col("toks"), Text.stopwords("en")).cast("double") /
+            size(col("toks"))).as("stop_ratio_raw"))
+        .select(col("doc_id"), col("n_tokens"),
+          Num.pround(col("stop_ratio_raw"), 4).as("stop_ratio"),
+          Text.qualityScore(col("n_tokens"), col("mean_len"),
+            col("stop_ratio_raw")).as("quality"))
+    })
+
+  val langid = QueryDef(
+    "text_langid",
+    "n-gram (function-word) language heuristic with fixed precedence",
+    Some(s"""WITH t AS (SELECT doc_id,
+                               string_split_regex(trim(lower(text)), '\\s+') AS toks
+                        FROM documents),
+             c AS (SELECT doc_id,
+                          len(list_filter(toks, x -> x IN (${listSql("en")}))) AS c_en,
+                          len(list_filter(toks, x -> x IN (${listSql("de")}))) AS c_de,
+                          len(list_filter(toks, x -> x IN (${listSql("fr")}))) AS c_fr,
+                          len(list_filter(toks, x -> x IN (${listSql("es")}))) AS c_es
+                   FROM t)
+             SELECT doc_id, c_en, c_de, c_fr, c_es,
+                    CASE WHEN c_en + c_de + c_fr + c_es = 0 THEN 'unknown'
+                         WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+                         WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+                         WHEN c_fr >= c_es THEN 'fr'
+                         ELSE 'es' END AS lang_pred
+             FROM c"""),
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      val counts = Seq("en", "de", "fr", "es").map(l =>
+        Text.hitCount(col("toks"), Text.stopwords(l)).as(s"c_$l"))
+      d.select(col("doc_id") +: counts: _*)
+        .withColumn("lang_pred",
+          when(col("c_en") + col("c_de") + col("c_fr") + col("c_es") === 0, "unknown")
+            .when(col("c_en") >= col("c_de") && col("c_en") >= col("c_fr") &&
+              col("c_en") >= col("c_es"), "en")
+            .when(col("c_de") >= col("c_fr") && col("c_de") >= col("c_es"), "de")
+            .when(col("c_fr") >= col("c_es"), "fr")
+            .otherwise("es"))
+    })
+
+  /** Two fingerprints per doc: order-insensitive md5 of the sorted distinct
+    * token set, and the order-sensitive polynomial rolling hash — the latter
+    * via the custom Catalyst Expression [[graft.functions.RollingHash]]
+    * (codegen'd), with an exact BIGINT-arithmetic DuckDB replica. */
+  val fingerprint = QueryDef(
+    "text_fingerprint",
+    "md5 set-fingerprint + custom-Expression rolling hash per document",
+    Some("""SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                     string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS set_fp,
+                   list_reduce(list_transform(string_split(trim(text), ''),
+                     c -> ord(c)::BIGINT), (a, b) -> (a * 31 + b) % 1000000007) AS roll_fp
+            FROM documents"""),
+    (s, dir) => Tables.documents(s, dir).select(
+      col("doc_id"),
+      Text.setFingerprint(Text.tokens(col("text"))).as("set_fp"),
+      RollingHash.rolling_hash(trim(col("text"))).as("roll_fp")))
+
+  val defs: Seq[QueryDef] = Seq(tokenStats, quality, langid, fingerprint)
+}

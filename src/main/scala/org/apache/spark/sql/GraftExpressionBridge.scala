@@ -1,0 +1,12 @@
+/* Lives in org.apache.spark.sql to reach the private[sql] Column<->Expression
+ * converters — the standard bridge pattern for libraries that ship native
+ * Catalyst Expressions (Spark 4 removed the public Column(expr) constructor). */
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+object GraftExpressionBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
