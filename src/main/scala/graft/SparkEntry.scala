@@ -18,10 +18,29 @@ object SparkEntry {
       operators.Similarity.defs ++ operators.TextAnalysis.defs ++
       multimodal.Media.defs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The reference's dashboard join (console.py:45-51) — D3. */
-  def entry(spark: SparkSession): DataFrame =
-    operators.Serving.d3.run(spark, "/root/testdata/sf0.001")
+  /** Flagship: the full AIS pipeline end-to-end — synthesized NMEA sentences
+    * → decode (types 1/3/18/5, two-fragment assembly) → quality filters →
+    * weather enrichment → the dashboard join D3 (console.py:45-51). Driver
+    * smoke-checks rows>0. Deterministic: encoder fixtures + fixture weather. */
+  def entry(spark: SparkSession): DataFrame = {
+    import ais._
+    import spark.implicits._
+    val lines: Seq[String] = (0 until 10).flatMap { i =>
+      val mmsi = 257000001L + i
+      val ts = 1700000000L + i * 60
+      Seq(
+        NmeaEncoder.position(1, mmsi, status = i % 9, speedKnots = 5.0 + i,
+          lon = 4.5 + i * 0.1, lat = 58.0 + i * 0.2, heading = (i * 37) % 360, ts = ts),
+        NmeaEncoder.positionB(mmsi, 4.0 + i, 4.6 + i * 0.1, 58.1 + i * 0.2,
+          (i * 53) % 360, ts + 30)) ++
+        NmeaEncoder.staticVoyage(mmsi, s"LA${i}X", s"SHIP$i", 70 + (i % 5),
+          "BERGEN", ts + 10)
+    }
+    val decoded = AisIngest.decode(spark.createDataset(lines).coalesce(1))
+    val enriched = Enrich.withWeather(
+      AisIngest.positions(decoded), () => new FixtureWeatherClient)
+    Dashboard.shipDetails(enriched.toDF(), AisIngest.shipInfo(decoded).toDF())
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.ais._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** The streaming pipeline (SURVEY.md §3.1-3.2): raw NMEA lines → decode →
+  * router → two append sinks, plus the stateful latest-per-key view and
+  * windowed fleet metrics.
+  *
+  * Source binding: any streaming DataFrame with a string `value` column —
+  * `spark.readStream.text(dir)` (replay), `format("socket")` (the live feed's
+  * shape, config-template.ini:5-6), `MemoryStream[String]` (tests), or a
+  * Kafka topic (deploy-time jar; same code — the decode stage reads `value`).
+  * Delivery: checkpointed micro-batches into append sinks = at-least-once,
+  * strictly stronger than the reference's at-most-once commit-then-produce
+  * window (consumer:67,88; SURVEY.md §2.B6).
+  *
+  * The C3 "materialized views" are the two append sinks themselves: the
+  * ClickHouse Kafka-engine + MV pair (clickhouse-ddl.sql:20-38) collapses to
+  * `writeStream.outputMode("append")` per topic.
+  */
+object AisPipeline {
+
+  case class RunningQueries(positions: StreamingQuery, info: StreamingQuery)
+
+  private def decoded(raw: DataFrame): Dataset[DecodedAis] = {
+    import raw.sparkSession.implicits._
+    AisIngest.decode(raw.select(col("value").cast("string")).as[String])
+  }
+
+  /** Start both branches into parquet append sinks (durable MV analog). */
+  def start(raw: DataFrame, checkpointRoot: String, posPath: String,
+      infoPath: String,
+      trigger: Trigger = Trigger.AvailableNow()): RunningQueries = {
+    val d = decoded(raw)
+    val pos = AisIngest.positions(d).writeStream
+      .outputMode("append").format("parquet")
+      .option("path", posPath)
+      .option("checkpointLocation", s"$checkpointRoot/positions")
+      .trigger(trigger).start()
+    val info = AisIngest.shipInfo(d).writeStream
+      .outputMode("append").format("parquet")
+      .option("path", infoPath)
+      .option("checkpointLocation", s"$checkpointRoot/info")
+      .trigger(trigger).start()
+    RunningQueries(pos, info)
+  }
+
+  /** Start both branches into in-memory tables (tests/dev — C4's
+    * direct-select debugging analog, clickhouse-ddl.sql:37-38). */
+  def startMemory(raw: DataFrame, posTable: String,
+      infoTable: String): RunningQueries = {
+    val d = decoded(raw)
+    val pos = AisIngest.positions(d).writeStream
+      .outputMode("append").format("memory").queryName(posTable).start()
+    val info = AisIngest.shipInfo(d).writeStream
+      .outputMode("append").format("memory").queryName(infoTable).start()
+    RunningQueries(pos, info)
+  }
+
+  /** Compacted-topic semantics as explicit state (README.md:199-200;
+    * SURVEY.md §2.E): keep the max-timestamp info record per mmsi, emit only
+    * on change. Use with OutputMode.Update sinks. */
+  def latestInfo(info: Dataset[ShipInfoEvent]): Dataset[ShipInfoEvent] = {
+    import info.sparkSession.implicits._
+    info.groupByKey(_.mmsi).flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (_: String, events: Iterator[ShipInfoEvent], state: GroupState[ShipInfoEvent]) =>
+        val all = state.getOption.iterator ++ events
+        val latest = all.maxBy(e => (e.timestamp, e.shipname))
+        if (state.getOption.contains(latest)) Iterator.empty
+        else { state.update(latest); Iterator.single(latest) }
+    }
+  }
+
+  /** Event-time fleet metrics (the idiomatic-Spark upgrade, SURVEY.md §7.6):
+    * per-status counts and average speed over tumbling windows with a
+    * watermark bounding state. */
+  def fleetMetrics(pos: Dataset[PositionEvent], watermark: String = "10 minutes",
+      windowLen: String = "5 minutes"): DataFrame =
+    pos.toDF()
+      .withColumn("ts", to_timestamp(from_unixtime(col("timestamp"))))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("status"))
+      .agg(count(lit(1)).as("n"), avg(col("speed")).as("avg_speed"))
+      .select(col("window.start").as("window_start"), col("status"),
+        col("n"), col("avg_speed"))
+
+  /** Batch replay of the full pipeline: NMEA text file(s) → the two tables.
+    * Same transforms as streaming (they're stateless) — used by entry() and
+    * golden tests. */
+  def replayBatch(spark: SparkSession, nmeaPath: String)
+      : (Dataset[PositionEvent], Dataset[ShipInfoEvent]) = {
+    import spark.implicits._
+    val d = AisIngest.decode(spark.read.textFile(nmeaPath))
+    (AisIngest.positions(d), AisIngest.shipInfo(d))
+  }
+}

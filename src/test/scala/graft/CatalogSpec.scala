@@ -1,0 +1,26 @@
+package graft
+
+/** Driver-contract invariants. */
+class CatalogSpec extends SparkSpec {
+
+  test("catalog names are unique") {
+    val names = SparkEntry.catalog.map(_.name)
+    assert(names.distinct.length == names.length)
+  }
+
+  test("every oracle key has a matching query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry() returns rows on sf0.001 (driver smoke check)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs non-empty on sf0.001 except known-empty anti join") {
+    val emptyOk = Set("anti_join_customers") // all sf0.001 customers have orders
+    SparkEntry.catalog.foreach { q =>
+      val n = q.run(spark, sf("sf0.001")).count()
+      assert(n > 0 || emptyOk(q.name), s"${q.name} returned 0 rows")
+    }
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Pins the non-oracled (approximate) operators against their exact
+  * counterparts on the real sf0.001 tables. */
+class DedupSimilaritySpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf("sf0.001")).cache()
+  private lazy val emb = Tables.embeddings(spark, sf("sf0.001")).cache()
+
+  test("minhash+LSH finds the exact-jaccard pair set on this corpus") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select(col("i"), col("j")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashDedup(docs, "doc_id", "text", 3, 32, 8, 0.8)
+      .select(col("i"), col("j")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // exact-verification guarantees no false positives
+    assert(exact.nonEmpty)
+    // 0.8^4=0.41 per band; miss prob (1-0.41)^8 ~ 1.5% per pair at the
+    // threshold, ~0 at this corpus's observed 0.98 similarities
+    assert(lsh == exact)
+  }
+
+  test("simhash: near-dup pairs sit at small hamming distance, random pairs far") {
+    val fp = Dedup.simHash(docs, "doc_id", "text").cache()
+    val nearPairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+    val joined = nearPairs
+      .join(fp.select(col("doc_id").as("i"), col("simhash").as("ha")), Seq("i"))
+      .join(fp.select(col("doc_id").as("j"), col("simhash").as("hb")), Seq("j"))
+      .select(Dedup.hamming(col("ha"), col("hb")).as("d"))
+    val maxNear = joined.agg(max(col("d"))).head().getInt(0)
+    assert(maxNear <= 16, s"near-dup hamming too large: $maxNear")
+    val randomMean = fp.as("x").join(fp.as("y"),
+        col("x.doc_id") + 1 === col("y.doc_id"))
+      .select(Dedup.hamming(col("x.simhash"), col("y.simhash")).as("d"))
+      .agg(avg(col("d"))).head().getDouble(0)
+    assert(randomMean > 16, s"random-pair hamming too small: $randomMean")
+  }
+
+  test("multi-probe LSH ANN: every reported neighbor matches brute-force " +
+    "cosine, with useful recall") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.annBruteForce(queries, emb, 10)
+      .select(col("q_id"), col("vec_id"), col("cosine")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val approx = Similarity.annLsh(queries, emb, 6, 10, 64)
+      .select(col("q_id"), col("vec_id"), col("cosine")).collect()
+    assert(approx.nonEmpty)
+    // cosine values must agree exactly where both report the pair
+    val full = Similarity.annBruteForce(queries, emb, Int.MaxValue)
+      .select(col("q_id"), col("vec_id"), col("cosine")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    approx.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(full.contains(k) && math.abs(full(k) - r.getDouble(2)) < 1e-12)
+    }
+    val recall = approx.map(r => (r.getLong(0), r.getLong(1)))
+      .count(exact.contains).toDouble / exact.size
+    assert(recall > 0.1, s"recall collapsed: $recall") // single-table LSH floor
+  }
+
+  test("media decodeStub (typed mapPartitions) equals the column-expression query") {
+    import spark.implicits._
+    val viaStub = graft.multimodal.Media.decodeStub(
+      graft.multimodal.Media.asMedia(spark, sf("sf0.001")))
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"))
+    val viaColumns = graft.multimodal.Media.metadataQ.run(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"))
+    assert(viaStub.exceptAll(viaColumns).isEmpty && viaColumns.exceptAll(viaStub).isEmpty)
+  }
+}

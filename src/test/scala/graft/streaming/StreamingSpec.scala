@@ -1,0 +1,111 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ais._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import NmeaEncoder._
+
+  test("memory-stream pipeline routes positions and info to both sinks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val qs = AisPipeline.startMemory(input.toDF().withColumnRenamed("value", "value"),
+      "pos_sink_t1", "info_sink_t1")
+    try {
+      input.addData(position(1, 257000001L, 0, 12.3, 5.32, 60.39, 187, 1700000000L))
+      input.addData(staticVoyage(257000001L, "LAJX", "HAVFRUEN", 70, "BERGEN",
+        1700000100L): _*)
+      input.addData(positionB(257000002L, 6.5, 4.9, 59.5, 270, 1700000030L))
+      qs.positions.processAllAvailable()
+      qs.info.processAllAvailable()
+      assert(spark.table("pos_sink_t1").count() == 2)
+      val info = spark.table("info_sink_t1").collect()
+      assert(info.length == 1)
+      assert(info.head.getAs[String]("shipname") == "HAVFRUEN")
+    } finally { qs.positions.stop(); qs.info.stop() }
+  }
+
+  test("multi-fragment type 5 split across micro-batches is NOT assembled " +
+    "(partition-local assembly is batch-scoped by design)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val qs = AisPipeline.startMemory(input.toDF(), "pos_sink_t2", "info_sink_t2")
+    try {
+      val frags = staticVoyage(257000004L, "AAAA", "SPLITSHIP", 70, "OSLO",
+        1700000400L)
+      input.addData(frags.head)
+      qs.info.processAllAvailable()
+      input.addData(frags.last)
+      qs.info.processAllAvailable()
+      // documented limitation: fragments must arrive within one batch (they
+      // do on a real TCP feed; SURVEY.md §7.4.1)
+      assert(spark.table("info_sink_t2").isEmpty)
+    } finally { qs.positions.stop(); qs.info.stop() }
+  }
+
+  test("latestInfo keeps max-timestamp record per mmsi and emits on change") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ShipInfoEvent]
+    val q = AisPipeline.latestInfo(input.toDS()).writeStream
+      .outputMode("update").format("memory").queryName("latest_t3").start()
+    try {
+      input.addData(ShipInfoEvent("1", 100L, "OLD", "A", "Cargo", "X"))
+      q.processAllAvailable()
+      input.addData(ShipInfoEvent("1", 200L, "NEW", "A", "Cargo", "Y"),
+        ShipInfoEvent("1", 150L, "MID", "A", "Cargo", "Z"))
+      q.processAllAvailable()
+      input.addData(ShipInfoEvent("1", 50L, "STALE", "A", "Cargo", "W"))
+      q.processAllAvailable()
+      val out = spark.table("latest_t3").as[ShipInfoEvent].collect()
+      // update-mode memory sink appends each emission: OLD then NEW; the
+      // stale late record emits nothing
+      assert(out.map(_.shipname).toSeq == Seq("OLD", "NEW"))
+    } finally q.stop()
+  }
+
+  test("fleetMetrics windows by event time with a watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[PositionEvent]
+    val q = AisPipeline.fleetMetrics(input.toDS()).writeStream
+      .outputMode("update").format("memory").queryName("metrics_t4").start()
+    try {
+      val base = 1700000000L // :53:20 — within one 5-min window for +0..+99s
+      input.addData(
+        PositionEvent("1", "Moored", base, Gps(60, 5), 4.0, 10),
+        PositionEvent("2", "Moored", base + 60, Gps(60, 5), 6.0, 10),
+        PositionEvent("3", "UnderWayUsingEngine", base + 400, Gps(60, 5), 10.0, 10))
+      q.processAllAvailable()
+      val rows = spark.table("metrics_t4").collect()
+      val moored = rows.find(_.getAs[String]("status") == "Moored").get
+      assert(moored.getAs[Long]("n") == 2)
+      assert(math.abs(moored.getAs[Double]("avg_speed") - 5.0) < 1e-9)
+    } finally q.stop()
+  }
+
+  test("parquet sinks + checkpoint restart do not duplicate or lose batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val input = MemoryStream[String]
+    val qs1 = AisPipeline.start(input.toDF(), s"$tmp/ckpt", s"$tmp/pos", s"$tmp/info",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    input.addData(position(1, 257000001L, 0, 12.3, 5.32, 60.39, 187, 1700000000L))
+    qs1.positions.processAllAvailable(); qs1.info.processAllAvailable()
+    qs1.positions.stop(); qs1.info.stop()
+    // restart from the same checkpoint with one more record
+    input.addData(position(1, 257000005L, 0, 9.9, 5.0, 60.0, 90, 1700000500L))
+    val qs2 = AisPipeline.start(input.toDF(), s"$tmp/ckpt", s"$tmp/pos", s"$tmp/info",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    qs2.positions.processAllAvailable(); qs2.info.processAllAvailable()
+    qs2.positions.stop(); qs2.info.stop()
+    val pos = spark.read.parquet(s"$tmp/pos")
+    assert(pos.count() == 2) // exactly-once into files: no dupes, no loss
+    assert(pos.select(countDistinct(col("mmsi"))).head().getLong(0) == 2)
+  }
+}
