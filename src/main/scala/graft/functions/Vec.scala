@@ -1,14 +1,14 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftExpressionBridge}
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float>`/`array<double>` embedding columns, built
-  * from codegen'd higher-order functions (`zip_with` + `aggregate`) — no UDFs,
-  * so the expressions inline into WholeStageCodegen and never leave Tungsten
-  * rows.
+/** Vector math over `array<float>`/`array<double>` embedding columns. The dot
+  * product is the native codegen'd [[DotProduct]] expression (allocation-free
+  * tight loop); everything composes as plain Columns inside
+  * WholeStageCodegen, never leaving Tungsten rows.
   *
-  * Determinism: `aggregate` folds left-to-right, the same order DuckDB's
+  * Determinism: summation is left-to-right, the same order DuckDB's
   * `list_sum(list_transform(...))` reduces in, so cosine values agree with the
   * oracle bit-for-bit before rounding (and exactly after `round(_, 6)`).
   */
@@ -18,8 +18,14 @@ object Vec {
     * rounding never diverges from the oracle's DOUBLE math. */
   def toDouble(a: Column): Column = a.cast("array<double>")
 
-  /** Sequential dot product. */
+  /** Sequential dot product (native Expression — see [[DotProduct]]). */
   def dot(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(DotProduct(
+      GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+
+  /** The composable higher-order spelling of [[dot]] — kept as the reference
+    * implementation the native expression is tested against. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -61,6 +61,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall > 0.1, s"recall collapsed: $recall") // single-table LSH floor
   }
 
+  test("native DotProduct expression matches the higher-order reference bit-for-bit") {
+    import graft.functions.Vec
+    val pairs = Similarity.withNorm(emb).as("a")
+      .join(Similarity.withNorm(emb).as("b"),
+        col("a.vec_id") + 1 === col("b.vec_id"))
+      .select(Vec.dot(col("a.v"), col("b.v")).as("fast"),
+        Vec.dotHof(col("a.v"), col("b.v")).as("ref"))
+    assert(pairs.filter(col("fast") =!= col("ref")).isEmpty)
+  }
+
   test("media decodeStub (typed mapPartitions) equals the column-expression query") {
     import spark.implicits._
     val viaStub = graft.multimodal.Media.decodeStub(
