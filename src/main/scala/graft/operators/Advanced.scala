@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.Num
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Advanced relational surface: session windows, as-of joins, grouping sets,
+  * pivot, scalar subqueries, set union. These are the operators a training-
+  * data pipeline leans on hardest at scale, so each is written in its
+  * distributed-correct form and oracled like everything else.
+  */
+object Advanced {
+
+  /** Distributed as-of join (nearest earlier match per key), composed from
+    * built-ins per the custom-operator preference order (compose > custom
+    * plan): union both sides with a side marker, one shuffle+sort per key,
+    * then `last(..., ignoreNulls)` over an unbounded-preceding frame carries
+    * the most recent right-side row forward onto each left row. O(n log n)
+    * per key, no range explosion, no driver loop — the canonical Spark
+    * as-of shape. Ties (same timestamp) resolve right-side-first, so
+    * "at or before" is inclusive.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+      carry: Seq[String]): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+    val r = right.withColumn("__side", lit(0))
+    val cols = (l.columns.toSet ++ r.columns.toSet).toSeq.sorted
+    def conform(df: DataFrame) = df.select(cols.map(c =>
+      if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
+    val u = conform(l).unionByName(conform(r))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = carry.foldLeft(u) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(left.columns.map(col) ++ carry.map(c => col(s"asof_$c")): _*)
+  }
+
+  /** As-of query: for every purchase, the user's most recent signup at or
+    * before it (nulls when none yet). */
+  val asofQ = QueryDef(
+    "asof_join_signup",
+    "as-of join: latest signup at-or-before each purchase, per user",
+    Some("""WITH u AS (
+              SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id,
+                     CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END AS side
+              FROM events WHERE event_type IN ('signup', 'purchase')),
+            w AS (SELECT user_id, t, event_id, side,
+                    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+                      OVER (PARTITION BY user_id ORDER BY t, side
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_event_id,
+                    last_value(CASE WHEN side = 0 THEN epoch_us(t) END IGNORE NULLS)
+                      OVER (PARTITION BY user_id ORDER BY t, side
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_ts_us
+                  FROM u)
+            SELECT event_id, user_id, epoch_us(t) AS purchase_ts_us,
+                   signup_event_id, signup_ts_us
+            FROM w WHERE side = 1"""),
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_ts_us"), col("ts"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("signup_event_id"),
+          unix_micros(col("ts")).as("signup_ts_us"))
+      asofJoin(purchases, signups, "user_id", "ts",
+        Seq("signup_event_id", "signup_ts_us"))
+        .select(col("event_id"), col("user_id"), col("purchase_ts_us"),
+          col("asof_signup_event_id").as("signup_event_id"),
+          col("asof_signup_ts_us").as("signup_ts_us"))
+    })
+
+  /** Session windows: per-user activity sessions closed by a >30-minute gap.
+    * Spark merges events exactly gap-distance apart (verified), so the
+    * oracle's gaps-and-islands break condition is strict `>`. */
+  val sessionQ = QueryDef(
+    "session_windows",
+    "per-user session windows (30-minute inactivity gap)",
+    Some(s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
+             x AS (SELECT *, CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                                    OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                                       > INTERVAL 30 MINUTE
+                                  THEN 1 ELSE 0 END AS brk FROM e),
+             g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x)
+             SELECT user_id, CAST(floor(epoch(min(t))) AS BIGINT) AS session_start,
+                    count(*) AS n, ${Num.sql("sum(value)", 4)} AS sum_value
+             FROM g GROUP BY user_id, sid"""),
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), Num.pround(sum(col("value")), 4).as("sum_value"))
+      .select(unix_timestamp(col("session_window.start")).as("session_start"),
+        col("user_id"), col("n"), col("sum_value")))
+
+  /** GROUPING SETS — explicit set list (finer than rollup/cube). */
+  val groupingSetsQ = QueryDef(
+    "grouping_sets_acctbal",
+    "GROUP BY GROUPING SETS over supplier balances",
+    Some(s"""SELECT r.r_name, n.n_name, count(*) AS n_sup,
+                    ${Num.sql("sum(s.s_acctbal)", 2)} AS acctbal
+             FROM supplier s
+             JOIN nation n ON s.s_nationkey = n.n_nationkey
+             JOIN region r ON n.n_regionkey = r.r_regionkey
+             GROUP BY GROUPING SETS ((r.r_name), (r.r_name, n.n_name), ())"""),
+    (s, dir) => Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(
+        Seq(Seq(col("r_name")), Seq(col("r_name"), col("n_name")), Seq()),
+        col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_sup"), Num.pround(sum(col("s_acctbal")), 2).as("acctbal")))
+
+  /** PIVOT — event counts per user by type, dense zeros like the oracle's
+    * FILTER aggregates. */
+  val pivotQ = QueryDef(
+    "pivot_event_counts",
+    "pivot events into per-type count columns",
+    Some("""SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click') AS click,
+                   count(*) FILTER (WHERE event_type = 'view') AS view,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                   count(*) FILTER (WHERE event_type = 'error') AS error
+            FROM events GROUP BY user_id"""),
+    (s, dir) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val p = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("user_id") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+    })
+
+  /** Scalar subquery via the SQL entry point (Catalyst rewrites it to a
+    * broadcast of the single-row aggregate). */
+  val scalarSubQ = QueryDef(
+    "scalar_subquery_avg",
+    "rows above the table-wide average (scalar subquery)",
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"""),
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+      s.sql("""SELECT o_orderkey, o_totalprice FROM graft_orders
+               WHERE o_totalprice > (SELECT avg(o_totalprice) FROM graft_orders)""")
+    })
+
+  /** UNION (distinct) — completes the set-op family with except/intersect. */
+  val unionQ = QueryDef(
+    "setop_union",
+    "UNION (distinct) of two filtered branches",
+    Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            UNION
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'"""),
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .union(o.filter(col("o_orderstatus") === "P").select(col("o_custkey")))
+        .distinct()
+    })
+
+  val defs: Seq[QueryDef] = Seq(asofQ, sessionQ, groupingSetsQ, pivotQ,
+    scalarSubQ, unionQ)
+}

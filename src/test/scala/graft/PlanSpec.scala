@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan audits: the scale properties the scaladocs promise must
+  * actually appear in the plans — filters reach the parquet scan, dimension
+  * joins broadcast, top-K avoids global sorts, aggregation is two-phase,
+  * hot paths stay inside WholeStageCodegen. These assertions are what keeps
+  * a refactor from silently trading a broadcast for a 100 TB shuffle.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("simple"))
+
+  private def run(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf("sf0.001"))
+
+  test("a7_range_filter pushes every conjunct into the parquet scan") {
+    // formatted mode: simple-mode truncates the PushedFilters list
+    val p = run("a7_range_filter").queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("GreaterThan(l_quantity,2.0)"), p)
+    assert(p.contains("LessThan(l_quantity,75.0)"), p)
+    assert(p.contains("LessThanOrEqual(l_discount,0.08)"), p)
+  }
+
+  test("q1 prunes the scan to the referenced columns only") {
+    val p = plan(run("q1_pricing_summary"))
+    val scan = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!scan.contains("l_orderkey"), scan) // unused columns absent
+    assert(scan.contains("l_quantity") && scan.contains("l_shipdate"), scan)
+  }
+
+  test("q1 aggregates in two phases (map-side partial before the shuffle)") {
+    val p = plan(run("q1_pricing_summary"))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("hashpartitioning"), p)
+  }
+
+  test("d3 dashboard join broadcasts the dimension side — no fact shuffle") {
+    val p = plan(run("d3_join_info"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q5 six-way join is all broadcast joins, zero sort-merge") {
+    val p = plan(run("q5_region_revenue"))
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 5, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("d4 ordered limit plans as TakeOrdered, not a global sort") {
+    val p = plan(run("d4_join_limit"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("latest_per_key shuffles once and pushes the top-1 below the window") {
+    val p = plan(run("latest_per_key"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    // Catalyst turns the rn=1 filter into WindowGroupLimit: per-partition
+    // top-1 runs BEFORE the shuffle, so only candidate rows cross the wire
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("semi/anti joins never materialize right-side payload columns") {
+    val ps = plan(run("semi_join_customers"))
+    assert(ps.contains("LeftSemi"), ps)
+    val pa = plan(run("anti_join_customers"))
+    assert(pa.contains("LeftAnti"), pa)
+  }
+
+  test("ann_cosine_topk broadcasts the query side") {
+    val p = plan(run("ann_cosine_topk"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("text analysis plans are shuffle-free single stages") {
+    for (q <- Seq("text_token_stats", "text_quality", "text_langid",
+        "text_fingerprint", "media_metadata")) {
+      val p = plan(run(q))
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+    }
+  }
+}
