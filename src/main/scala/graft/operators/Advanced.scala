@@ -167,6 +167,29 @@ object Advanced {
         .distinct()
     })
 
-  val defs: Seq[QueryDef] = Seq(asofQ, sessionQ, groupingSetsQ, pivotQ,
-    scalarSubQ, unionQ)
+  /** The same as-of query through the custom Catalyst operator
+    * (graft.plans.AsOfJoinPlan → AsOfJoinExec) — identical semantics,
+    * identical oracle, different physical plan (co-partitioned sort-merge
+    * instead of union+window). */
+  val asofCustomQ: QueryDef = QueryDef(
+    "asof_join_custom_plan",
+    "as-of join via the custom LogicalPlan/Strategy/Exec ladder",
+    asofQ.oracle,
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_ts_us"), col("ts"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("signup_event_id"),
+          unix_micros(col("ts")).as("signup_ts_us"))
+      graft.plans.AsOf.join(purchases, signups, "user_id", "ts")
+        .select(col("event_id"), col("user_id"), col("purchase_ts_us"),
+          col("signup_event_id_r").as("signup_event_id"),
+          col("signup_ts_us_r").as("signup_ts_us"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(asofQ, asofCustomQ, sessionQ, groupingSetsQ,
+    pivotQ, scalarSubQ, unionQ)
 }
