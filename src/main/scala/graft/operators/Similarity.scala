@@ -93,6 +93,43 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN — the other scale path besides LSH: coarse-
+    * quantize the corpus into cells around deterministic centroids (every
+    * `stride`-th vector by id — a seeded sample standing in for trained
+    * k-means; the Spark-side plumbing is identical), then each query probes
+    * only its `nProbe` nearest cells. Corpus vectors live in exactly one
+    * cell, so probing never duplicates candidates. Centroids broadcast;
+    * the corpus never shuffles. */
+  def annIvf(queries: DataFrame, corpus: DataFrame, stride: Int,
+      nProbe: Int, k: Int): DataFrame = {
+    val c = withNorm(corpus)
+    val cents = c.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    def topCells(df: DataFrame, idCol: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("csim").desc, col("c_id"))
+      df.join(broadcast(cents), lit(true))
+        .withColumn("csim",
+          Vec.cosinePrenormed(Vec.dot(col("v"), col("cv")), col("nrm"), col("cn")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= n)
+        .drop("cv", "cn", "csim", "crank")
+    }
+    val cells = topCells(c, "vec_id", 1)
+    val q = topCells(withNorm(queries), "vec_id", nProbe)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("c_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cells.join(broadcast(q),
+        Seq("c_id")).filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        Num.pround(Vec.cosinePrenormed(Vec.dot(col("qv"), col("v")),
+          col("qn"), col("nrm")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   // ---- QueryDefs over `embeddings` -----------------------------------------
 
   private val dotSql =
@@ -138,5 +175,14 @@ object Similarity {
       annLsh(e.filter(col("vec_id") < 5), e, numPlanes = 6, k = 10, dim = 64)
     })
 
-  val defs: Seq[QueryDef] = Seq(pairsQ, annQ, annLshQ)
+  val annIvfQ = QueryDef(
+    "ann_ivf_cells",
+    "approximate top-10 neighbors via IVF coarse quantization (3-probe)",
+    None,
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      annIvf(e.filter(col("vec_id") < 5), e, stride = 25, nProbe = 3, k = 10)
+    })
+
+  val defs: Seq[QueryDef] = Seq(pairsQ, annQ, annLshQ, annIvfQ)
 }

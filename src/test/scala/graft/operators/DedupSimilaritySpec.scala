@@ -61,6 +61,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall > 0.1, s"recall collapsed: $recall") // single-table LSH floor
   }
 
+  test("IVF ANN: every reported neighbor matches brute-force cosine exactly") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val full = Similarity.annBruteForce(queries, emb, Int.MaxValue)
+      .select(col("q_id"), col("vec_id"), col("cosine")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.annIvf(queries, emb, stride = 25, nProbe = 3, k = 10)
+      .select(col("q_id"), col("vec_id"), col("cosine")).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(full.contains(key) && math.abs(full(key) - r.getDouble(2)) < 1e-12)
+    }
+    // each query reports a full k from its probed cells
+    assert(ivf.groupBy(_.getLong(0)).forall(_._2.length == 10))
+  }
+
   test("native DotProduct expression matches the higher-order reference bit-for-bit") {
     import graft.functions.Vec
     val pairs = Similarity.withNorm(emb).as("a")

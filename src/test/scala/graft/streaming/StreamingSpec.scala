@@ -25,7 +25,33 @@ class StreamingSpec extends SparkSpec {
       val info = spark.table("info_sink_t1").collect()
       assert(info.length == 1)
       assert(info.head.getAs[String]("shipname") == "HAVFRUEN")
+      // C4 introspection analog (clickhouse-dml.sql:5-6): progress is queryable
+      assert(qs.positions.lastProgress != null)
+      assert(spark.streams.active.map(_.id).contains(qs.positions.id))
     } finally { qs.positions.stop(); qs.info.stop() }
+  }
+
+  test("stream-static join: streaming positions enrich against a static info table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val staticInfo = Seq(
+      ShipInfoEvent("257000001", 1L, "HAVFRUEN", "LAJX", "Cargo", "BERGEN")).toDS()
+    val input = MemoryStream[String]
+    val decoded = AisIngest.decode(
+      input.toDF().select(col("value").cast("string")).as[String])
+    val joined = AisIngest.positions(decoded).toDF()
+      .join(broadcast(staticInfo.toDF().select(col("mmsi"), col("shipname"))), Seq("mmsi"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("streamstatic_t6").start()
+    try {
+      input.addData(
+        position(1, 257000001L, 0, 12.3, 5.32, 60.39, 187, 1700000000L),
+        position(1, 999000001L, 0, 9.9, 5.0, 60.0, 90, 1700000001L)) // no static row
+      q.processAllAvailable()
+      val rows = spark.table("streamstatic_t6").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[String]("shipname") == "HAVFRUEN")
+    } finally q.stop()
   }
 
   test("multi-fragment type 5 split across micro-batches is NOT assembled " +
