@@ -49,6 +49,47 @@ class FixtureWeatherClient extends WeatherClient {
   }
 }
 
+/** Live WeatherAPI.com client (lib/weather.py:8-30's role): one pooled
+  * java.net.http client per instance (= per partition under mapPartitions —
+  * the pooling the reference got from its HTTPS singleton), JSON parsed with
+  * the same field discipline as Enrich.parseWeatherJson. Zero-egress test
+  * environments never construct it (WEATHER_API_KEY unset → fixture client).
+  */
+class HttpWeatherClient(apiKey: String,
+    endpoint: String = "https://api.weatherapi.com/v1/current.json")
+    extends WeatherClient {
+  @transient private lazy val http = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(5)).build()
+
+  def current(lat: Double, lon: Double): Option[WeatherInfo] =
+    try {
+      val uri = java.net.URI.create(s"$endpoint?key=$apiKey&q=$lat,$lon")
+      val resp = http.send(
+        java.net.http.HttpRequest.newBuilder(uri).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200) None else parse(resp.body())
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Same drop rules as the reference (consumer:42-50): error key or missing
+    * location/current → None. Minimal hand parse to avoid a JSON dependency
+    * outside Spark. */
+  private[ais] def parse(body: String): Option[WeatherInfo] = {
+    def str(key: String): Option[String] =
+      s""""$key"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""".r
+        .findFirstMatchIn(body).map(_.group(1))
+    def num(key: String): Option[Double] =
+      s""""$key"\\s*:\\s*(-?[0-9.]+)""".r
+        .findFirstMatchIn(body).map(_.group(1).toDouble)
+    if (body.contains("\"error\"")) None
+    else if (!body.contains("\"location\"") || !body.contains("\"current\"")) None
+    else for {
+      name <- str("name"); region <- str("region"); country <- str("country")
+      cond <- str("text"); tempF <- num("temp_f"); wind <- num("wind_mph")
+      dir <- str("wind_dir")
+    } yield WeatherInfo(name, region, country, cond, tempF, wind, dir)
+  }
+}
+
 object Enrich {
 
   /** Schema of a WeatherAPI current-conditions response — the subset the

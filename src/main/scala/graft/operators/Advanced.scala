@@ -190,6 +190,20 @@ object Advanced {
           col("signup_ts_us_r").as("signup_ts_us"))
     })
 
+  /** Exact interpolated percentiles — Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the (n-1)*p linear-interpolation definition. */
+  val percentileQ = QueryDef(
+    "percentiles_by_type",
+    "exact median and p90 per group",
+    Some(s"""SELECT event_type,
+                    ${Num.sql("quantile_cont(value, 0.5)", 4)} AS p50,
+                    ${Num.sql("quantile_cont(value, 0.9)", 4)} AS p90
+             FROM events GROUP BY event_type"""),
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(Num.pround(expr("percentile(value, 0.5)"), 4).as("p50"),
+        Num.pround(expr("percentile(value, 0.9)"), 4).as("p90")))
+
   val defs: Seq[QueryDef] = Seq(asofQ, asofCustomQ, sessionQ, groupingSetsQ,
-    pivotQ, scalarSubQ, unionQ)
+    pivotQ, scalarSubQ, unionQ, percentileQ)
 }

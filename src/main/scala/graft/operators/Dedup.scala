@@ -63,8 +63,8 @@ object Dedup {
     * Jaccard is computed on the rounded value so threshold selection is
     * engine-stable. */
   def jaccardPairs(df: DataFrame, id: String, text: String, n: Int,
-      threshold: Double): DataFrame = {
-    val sh = shingleIndex(df, id, text, n)
+      threshold: Double, maxDf: Long = 0L): DataFrame = {
+    val sh = shingleIndex(df, id, text, n, maxDf)
     val cnt = shingleCounts(sh)
     val pairs = sh.as("a")
       .join(sh.as("b"),
@@ -193,5 +193,26 @@ object Dedup {
     None,
     (s, dir) => simHash(Tables.documents(s, dir), "doc_id", "text"))
 
-  val defs: Seq[QueryDef] = Seq(exactQ, jaccardQ, minHashQ, simHashQ)
+  /** The skew guard exercised under the oracle: identical pipeline with hot
+    * shingles (document frequency > 50) dropped on both sides. */
+  val jaccardCappedQ = QueryDef(
+    "dedup_ngram_jaccard_capped",
+    "near-dup pairs with the document-frequency skew cap applied (maxDf=50)",
+    Some(s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+       sh0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              FROM toks CROSS JOIN unnest(generate_series(1, len(t)-2)) AS u(i)
+              WHERE len(t) >= 3),
+       keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 50),
+       sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
+       n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       SELECT i, j, ${Num.sql("CAST(c AS DOUBLE) / (na.n + nb.n - c)", 4)} AS jaccard
+       FROM p JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
+       WHERE ${Num.sql("CAST(c AS DOUBLE) / (na.n + nb.n - c)", 4)} >= 0.8"""),
+    (s, dir) => jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8,
+      maxDf = 50))
+
+  val defs: Seq[QueryDef] =
+    Seq(exactQ, jaccardQ, jaccardCappedQ, minHashQ, simHashQ)
 }
