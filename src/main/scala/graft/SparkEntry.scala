@@ -15,7 +15,7 @@ object SparkEntry {
   val catalog: Seq[QueryDef] =
     operators.Serving.defs ++ operators.Ingest.defs ++
       operators.Relational.defs ++ operators.Advanced.defs ++
-      operators.Skew.defs ++
+      operators.Skew.defs ++ operators.AisThroughput.defs ++
       operators.Dedup.defs ++ operators.Similarity.defs ++
       operators.TextAnalysis.defs ++ multimodal.Media.defs
 

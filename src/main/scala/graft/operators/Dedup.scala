@@ -50,9 +50,12 @@ object Dedup {
       }.toDF("doc_id", "s")
     if (maxDf <= 0) sh
     else {
-      val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      // base index feeds both the hot-shingle aggregation and the anti join:
+      // cache it or the flatMap runs twice
+      val cached = sh.cache()
+      val hot = cached.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDf).select(col("s"))
-      sh.join(broadcast(hot), Seq("s"), "left_anti")
+      cached.join(broadcast(hot), Seq("s"), "left_anti")
     }
   }
 
@@ -64,7 +67,8 @@ object Dedup {
     * engine-stable. */
   def jaccardPairs(df: DataFrame, id: String, text: String, n: Int,
       threshold: Double, maxDf: Long = 0L): DataFrame = {
-    val sh = shingleIndex(df, id, text, n, maxDf)
+    // reused by the pair self-join and both count joins
+    val sh = shingleIndex(df, id, text, n, maxDf).cache()
     val cnt = shingleCounts(sh)
     val pairs = sh.as("a")
       .join(sh.as("b"),

@@ -64,6 +64,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("keyByMmsi repartitions on the key (A10's ordering guarantee)") {
+    import spark.implicits._
+    val df = Seq(("1", 1.0), ("2", 2.0)).toDF("mmsi", "speed")
+    val p = plan(graft.ais.AisIngest.keyByMmsi(df, 8))
+    assert(p.contains("hashpartitioning(mmsi"), p)
+  }
+
   test("semi/anti joins never materialize right-side payload columns") {
     val ps = plan(run("semi_join_customers"))
     assert(ps.contains("LeftSemi"), ps)
