@@ -204,6 +204,23 @@ object Advanced {
       .agg(Num.pround(expr("percentile(value, 0.5)"), 4).as("p50"),
         Num.pround(expr("percentile(value, 0.9)"), 4).as("p90")))
 
+  /** Typed Aggregator (UDAF) — top-5 values per group via
+    * [[graft.functions.TopKAgg]]; the oracle is the equivalent row_number
+    * top-N (identical value multiset under ties). */
+  val topkAggQ = QueryDef(
+    "topk_aggregator",
+    "typed Aggregator UDAF: top-5 values per group",
+    Some("""SELECT event_type, rank, v FROM (
+              SELECT event_type, value AS v,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY value DESC, event_id) AS rank
+              FROM events) WHERE rank <= 5"""),
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.TopKAgg.top_k(col("value"), 5).as("vs"))
+      .select(col("event_type"), posexplode(col("vs")).as(Seq("pos", "v")))
+      .select(col("event_type"), (col("pos") + 1).as("rank"), col("v")))
+
   val defs: Seq[QueryDef] = Seq(asofQ, asofCustomQ, sessionQ, groupingSetsQ,
-    pivotQ, scalarSubQ, unionQ, percentileQ)
+    pivotQ, scalarSubQ, unionQ, percentileQ, topkAggQ)
 }

@@ -88,6 +88,37 @@ object AisPipeline {
       .select(col("window.start").as("window_start"), col("status"),
         col("n"), col("avg_speed"))
 
+  /** Stream-stream join: live positions against the live info stream on
+    * mmsi, with an event-time range (info at-or-before the position, at most
+    * `range` older) and watermarks on BOTH sides so join state is bounded —
+    * the streaming form of the D3 dashboard join. */
+  def positionsWithInfoStream(pos: Dataset[PositionEvent],
+      info: Dataset[ShipInfoEvent], watermark: String = "1 hour",
+      range: String = "24 hours"): DataFrame = {
+    val p = pos.toDF()
+      .withColumn("pos_ts", to_timestamp(from_unixtime(col("timestamp"))))
+      .withWatermark("pos_ts", watermark)
+    val i = info.toDF()
+      .select(col("mmsi").as("info_mmsi"), col("shipname"), col("shiptype"),
+        to_timestamp(from_unixtime(col("timestamp"))).as("info_ts"))
+      .withWatermark("info_ts", watermark)
+    p.join(i,
+      col("mmsi") === col("info_mmsi") &&
+        col("info_ts") <= col("pos_ts") &&
+        col("info_ts") >= col("pos_ts") - expr(s"INTERVAL $range"))
+  }
+
+  /** Streaming dedup within the watermark: collapses at-least-once replays of
+    * the same (mmsi, timestamp) report into one row — the training-pipeline
+    * dedup primitive in streaming form, with bounded state. */
+  def dedupedPositions(pos: Dataset[PositionEvent],
+      watermark: String = "10 minutes"): DataFrame =
+    pos.toDF()
+      .withColumn("event_ts", to_timestamp(from_unixtime(col("timestamp"))))
+      .withWatermark("event_ts", watermark)
+      .dropDuplicatesWithinWatermark("mmsi", "timestamp")
+      .drop("event_ts")
+
   /** Batch replay of the full pipeline: NMEA text file(s) → the two tables.
     * Same transforms as streaming (they're stateless) — used by entry() and
     * golden tests. */

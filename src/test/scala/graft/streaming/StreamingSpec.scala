@@ -114,14 +114,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join: positions meet the info stream within the range") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val posIn = MemoryStream[PositionEvent]
+    val infoIn = MemoryStream[ShipInfoEvent]
+    val joined = AisPipeline.positionsWithInfoStream(posIn.toDS(), infoIn.toDS())
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_t7").start()
+    try {
+      val base = 1700000000L
+      infoIn.addData(ShipInfoEvent("1", base, "EARLY", "Cargo", "C", "OSLO"))
+      posIn.addData(
+        PositionEvent("1", "Moored", base + 600, Gps(60, 5), 4.0, 10), // joins
+        PositionEvent("2", "Moored", base + 600, Gps(60, 5), 4.0, 10)) // no info
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_t7").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[String]("mmsi") == "1")
+      assert(rows.head.getAs[String]("shipname") == "EARLY")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark collapses at-least-once replays") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[PositionEvent]
+    val q = AisPipeline.dedupedPositions(input.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("dedup_t8").start()
+    try {
+      val p = PositionEvent("1", "Moored", 1700000000L, Gps(60, 5), 4.0, 10)
+      input.addData(p, p) // duplicate within one batch
+      q.processAllAvailable()
+      input.addData(p) // replayed again in the next batch, inside watermark
+      q.processAllAvailable()
+      assert(spark.table("dedup_t8").count() == 1)
+    } finally q.stop()
+  }
+
   test("parquet sinks + checkpoint restart do not duplicate or lose batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val input = MemoryStream[String]
+    // AvailableNow snapshots the available offsets at query START — data must
+    // be added before start() or the run may (racily) see nothing
+    input.addData(position(1, 257000001L, 0, 12.3, 5.32, 60.39, 187, 1700000000L))
     val qs1 = AisPipeline.start(input.toDF(), s"$tmp/ckpt", s"$tmp/pos", s"$tmp/info",
       trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    input.addData(position(1, 257000001L, 0, 12.3, 5.32, 60.39, 187, 1700000000L))
     qs1.positions.processAllAvailable(); qs1.info.processAllAvailable()
     qs1.positions.stop(); qs1.info.stop()
     // restart from the same checkpoint with one more record
