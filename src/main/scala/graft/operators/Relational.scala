@@ -294,6 +294,89 @@ object Relational {
     (s, dir) => Tables.events(s, dir)
       .agg(approx_count_distinct(col("user_id")).as("approx_users")))
 
-  val defs: Seq[QueryDef] = Seq(q1, q3, q5, semi, anti, except, intersect,
-    rollup_, cube_, running, rankTopN, tumbling, sliding, json, approx)
+  /** TPC-H Q4-shaped: EXISTS-driven semi join feeding an aggregate. */
+  val q4 = QueryDef(
+    "q4_order_priority",
+    "TPC-H Q4: semi join (EXISTS with predicate) + grouped count",
+    Some("""SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority"""),
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01 00:00:00").cast("timestamp"))
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    })
+
+  /** TPC-H Q6-shaped: the pure filter-aggregate revenue scan — the query
+    * whose whole cost is how much of the scan the pushed filters skip. */
+  val q6 = QueryDef(
+    "q6_forecast_revenue",
+    "TPC-H Q6: selective filter + single aggregate",
+    Some(s"""SELECT ${Num.sql("sum(l_extendedprice * l_discount)", 2)} AS revenue
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+               AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+               AND l_discount BETWEEN 0.03 AND 0.07
+               AND l_quantity < 24"""),
+    (s, dir) => Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(Num.pround(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue")))
+
+  /** TPC-H Q14-shaped: conditional aggregation ratio (promo revenue share). */
+  val q14 = QueryDef(
+    "q14_promo_share",
+    "TPC-H Q14: conditional-aggregate ratio over a join",
+    Some(s"""SELECT ${Num.sql(
+               """100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                  / sum(l_extendedprice * (1 - l_discount))""", 4)} AS promo_share
+             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+               AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'"""),
+    (s, dir) => {
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .agg(Num.pround(
+          lit(100.0) * sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(0))
+            / sum(rev), 4).as("promo_share"))
+    })
+
+  /** UNPIVOT/melt — wide measures to long (measure, value) rows. */
+  val unpivot_ = QueryDef(
+    "unpivot_measures",
+    "unpivot lineitem measures into long form",
+    Some("""SELECT l_orderkey, l_linenumber, measure, value FROM (
+              SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+                     l_quantity AS value FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem)"""),
+    (s, dir) => Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_discount"), col("l_tax"))
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .withColumn("measure",
+        expr("substring(measure, 3)"))) // strip the l_ prefix to match oracle names
+
+  val defs: Seq[QueryDef] = Seq(q1, q3, q4, q5, q6, q14, semi, anti, except,
+    intersect, rollup_, cube_, running, rankTopN, tumbling, sliding, json,
+    approx, unpivot_)
 }
