@@ -1,0 +1,44 @@
+package graft
+
+import graft.functions.RollingHash
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+
+/** The user-facing facade: one call makes the whole engine reachable from
+  * plain `spark.sql` — every driver table as a view, the custom expressions
+  * as SQL functions, and the custom operators' planner strategy installed.
+  * A reference user's "switch to this library" entry point.
+  */
+object Graft {
+
+  /** Build a session preconfigured for the engine (local dev shape; on a
+    * cluster spark-submit supplies master/extensions). */
+  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    init(spark)
+    spark
+  }
+
+  /** Install SQL functions + the custom as-of strategy on any session. */
+  def init(spark: SparkSession): Unit = {
+    plans.AsOf.register(spark)
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction(
+        "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
+  }
+
+  /** Register every driver table under its name for SQL access. */
+  def registerTables(spark: SparkSession, dir: String): Unit =
+    Tables.all.foreach { t =>
+      val df = if (t == "events") Tables.events(spark, dir)
+        else Tables.table(spark, dir, t)
+      df.createOrReplaceTempView(t)
+    }
+}
