@@ -33,6 +33,34 @@ object AisIngest {
     }
   }
 
+  /** Quarantine variant of [[decode]]: lines that fail NMEA parse/checksum
+    * are routed to a rejects channel instead of silently dropping — the
+    * large-pipeline pattern for poisoned records (inspect/replay the
+    * quarantine instead of losing data or killing the stage). Parseable
+    * sentences of un-carried message types are routed drops, not rejects.
+    * Single streaming pass via the incremental assembler; the tagged stream
+    * is cached so both views run the decode once.
+    */
+  def decodeWithQuarantine(raw: Dataset[String])
+      : (Dataset[DecodedAis], Dataset[String]) = {
+    import raw.sparkSession.implicits._
+    val tagged: Dataset[(Option[DecodedAis], Option[String])] =
+      raw.mapPartitions { lines =>
+        val asm = new Nmea.Assembler
+        lines.flatMap { line =>
+          Nmea.parse(line) match {
+            case Some(s) =>
+              asm.offer(s).flatMap(AisDecoder.decode)
+                .map(d => (Some(d), Option.empty[String])).iterator
+            case None if line.trim.nonEmpty =>
+              Iterator.single((Option.empty[DecodedAis], Some(line)))
+            case None => Iterator.empty
+          }
+        }
+      }.cache()
+    (tagged.flatMap(_._1), tagged.flatMap(_._2))
+  }
+
   /** A6: nav-status code → name with NotReported default (producer:41-45). */
   private def statusName = {
     val byCode = AisDecoder.navStatusNames.zipWithIndex

@@ -78,15 +78,18 @@ object Nmea {
     catch { case _: NumberFormatException => None }
   }
 
-  /** Assemble multi-sentence messages (type 5 spans 2 sentences — SURVEY.md
-    * §7.4.1). Fragments are buffered per (seqId, channel) and emitted when the
-    * last fragment arrives; the tag block of the first fragment wins (it
-    * carries the receive time). Incomplete groups at end-of-partition drop. */
-  def assemble(sentences: Iterator[Sentence]): Iterator[Assembled] = {
-    val pending = mutable.Map.empty[(Option[Int], String), mutable.ArrayBuffer[Sentence]]
-    sentences.flatMap { s =>
+  /** Incremental multi-sentence assembler (type 5 spans 2 sentences —
+    * SURVEY.md §7.4.1). Fragments buffer per (seqId, channel) and emit when
+    * the last arrives; the tag block of the first fragment wins (it carries
+    * the receive time). One instance per partition/stream; incomplete groups
+    * at end-of-partition drop. */
+  final class Assembler {
+    private val pending =
+      mutable.Map.empty[(Option[Int], String), mutable.ArrayBuffer[Sentence]]
+
+    def offer(s: Sentence): Option[Assembled] =
       if (s.total <= 1) {
-        Iterator.single(Assembled(s.payload, s.fillBits, s.tag.flatMap(_.receiverTimestamp)))
+        Some(Assembled(s.payload, s.fillBits, s.tag.flatMap(_.receiverTimestamp)))
       } else {
         val key = (s.seqId, s.channel)
         val buf = pending.getOrElseUpdate(key, mutable.ArrayBuffer.empty)
@@ -94,12 +97,17 @@ object Nmea {
         if (buf.length == s.total && buf.map(_.num).sorted == (1 to s.total)) {
           pending.remove(key)
           val ordered = buf.sortBy(_.num)
-          Iterator.single(Assembled(
+          Some(Assembled(
             ordered.map(_.payload).mkString,
             ordered.last.fillBits,
             ordered.head.tag.flatMap(_.receiverTimestamp)))
-        } else Iterator.empty
+        } else None
       }
-    }
+  }
+
+  /** Iterator form of [[Assembler]]. */
+  def assemble(sentences: Iterator[Sentence]): Iterator[Assembled] = {
+    val asm = new Assembler
+    sentences.flatMap(asm.offer)
   }
 }

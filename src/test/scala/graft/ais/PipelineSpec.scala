@@ -37,6 +37,20 @@ class PipelineSpec extends SparkSpec {
   private lazy val enriched =
     Enrich.withWeather(positions, () => new FixtureWeatherClient).cache()
 
+  test("quarantine ingest: corrupt lines land in rejects, valid ones decode") {
+    import spark.implicits._
+    val mixed = Seq(
+      position(1, 257000001L, 0, 12.3, 5.32, 60.39, 187, 1700000000L),
+      "!AIVDM,1,1,,B,177KQJ5000G?tO`K>RA1wUbN0TKH,0*FF", // bad checksum
+      "totally not nmea",
+      "   ") // whitespace-only: dropped, not quarantined
+    val (ok, rejects) = AisIngest.decodeWithQuarantine(
+      spark.createDataset(mixed).coalesce(1))
+    assert(ok.count() == 1)
+    assert(rejects.collect().toSet ==
+      Set("!AIVDM,1,1,,B,177KQJ5000G?tO`K>RA1wUbN0TKH,0*FF", "totally not nmea"))
+  }
+
   test("A3/A5/A7: only in-range, tagged, routed positions survive") {
     val rows = positions.collect()
     assert(rows.map(_.mmsi).sorted.toSeq ==
