@@ -221,6 +221,40 @@ object Advanced {
       .select(col("event_type"), posexplode(col("vs")).as(Seq("pos", "v")))
       .select(col("event_type"), (col("pos") + 1).as("rank"), col("v")))
 
+  /** Typed per-group computation (`groupByKey.mapGroups`) — the escape hatch
+    * for per-entity sequence logic that aggregates can't express. Computes
+    * each user's longest inter-event gap; the oracle is the equivalent
+    * lag-window SQL, so the typed path is hash-pinned too. One shuffle on the
+    * key; group iterators stream (state = one previous timestamp). */
+  val mapGroupsQ = QueryDef(
+    "mapgroups_longest_gap",
+    "typed mapGroups: longest inter-event gap per user (window-SQL oracle)",
+    Some("""SELECT user_id, max(gap_us) AS longest_gap_us, count(*) + 1 AS n_events
+            FROM (SELECT user_id,
+                         epoch_us(CAST(ts AS TIMESTAMP)) -
+                           lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                             OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                           AS gap_us
+                  FROM events)
+            WHERE gap_us IS NOT NULL
+            GROUP BY user_id"""),
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (uid, it) =>
+          // sort by (ts, event_id) to mirror the oracle's window order
+          val times = it.map(r => (r._2, r._3)).toArray.sorted.map(_._1)
+          val gap = times.sliding(2).collect { case Array(a, b) => b - a }
+            .foldLeft(0L)(math.max)
+          (uid, gap, times.length.toLong)
+        }
+        .toDF("user_id", "longest_gap_us", "n_events")
+        .filter(col("n_events") > 1)
+    })
+
   val defs: Seq[QueryDef] = Seq(asofQ, asofCustomQ, sessionQ, groupingSetsQ,
-    pivotQ, scalarSubQ, unionQ, percentileQ, topkAggQ)
+    pivotQ, scalarSubQ, unionQ, percentileQ, topkAggQ, mapGroupsQ)
 }
