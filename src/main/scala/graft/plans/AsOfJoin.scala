@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, GraftExpressionBridge, SparkSession}
 import org.apache.spark.sql.classic.Strategy
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -88,6 +88,9 @@ case class AsOfJoinExec(
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val nullRight = new GenericInternalRow(rightWidth)
       val joined = new JoinedRow
+      // downstream operators (collect, filter, sort) require UnsafeRow —
+      // a raw JoinedRow ClassCastExceptions at the first bare consumer
+      val toUnsafe = UnsafeProjection.create(output, output)
       val rBuf = rIter.buffered
       var matchedKey: Any = null
       var matchedRow: InternalRow = null // last right row with time <= current left time
@@ -111,8 +114,8 @@ case class AsOfJoinExec(
             matchedKey = hk
           } else advancing = false
         }
-        if (matchedRow != null) joined(lRow, matchedRow)
-        else joined(lRow, nullRight)
+        if (matchedRow != null) toUnsafe(joined(lRow, matchedRow))
+        else toUnsafe(joined(lRow, nullRight))
       }
     }
   }
@@ -122,16 +125,43 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule for the custom node: Catalyst's PushDownPredicates only
+  * understands built-in operators, so a Filter sitting on an AsOfJoinPlan
+  * would otherwise stay above it and the left scan would read everything.
+  * Left-side conjuncts are safe to push (each left row joins independently);
+  * right-side conjuncts are NOT (dropping right rows changes which row is
+  * "latest") and stay above. */
+object PushFilterThroughAsOf
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, a: AsOfJoinPlan) =>
+      val (leftOnly, rest) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(a.left.outputSet))
+      if (leftOnly.isEmpty) f
+      else {
+        val pushed = a.copy(left = Filter(leftOnly.reduce(And), a.left))
+        rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** User-facing API + strategy registration. */
 object AsOf {
 
-  /** Idempotently register the planner strategy on the session (also
-    * injectable at build time via spark.sql.extensions=graft.plans
-    * .GraftExtensions). */
+  /** Idempotently register the planner strategy + optimizer rule on the
+    * session (also injectable at build time via
+    * spark.sql.extensions=graft.plans.GraftExtensions). */
   def register(spark: SparkSession): Unit = {
     val strategies = spark.experimental.extraStrategies
     if (!strategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies = strategies :+ AsOfJoinStrategy
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(PushFilterThroughAsOf))
+      spark.experimental.extraOptimizations = opts :+ PushFilterThroughAsOf
   }
 
   /** As-of join via the custom operator. Right-side columns are re-aliased
@@ -158,6 +188,8 @@ object AsOf {
 /** SparkSessionExtensions entry point:
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => PushFilterThroughAsOf)
+  }
 }

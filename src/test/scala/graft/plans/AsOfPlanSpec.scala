@@ -46,6 +46,35 @@ class AsOfPlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
   }
 
+  test("left-side filters push through the custom node, below the shuffle") {
+    val (purchases, signups) = sides(sf("sf0.001"))
+    val filtered = AsOf.join(purchases, signups, "user_id", "ts")
+      .filter(col("user_id") === 3)
+    // physical proof: the filter runs BELOW the left Exchange (before any
+    // bytes shuffle), not above the join — tree text prints children after
+    // parents, so the filter's position must follow the first Exchange
+    val physical = filtered.queryExecution.executedPlan.toString
+    val exchangeIdx = physical.indexOf("Exchange hashpartitioning")
+    val filterIdx = """Filter \(isnotnull\(user_id""".r
+      .findFirstMatchIn(physical).map(_.start).getOrElse(-1)
+    assert(exchangeIdx >= 0 && filterIdx > exchangeIdx, physical)
+    assert(!physical.substring(0, exchangeIdx).contains("= 3)"), physical)
+    // and results are unchanged by the rewrite
+    val expected = AsOf.join(purchases.filter(col("user_id") === 3), signups,
+      "user_id", "ts")
+    assert(filtered.exceptAll(expected).isEmpty && expected.exceptAll(filtered).isEmpty)
+  }
+
+  test("right-side filters are NOT pushed (they would change the match)") {
+    val (purchases, signups) = sides(sf("sf0.001"))
+    val df = AsOf.join(purchases, signups, "user_id", "ts")
+      .filter(col("signup_event_id_r").isNotNull)
+    // correctness: equals filtering the JOIN OUTPUT, not the right input
+    val viaOutput = AsOf.join(purchases, signups, "user_id", "ts")
+      .collect().count(r => !r.isNullAt(r.fieldIndex("signup_event_id_r")))
+    assert(df.count() == viaOutput)
+  }
+
   test("left rows with no earlier right row carry nulls") {
     import spark.implicits._
     val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
