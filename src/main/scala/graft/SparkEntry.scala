@@ -6,9 +6,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * The query surface is declared as `QueryDef`s (implementation + DuckDB
   * oracle side by side) in:
-  *   - [[operators.Serving]]    — SURVEY.md §2.D dashboard surface (D1-D9)
-  *   - [[operators.Ingest]]     — §2.A/§2.C ingest transforms + latest-per-key
-  *   - [[operators.Relational]] — joins/set-ops/windows/rollups (§2.E surface)
+  *   - [[operators.Serving]]       — SURVEY.md §2.D dashboard surface (D1-D9)
+  *   - [[operators.Ingest]]        — §2.A/§2.C ingest transforms + latest-per-key
+  *   - [[operators.Relational]]    — TPC-H shapes, set ops, windows, rollups
+  *   - [[operators.Advanced]]      — session windows, as-of (composed + custom
+  *                                   plan), grouping sets, pivot, percentiles,
+  *                                   typed aggregator/mapGroups
+  *   - [[operators.Skew]]          — salted two-phase aggregation
+  *   - [[operators.AisThroughput]] — the AIS pipeline as a benchable query
+  *   - [[operators.Dedup]] / [[operators.Similarity]] /
+  *     [[operators.TextAnalysis]] / [[multimodal.Media]] — SURVEY.md §7.6
+  * Full inventory: SURVEY.md §8; scale contract: SCALE.md.
   */
 object SparkEntry {
 
