@@ -376,7 +376,33 @@ object Relational {
       .withColumn("measure",
         expr("substring(measure, 3)"))) // strip the l_ prefix to match oracle names
 
-  val defs: Seq[QueryDef] = Seq(q1, q3, q4, q5, q6, q14, semi, anti, except,
-    intersect, rollup_, cube_, running, rankTopN, tumbling, sliding, json,
-    approx, unpivot_)
+  /** TPC-H Q19-shaped: disjunctive (OR-of-ANDs) join predicate — Catalyst
+    * extracts the common `l_partkey = p_partkey` equi-condition so the join
+    * still hashes, with the disjunction as a post-join filter; the common
+    * conjuncts inside each branch (quantity bounds, brand prefixes) are
+    * CNF-converted and pushed to the scans. */
+  val q19 = QueryDef(
+    "q19_disjunctive_join",
+    "TPC-H Q19: OR-of-ANDs join predicate, revenue sum",
+    Some(s"""SELECT ${Num.sql("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue
+             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+                    AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+                OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 30
+                    AND l.l_quantity >= 10 AND l.l_quantity <= 40)"""),
+    (s, dir) => {
+      val cond1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity") >= 1 && col("l_quantity") <= 20
+      val cond2 = col("p_brand") === "Brand#2" && col("p_size").between(1, 30) &&
+        col("l_quantity") >= 10 && col("l_quantity") <= 40
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .filter(cond1 || cond2)
+        .agg(Num.pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q1, q3, q4, q5, q6, q14, q19, semi, anti,
+    except, intersect, rollup_, cube_, running, rankTopN, tumbling, sliding,
+    json, approx, unpivot_)
 }
