@@ -19,8 +19,13 @@ import org.apache.spark.sql.streaming.Trigger
   * deterministic fixture client.
   */
 object App {
+  private val usage =
+    "usage: App socket <host> <port> <outDir> | App replay <inPath> <outDir>"
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: App socket <host> <port> <outDir> | App replay <inPath> <outDir>")
+    // per-mode arity: socket needs 4 args, replay 3
+    require(args.headOption.contains("socket") && args.length >= 4 ||
+      args.headOption.contains("replay") && args.length >= 3, usage)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .appName("graft-ais")

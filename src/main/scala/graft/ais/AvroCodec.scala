@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
   * the same fixed-schema guarantee as the reference's registry round-trip
   * without a registry dependency; ids are caller-chosen so an external
   * registry can be honored when one exists. Built on Apache Avro core (the
-  * library Spark itself ships) inside `mapPartitions` — one writer/reader per
-  * partition, not per record.
+  * library Spark itself ships); schemas and datum writers/readers are
+  * JVM-wide lazy singletons (GenericDatumWriter.write and
+  * GenericDatumReader.read are thread-safe for a fixed schema — the reader
+  * resolves via a thread-local), so the per-record hot path allocates only
+  * the output buffer and encoder, never re-parses schema JSON.
   */
 object AvroCodec {
 
@@ -46,8 +49,13 @@ object AvroCodec {
       {"name":"shiptype","type":"string"},
       {"name":"destination","type":"string"}]}"""
 
-  def positionSchema: Schema = new Schema.Parser().parse(positionSchemaJson)
-  def shipInfoSchema: Schema = new Schema.Parser().parse(shipInfoSchemaJson)
+  lazy val positionSchema: Schema = new Schema.Parser().parse(positionSchemaJson)
+  lazy val shipInfoSchema: Schema = new Schema.Parser().parse(shipInfoSchemaJson)
+
+  private lazy val positionWriter = new GenericDatumWriter[GenericRecord](positionSchema)
+  private lazy val positionReader = new GenericDatumReader[GenericRecord](positionSchema)
+  private lazy val shipInfoWriter = new GenericDatumWriter[GenericRecord](shipInfoSchema)
+  private lazy val shipInfoReader = new GenericDatumReader[GenericRecord](shipInfoSchema)
 
   private val Magic: Byte = 0x00
 
@@ -63,17 +71,18 @@ object AvroCodec {
       Some((bb.getInt, java.util.Arrays.copyOfRange(bytes, 5, bytes.length)))
     }
 
-  private def writeRecord(schema: Schema, rec: GenericRecord): Array[Byte] = {
+  private def writeRecord(writer: GenericDatumWriter[GenericRecord],
+      rec: GenericRecord): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     val enc = EncoderFactory.get().binaryEncoder(out, null)
-    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    writer.write(rec, enc)
     enc.flush()
     out.toByteArray
   }
 
-  private def readRecord(schema: Schema, body: Array[Byte]): GenericRecord =
-    new GenericDatumReader[GenericRecord](schema)
-      .read(null, DecoderFactory.get().binaryDecoder(body, null))
+  private def readRecord(reader: GenericDatumReader[GenericRecord],
+      body: Array[Byte]): GenericRecord =
+    reader.read(null, DecoderFactory.get().binaryDecoder(body, null))
 
   def positionToBytes(p: PositionEvent, schemaId: Int): Array[Byte] = {
     val schema = positionSchema
@@ -84,12 +93,12 @@ object AvroCodec {
     r.put("mmsi", p.mmsi); r.put("status", p.status)
     r.put("timestamp", p.timestamp); r.put("location", gps)
     r.put("speed", p.speed); r.put("heading", p.heading)
-    frame(schemaId, writeRecord(schema, r))
+    frame(schemaId, writeRecord(positionWriter, r))
   }
 
   def bytesToPosition(bytes: Array[Byte]): Option[PositionEvent] =
     unframe(bytes).map { case (_, body) =>
-      val r = readRecord(positionSchema, body)
+      val r = readRecord(positionReader, body)
       val gps = r.get("location").asInstanceOf[GenericRecord]
       PositionEvent(
         r.get("mmsi").toString, r.get("status").toString,
@@ -104,12 +113,12 @@ object AvroCodec {
     r.put("mmsi", e.mmsi); r.put("timestamp", e.timestamp)
     r.put("shipname", e.shipname); r.put("callsign", e.callsign)
     r.put("shiptype", e.shiptype); r.put("destination", e.destination)
-    frame(schemaId, writeRecord(schema, r))
+    frame(schemaId, writeRecord(shipInfoWriter, r))
   }
 
   def bytesToShipInfo(bytes: Array[Byte]): Option[ShipInfoEvent] =
     unframe(bytes).map { case (_, body) =>
-      val r = readRecord(shipInfoSchema, body)
+      val r = readRecord(shipInfoReader, body)
       ShipInfoEvent(r.get("mmsi").toString, r.get("timestamp").asInstanceOf[Long],
         r.get("shipname").toString, r.get("callsign").toString,
         r.get("shiptype").toString, r.get("destination").toString)

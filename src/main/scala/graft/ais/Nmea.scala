@@ -82,7 +82,16 @@ object Nmea {
     * SURVEY.md §7.4.1). Fragments buffer per (seqId, channel) and emit when
     * the last arrives; the tag block of the first fragment wins (it carries
     * the receive time). One instance per partition/stream; incomplete groups
-    * at end-of-partition drop. */
+    * at end-of-partition drop.
+    *
+    * AIS seqIds are 0-9 and recycle constantly on a live feed, so a group key
+    * must never be poisoned: an inconsistent fragment (duplicate num, changed
+    * total, num out of range) restarts the group from that fragment instead
+    * of appending — the old half-group is a casualty of fragment loss and the
+    * newcomer is the start of the next message reusing the seqId. Fragments
+    * within a group are therefore distinct nums in 1..total (≤ 9 each), and
+    * `pending` is bounded by the seqId×channel key space — memory is O(1) on
+    * an unbounded stream, and `buf.length == total` is always reachable. */
   final class Assembler {
     private val pending =
       mutable.Map.empty[(Option[Int], String), mutable.ArrayBuffer[Sentence]]
@@ -92,9 +101,16 @@ object Nmea {
         Some(Assembled(s.payload, s.fillBits, s.tag.flatMap(_.receiverTimestamp)))
       } else {
         val key = (s.seqId, s.channel)
-        val buf = pending.getOrElseUpdate(key, mutable.ArrayBuffer.empty)
+        if (s.num < 1 || s.num > s.total) { pending.remove(key); return None }
+        val buf = pending.get(key) match {
+          case Some(b) if b.head.total == s.total && !b.exists(_.num == s.num) => b
+          case _ => // none open, or inconsistent: restart from this fragment
+            val fresh = mutable.ArrayBuffer.empty[Sentence]
+            pending(key) = fresh
+            fresh
+        }
         buf += s
-        if (buf.length == s.total && buf.map(_.num).sorted == (1 to s.total)) {
+        if (buf.length == s.total) {
           pending.remove(key)
           val ordered = buf.sortBy(_.num)
           Some(Assembled(

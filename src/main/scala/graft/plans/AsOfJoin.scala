@@ -111,7 +111,10 @@ case class AsOfJoinExec(
           if (ck < 0) { rBuf.next() } // right key behind: skip (no left rows for it remain)
           else if (ck == 0 && timeOrd.compare(rt.eval(head), t) <= 0) {
             matchedRow = rBuf.next().copy() // buffered rows are reused: copy
-            matchedKey = hk
+            // re-derive the key from the copy: hk may point into the
+            // iterator's reused buffer (UTF8String/struct keys) and be
+            // invalidated on the next advance, e.g. after a sorter spill
+            matchedKey = rk.eval(matchedRow)
           } else advancing = false
         }
         if (matchedRow != null) toUnsafe(joined(lRow, matchedRow))

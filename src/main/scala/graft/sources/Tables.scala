@@ -32,7 +32,14 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** `events` with `ts` as a proper microsecond TimestampType (UTC). */
+  /** `events` with `ts` as a proper microsecond TimestampType (UTC).
+    *
+    * NOTE (deliberate session-wide effect): `nanosAsLong` is a SQL conf, not a
+    * per-read option, so setting it here affects every later parquet read in
+    * the session. That is benign — the flag only changes how TIMESTAMP(NANOS)
+    * columns bind, and `events` is the sole nanos table — but callers wanting
+    * it explicit can set the conf at session build time; this set is
+    * idempotent and merely defensive. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events")

@@ -70,6 +70,44 @@ class AisDecoderSpec extends AnyFunSuite {
     assert(d.exists(_.shipname.contains("REVERSED")))
   }
 
+  test("a lost fragment does not poison a recycled seqId") {
+    // AIS seqIds are 0-9 and recycle constantly: ship A's second fragment is
+    // lost, then ship B reuses seqId 1. B's fragment 1 duplicates the buffered
+    // num=1, so the assembler must restart the group — not append forever.
+    val a = NmeaEncoder.staticVoyage(257000011L, "AAAA", "LOSTTWO", 70,
+      "BERGEN", 1700000400L, seq = "1").flatMap(Nmea.parse)
+    val b = NmeaEncoder.staticVoyage(257000012L, "BBBB", "SURVIVOR", 60,
+      "OSLO", 1700000500L, seq = "1").flatMap(Nmea.parse)
+    val asm = new Nmea.Assembler
+    assert(asm.offer(a.head).isEmpty) // A fragment 1; fragment 2 never arrives
+    val out = b.flatMap(asm.offer).flatMap(AisDecoder.decode)
+    assert(out.exists(_.shipname.contains("SURVIVOR")), out)
+  }
+
+  test("duplicated and total-inconsistent fragments restart the group") {
+    val lines = NmeaEncoder.staticVoyage(257000013L, "CCCC", "TWINFRAG", 70,
+      "STAVANGER", 1700000600L, seq = "2").flatMap(Nmea.parse)
+    val asm = new Nmea.Assembler
+    // duplicate fragment 1 three times: each restarts, none completes
+    assert(asm.offer(lines.head).isEmpty)
+    assert(asm.offer(lines.head).isEmpty)
+    assert(asm.offer(lines.head).isEmpty)
+    // then the real pair assembles despite the noise
+    assert(asm.offer(lines.head).isEmpty)
+    val done = asm.offer(lines(1)).flatMap(AisDecoder.decode)
+    assert(done.exists(_.shipname.contains("TWINFRAG")), done)
+    // a changed total mid-group restarts too: feed frag1 (total=2), then a
+    // crafted frag2 claiming total=3 — group restarts from the total=3 frag
+    val asm2 = new Nmea.Assembler
+    assert(asm2.offer(lines.head).isEmpty)
+    assert(asm2.offer(lines(1).copy(total = 3)).isEmpty)
+    assert(asm2.offer(lines(1)).isEmpty) // no frag1 buffered anymore
+    // out-of-range num drops the group outright
+    val asm3 = new Nmea.Assembler
+    assert(asm3.offer(lines.head.copy(num = 0)).isEmpty)
+    assert(asm3.offer(lines.head.copy(num = 5)).isEmpty)
+  }
+
   test("bad checksum, empty lines, and non-AIS noise are rejected") {
     assert(Nmea.parse("!AIVDM,1,1,,B,177KQJ5000G?tO`K>RA1wUbN0TKH,0*FF").isEmpty)
     assert(Nmea.parse("").isEmpty)

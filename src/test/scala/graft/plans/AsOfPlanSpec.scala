@@ -75,6 +75,26 @@ class AsOfPlanSpec extends SparkSpec {
     assert(df.count() == viaOutput)
   }
 
+  test("string (buffer-backed) join keys match correctly across key changes") {
+    // UTF8String keys point into the sorted iterator's reused buffers; the
+    // exec must remember the matched key from the COPIED row, or key-change
+    // detection corrupts silently. Differential check against the composed
+    // window form on string user keys.
+    val (purchases, signups) = sides(sf("sf0.001"))
+    val pStr = purchases.withColumn("user_key", concat(lit("user_"), col("user_id")))
+      .drop("user_id")
+    val sStr = signups.withColumn("user_key", concat(lit("user_"), col("user_id")))
+      .drop("user_id")
+    val composed = Advanced.asofJoin(pStr, sStr, "user_key", "ts",
+      Seq("signup_event_id", "signup_ts_us"))
+      .select(col("event_id"), col("user_key"),
+        col("asof_signup_event_id").as("se"), col("asof_signup_ts_us").as("st"))
+    val custom = AsOf.join(pStr, sStr, "user_key", "ts")
+      .select(col("event_id"), col("user_key"),
+        col("signup_event_id_r").as("se"), col("signup_ts_us_r").as("st"))
+    assert(custom.exceptAll(composed).isEmpty && composed.exceptAll(custom).isEmpty)
+  }
+
   test("left rows with no earlier right row carry nulls") {
     import spark.implicits._
     val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
