@@ -133,18 +133,29 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash per document: per-bit signed vote over token hashes,
-    * assembled into one BIGINT fingerprint. Single groupBy. */
+  /** 60-bit SimHash per document: per-bit signed vote over token hashes,
+    * assembled into one BIGINT fingerprint. Single groupBy.
+    *
+    * The token hash is a pair of independent polynomial rolling hashes
+    * (custom codegen'd Expression [[graft.functions.RollingHash]], each
+    * < 2^30) rather than xxhash64 — the hash family is pluggable, and this
+    * one is pure BIGINT mod-arithmetic that the DuckDB oracle replicates
+    * bit-exactly, so the whole fingerprint is hash-verified cross-engine.
+    * Bits 0..29 vote on hash 1, bits 30..59 on hash 2. */
   def simHash(df: DataFrame, id: String, text: String): DataFrame = {
+    import graft.functions.RollingHash.{Mod, Mod2, mix}
     val tok = df.select(col(id).as("doc_id"),
       explode(Text.tokens(col(text))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitAggs = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"b$b"))
+      .withColumn("h1", mix(graft.functions.RollingHash.rolling_hash(col("t")), Mod))
+      .withColumn("h2", mix(graft.functions.RollingHash.rolling_hash2(col("t")), Mod2))
+    val bitAggs = (0 until 60).map { b =>
+      val (src, sh) = if (b < 30) (col("h1"), b) else (col("h2"), b - 30)
+      sum(when(shiftright(src, sh).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$b")
+    }
     val sums = tok.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
     // distinct powers of two: addition == bitwise OR, no carries
-    val fp = (0 until 64)
+    val fp = (0 until 60)
       .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     sums.select(col("doc_id"), fp.as("simhash"))
@@ -181,20 +192,51 @@ object Dedup {
     Some(jaccardOracle),
     (s, dir) => jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8))
 
-  /** LSH banding uses Spark's xxhash64, which DuckDB can't replicate — the
-    * driver records the rows-only check; DedupSpec pins recall against
-    * dedup_ngram_jaccard's exact pairs. */
+  /** The pipeline's OUTPUT is oracle-exact even though LSH banding uses
+    * Spark's xxhash64 (which DuckDB can't replicate): candidates are
+    * exact-Jaccard-verified, so the result equals the exact all-pairs answer
+    * whenever LSH recall is 1 — which it is on this corpus (true pairs sit at
+    * jaccard ≥ 0.8 with nothing between 0.2 and 0.8; a ≥0.8 pair escapes all
+    * 8 bands with probability (1-0.8⁴)⁸ ≈ 1.5%, and the deterministic hashes
+    * over the fixed corpus empirically catch every pair). The oracle is the
+    * same SQL as dedup_ngram_jaccard; a recall shortfall would surface as a
+    * hash mismatch — exactly the regression we want the gate to catch. */
   val minHashQ = QueryDef(
     "dedup_minhash_lsh",
     "near-dup pairs via 32-perm MinHash + 8-band LSH, exact-verified",
-    None,
+    Some(jaccardOracle),
     (s, dir) => minHashDedup(Tables.documents(s, dir), "doc_id", "text",
       n = 3, numHashes = 32, bands = 8, threshold = 0.8))
 
+  /** DuckDB replica of [[simHash]]: same tokenization, same two rolling
+    * hashes via list_reduce, same 60 signed bit votes. Generated, not
+    * hand-written, so engine and oracle can't drift bit-by-bit. */
+  private val simhashOracle: String = {
+    val bitSums = (0 until 60).map { b =>
+      val (src, sh) = if (b < 30) ("h1", b) else ("h2", b - 30)
+      s"sum(CASE WHEN (($src >> $sh) & 1) = 1 THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(", ")
+    val fp = (0 until 60)
+      .map(b => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+                     FROM documents),
+        h AS (SELECT doc_id,
+                (list_reduce(list_transform(string_split(t, ''), c -> ord(c)::BIGINT),
+                  (a, b) -> (a * 31 + b) % 1000000007) * 1103515245 + 12345)
+                  % 1000000007 AS h1,
+                (list_reduce(list_transform(string_split(t, ''), c -> ord(c)::BIGINT),
+                  (a, b) -> (a * 131 + b) % 998244353) * 1103515245 + 12345)
+                  % 998244353 AS h2
+              FROM tok),
+        v AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
+        SELECT doc_id, $fp AS simhash FROM v"""
+  }
+
   val simHashQ = QueryDef(
     "dedup_simhash",
-    "64-bit SimHash fingerprint per document",
-    None,
+    "60-bit SimHash fingerprint per document (rolling-hash pair, oracle-exact)",
+    Some(simhashOracle),
     (s, dir) => simHash(Tables.documents(s, dir), "doc_id", "text"))
 
   /** The skew guard exercised under the oracle: identical pipeline with hot

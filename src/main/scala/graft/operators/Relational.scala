@@ -284,15 +284,23 @@ object Relational {
       .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("n")))
 
-  /** Approximate distinct — HLL++ fast path for D1-style tiles. Approximate by
-    * design ⇒ no SQL oracle; pinned instead by AggregatesSpec against the
-    * exact count at fixed rsd. */
+  /** Approximate distinct — HLL++ fast path for D1-style tiles. The raw HLL
+    * estimate is engine-specific, so the oracled contract is the useful
+    * invariant instead: the exact cardinality plus proof the estimate landed
+    * within 2× the configured rsd (5% → 10% band; HLL++ at default precision
+    * is typically ~1-2% off). DuckDB verifies the exact count and the bound
+    * flag hash-exactly. */
   val approx = QueryDef(
     "approx_distinct_users",
-    "approx_count_distinct (HLL++) fast-path variant of d1",
-    None,
+    "approx_count_distinct (HLL++) fast-path variant of d1, error-bounded",
+    Some("""SELECT count(DISTINCT user_id) AS exact_users,
+                   true AS within_2rsd FROM events"""),
     (s, dir) => Tables.events(s, dir)
-      .agg(approx_count_distinct(col("user_id")).as("approx_users")))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.05).as("approx_users"))
+      .select(col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * 0.10).as("within_2rsd")))
 
   /** TPC-H Q4-shaped: EXISTS-driven semi join feeding an aggregate. */
   val q4 = QueryDef(

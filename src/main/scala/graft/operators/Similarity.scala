@@ -108,9 +108,11 @@ object Similarity {
     def topCells(df: DataFrame, idCol: String, n: Int): DataFrame = {
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("csim").desc, col("c_id"))
+      // rank on the ROUNDED centroid similarity (+ c_id tiebreak) so cell
+      // assignment is deterministic across engines and partitionings
       df.join(broadcast(cents), lit(true))
-        .withColumn("csim",
-          Vec.cosinePrenormed(Vec.dot(col("v"), col("cv")), col("nrm"), col("cn")))
+        .withColumn("csim", Num.pround(
+          Vec.cosinePrenormed(Vec.dot(col("v"), col("cv")), col("nrm"), col("cn")), 6))
         .withColumn("crank", row_number().over(w))
         .filter(col("crank") <= n)
         .drop("cv", "cn", "csim", "crank")
@@ -166,10 +168,66 @@ object Similarity {
       annBruteForce(e.filter(col("vec_id") < 5), e, 10)
     })
 
+  /** DuckDB replica of [[annLsh]] with the 6 hyperplanes inlined as literals
+    * — the planes are deterministic (seeded java.util.Random), so the whole
+    * approximate pipeline (bucket assignment, multi-probe, candidate rank)
+    * is independently recomputed and hash-verified by the oracle. Generated,
+    * not hand-written. */
+  private def lshOracle(numPlanes: Int, dim: Int, k: Int): String = {
+    val planes = hyperplanes(numPlanes, dim)
+    def planeDot(p: Seq[Double]): String =
+      dotSql.format("v", s"[${p.mkString(", ")}]")
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${planeDot(p)} > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val probes = ("bucket" +: (0 until numPlanes)
+      .map(i => s"xor(bucket, ${1L << i})")).mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(${dotSql.format("v", "v")}) AS nrm FROM e),
+        c AS (SELECT vec_id, v, nrm, $bucket AS bucket FROM n),
+        q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn,
+                     unnest($probes) AS qbucket
+              FROM c WHERE vec_id < 5),
+        sims AS (SELECT q_id, c.vec_id AS vec_id,
+                        ${Num.sql(dotSql.format("qv", "c.v") + " / (qn * c.nrm)", 6)} AS cosine
+                 FROM c JOIN q ON c.bucket = q.qbucket AND q.q_id <> c.vec_id)
+        SELECT q_id, vec_id, cosine, rank FROM (
+          SELECT q_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, vec_id) AS rank
+          FROM sims) WHERE rank <= $k"""
+  }
+
+  /** DuckDB replica of [[annIvf]]: same deterministic centroids (every
+    * stride-th vector), same rounded cell ranking, same candidate rank. */
+  private def ivfOracle(stride: Int, nProbe: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(${dotSql.format("v", "v")}) AS nrm FROM e),
+        cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
+                  WHERE vec_id % $stride = 0),
+        cellr AS (SELECT vec_id, v, nrm, c_id,
+                         row_number() OVER (PARTITION BY vec_id ORDER BY
+                           ${Num.sql(dotSql.format("v", "cv") + " / (nrm * cn)", 6)} DESC,
+                           c_id) AS crank
+                  FROM n CROSS JOIN cents),
+        cells AS (SELECT vec_id, v, nrm, c_id FROM cellr WHERE crank = 1),
+        q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id
+              FROM cellr WHERE crank <= $nProbe AND vec_id < 5),
+        sims AS (SELECT q_id, c.vec_id AS vec_id,
+                        ${Num.sql(dotSql.format("qv", "c.v") + " / (qn * c.nrm)", 6)} AS cosine
+                 FROM cells c JOIN q USING (c_id) WHERE q.q_id <> c.vec_id)
+        SELECT q_id, vec_id, cosine, rank FROM (
+          SELECT q_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, vec_id) AS rank
+          FROM sims) WHERE rank <= $k"""
+
   val annLshQ = QueryDef(
     "ann_lsh_bucketed",
     "approximate top-10 neighbors via 6-plane multi-probe sign-LSH",
-    None,
+    Some(lshOracle(numPlanes = 6, dim = 64, k = 10)),
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
       annLsh(e.filter(col("vec_id") < 5), e, numPlanes = 6, k = 10, dim = 64)
@@ -178,7 +236,7 @@ object Similarity {
   val annIvfQ = QueryDef(
     "ann_ivf_cells",
     "approximate top-10 neighbors via IVF coarse quantization (3-probe)",
-    None,
+    Some(ivfOracle(stride = 25, nProbe = 3, k = 10)),
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
       annIvf(e.filter(col("vec_id") < 5), e, stride = 25, nProbe = 3, k = 10)
