@@ -139,8 +139,12 @@ object Enrich {
       }
       it.flatMap { p =>
         val cell = (math.floor(p.location.lat).toInt, math.floor(p.location.lon).toInt)
+        // look up by the cell's corner, not the record's exact coordinates:
+        // the cache key and the query coordinate must agree, or the response
+        // for a cell would depend on which record reached it first (replay
+        // order / partitioning) — weather resolves at 1° cell granularity
         val w = Option(cache.get(cell)).getOrElse {
-          val r = client.current(p.location.lat, p.location.lon)
+          val r = client.current(cell._1.toDouble, cell._2.toDouble)
           cache.put(cell, r)
           r
         }
