@@ -255,6 +255,50 @@ object Advanced {
         .filter(col("n_events") > 1)
     })
 
+  /** Range (interval) join via time binning — the scale path for inequality
+    * joins. A naive `b.ts BETWEEN a.ts - w AND a.ts` join has no equi-key, so
+    * Spark would plan a broadcast-nested-loop over the whole right side.
+    * Binning time into `window`-sized buckets gives an equi-key: a right row
+    * in bin b can only match left rows in bins {b, b+1}, so the left side
+    * explodes into (at most) two probe bins and the join hashes on bin id.
+    * The exact range predicate then filters the 2-bin candidate set. Shuffle
+    * volume is 2|L| + |R| instead of |L|·|R| comparisons. */
+  def rangeJoinBinned(left: DataFrame, right: DataFrame,
+      lTimeUs: String, rTimeUs: String, windowUs: Long): DataFrame = {
+    val lBin = expr(s"$lTimeUs div ${windowUs}L")
+    val probes = explode(array(lBin, lBin - 1)).as("probe_bin")
+    val l = left.withColumn("probe_bin", probes)
+    val r = right.withColumn("r_bin", expr(s"$rTimeUs div ${windowUs}L"))
+    l.join(r, col("probe_bin") === col("r_bin") &&
+        col(rTimeUs) >= col(lTimeUs) - windowUs && col(rTimeUs) <= col(lTimeUs))
+      .drop("probe_bin", "r_bin")
+  }
+
+  /** Purchases joined to every signup in the preceding hour (any user —
+    * deliberately no equi-key so the bin join is what makes it tractable),
+    * aggregated to a per-purchase signup count. */
+  val rangeJoinQ = QueryDef(
+    "range_join_binned",
+    "interval join via time bins: signups within 1h before each purchase",
+    Some("""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, event_type FROM events)
+            SELECT a.event_id, count(*) AS n_signups_1h
+            FROM (SELECT * FROM e WHERE event_type = 'purchase') a
+            JOIN (SELECT * FROM e WHERE event_type = 'signup') b
+              ON b.ts_us >= a.ts_us - 3600000000 AND b.ts_us <= a.ts_us
+            GROUP BY 1"""),
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts_us"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("event_id").as("s_id"), col("ts_us").as("s_ts_us"))
+      rangeJoinBinned(purchases, signups, "ts_us", "s_ts_us", 3600000000L)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_signups_1h"))
+    })
+
   val defs: Seq[QueryDef] = Seq(asofQ, asofCustomQ, sessionQ, groupingSetsQ,
-    pivotQ, scalarSubQ, unionQ, percentileQ, topkAggQ, mapGroupsQ)
+    pivotQ, scalarSubQ, unionQ, percentileQ, topkAggQ, mapGroupsQ, rangeJoinQ)
 }

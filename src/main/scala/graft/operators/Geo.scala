@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.Num
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Geospatial analytics over the position stream — the dashboard's map layer
+  * taken server-side (SURVEY.md §2.D renders positions client-side with
+  * folium; at fleet scale the aggregation must happen in the engine).
+  *
+  * The AIS domain maps onto `events` exactly as in [[Serving]] (`user_id` ~
+  * mmsi); lat/lon derive deterministically from `event_id` so both engines
+  * compute identical IEEE-754 doubles.
+  *
+  * Scale design (100 TB): cell density is a plain two-phase hash aggregate on
+  * a derived integer key (shuffle carries (cy, cx, partial) only); track
+  * distance windows shuffle once on the ship key and sort within partitions —
+  * both linear in executors, no pairwise geometry.
+  */
+object Geo {
+
+  /** Deterministic position view of `events`: ship=user_id, speed=value. */
+  private def positions(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("user_id").as("ship"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"), col("value").as("speed"),
+      ((col("event_id") % 1780) / 10.0 - 89.0).as("lat"),
+      ((col("event_id") % 3580) / 10.0 - 179.0).as("lon"))
+
+  private val positionsSql =
+    """SELECT user_id AS ship, event_id, epoch_us(ts) AS ts_us, value AS speed,
+              (event_id % 1780) / 10.0 - 89.0 AS lat,
+              (event_id % 3580) / 10.0 - 179.0 AS lon
+       FROM events"""
+
+  /** Great-circle distance in km (haversine). Pure trig Columns; `asin`'s
+    * argument is clamped — floating summation can push it an ulp above 1. */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dlat = radians(lat2 - lat1) / 2
+    val dlon = radians(lon2 - lon1) / 2
+    val a = sin(dlat) * sin(dlat) +
+      cos(radians(lat1)) * cos(radians(lat2)) * sin(dlon) * sin(dlon)
+    lit(2 * 6371.0088) * asin(least(sqrt(a), lit(1.0)))
+  }
+
+  /** Same formula, same evaluation order, in DuckDB SQL. */
+  private def haversineSql(lat1: String, lon1: String, lat2: String, lon2: String): String =
+    s"""(2 * 6371.0088) * asin(least(sqrt(
+          sin(radians($lat2 - $lat1) / 2) * sin(radians($lat2 - $lat1) / 2) +
+          cos(radians($lat1)) * cos(radians($lat2)) *
+          sin(radians($lon2 - $lon1) / 2) * sin(radians($lon2 - $lon1) / 2)), 1.0))"""
+
+  /** 1-degree cell density + mean speed: the map heat layer as one shuffle. */
+  val cellDensityQ = QueryDef(
+    "geo_cell_density",
+    "position count and mean speed per 1-degree grid cell",
+    Some(s"""WITH p AS ($positionsSql)
+             SELECT CAST(floor(lat) AS BIGINT) AS cy, CAST(floor(lon) AS BIGINT) AS cx,
+                    count(*) AS n, ${Num.sql("avg(speed)", 4)} AS mean_speed
+             FROM p GROUP BY 1, 2"""),
+    (s, dir) => positions(s, dir)
+      .groupBy(floor(col("lat")).cast("long").as("cy"),
+        floor(col("lon")).cast("long").as("cx"))
+      .agg(count(lit(1)).as("n"), Num.pround(avg(col("speed")), 4).as("mean_speed")))
+
+  /** Per-ship track length: lag window over (time, id), haversine per step,
+    * summed. The window shuffles once on ship and sorts in-partition. */
+  val trackDistanceQ = QueryDef(
+    "geo_track_distance",
+    "per-ship track: step count, total and longest haversine leg",
+    Some(s"""WITH p AS ($positionsSql),
+             steps AS (SELECT ship, lat, lon,
+                              lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+                       FROM p WINDOW w AS (PARTITION BY ship ORDER BY ts_us, event_id)),
+             d AS (SELECT ship,
+                          ${haversineSql("plat", "plon", "lat", "lon")} AS step_km
+                   FROM steps WHERE plat IS NOT NULL)
+             SELECT ship, count(*) AS n_steps,
+                    ${Num.sql("sum(step_km)", 2)} AS total_km,
+                    ${Num.sql("max(step_km)", 2)} AS max_leg_km
+             FROM d GROUP BY ship"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("ship")).orderBy(col("ts_us"), col("event_id"))
+      positions(s, dir)
+        .withColumn("plat", lag(col("lat"), 1).over(w))
+        .withColumn("plon", lag(col("lon"), 1).over(w))
+        .filter(col("plat").isNotNull)
+        .withColumn("step_km",
+          haversineKm(col("plat"), col("plon"), col("lat"), col("lon")))
+        .groupBy(col("ship"))
+        .agg(count(lit(1)).as("n_steps"),
+          Num.pround(sum(col("step_km")), 2).as("total_km"),
+          Num.pround(max(col("step_km")), 2).as("max_leg_km"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(cellDensityQ, trackDistanceQ)
+}

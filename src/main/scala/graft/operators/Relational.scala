@@ -410,7 +410,165 @@ object Relational {
           .as("revenue"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q1, q3, q4, q5, q6, q14, q19, semi, anti,
-    except, intersect, rollup_, cube_, running, rankTopN, tumbling, sliding,
-    json, approx, unpivot_)
+  /** TPC-H Q7-shaped: bidirectional nation-pair volume. The two nation joins
+    * broadcast; the disjunctive pair filter runs after both bind. */
+  val q7 = QueryDef(
+    "q7_nation_volume",
+    "TPC-H Q7: supplier/customer nation pair volume by year",
+    Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    year(l.l_shipdate) AS l_year,
+                    ${Num.sql("sum(l.l_extendedprice * (1 - l.l_discount))", 2)} AS volume
+             FROM supplier s
+             JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+             JOIN orders o ON o.o_orderkey = l.l_orderkey
+             JOIN customer c ON c.c_custkey = o.o_custkey
+             JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+             JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+             WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+                OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+             GROUP BY 1, 2, 3"""),
+    (s, dir) => {
+      val n1 = Tables.nation(s, dir).select(col("n_nationkey").as("nk1"),
+        col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir).select(col("n_nationkey").as("nk2"),
+        col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.orders(s, dir)), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+        .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+        .filter(col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19" ||
+          col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18")
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(Num.pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("volume"))
+    })
+
+  /** TPC-H Q10-shaped: returned-item revenue per customer, ordered top-20. */
+  val q10 = QueryDef(
+    "q10_returned_items",
+    "TPC-H Q10: 4-way join on returned items, grouped revenue, top-20",
+    Some(s"""SELECT c.c_custkey, c.c_name, n.n_name,
+                    ${Num.sql("sum(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue
+             FROM customer c
+             JOIN orders o ON c.c_custkey = o.o_custkey
+             JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             JOIN nation n ON c.c_nationkey = n.n_nationkey
+             WHERE l.l_returnflag = 'R'
+               AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+               AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+             GROUP BY 1, 2, 3
+             ORDER BY revenue DESC, c_custkey LIMIT 20"""),
+    (s, dir) => Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(broadcast(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-07-01 00:00:00").cast("timestamp"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(Num.pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20))
+
+  /** TPC-H Q18-shaped: large orders found by an aggregate-driven semi join —
+    * the HAVING subquery becomes a grouped filter joined back to the facts. */
+  val q18 = QueryDef(
+    "q18_large_orders",
+    "TPC-H Q18: HAVING-subquery semi join, per-order quantity totals",
+    Some(s"""SELECT c.c_name, o.o_orderkey,
+                    ${Num.sql("o.o_totalprice", 2)} AS totalprice,
+                    ${Num.sql("sum(l.l_quantity)", 2)} AS total_qty
+             FROM customer c
+             JOIN orders o ON c.c_custkey = o.o_custkey
+             JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+             WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                    GROUP BY l_orderkey
+                                    HAVING sum(l_quantity) > 250)
+             GROUP BY 1, 2, 3
+             ORDER BY totalprice DESC, o_orderkey LIMIT 100"""),
+    (s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val big = l.groupBy(col("l_orderkey").as("big_orderkey"))
+        .agg(sum(col("l_quantity")).as("sq"))
+        .filter(col("sq") > 250)
+        .select(col("big_orderkey"))
+      l.join(broadcast(big), col("l_orderkey") === col("big_orderkey"), "left_semi")
+        .join(broadcast(Tables.orders(s, dir)), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name"), col("o_orderkey"),
+          Num.pround(col("o_totalprice"), 2).as("totalprice"))
+        .agg(Num.pround(sum(col("l_quantity")), 2).as("total_qty"))
+        .orderBy(col("totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    })
+
+  /** RANGE window frame: trailing-hour sum per user — the frame bound is a
+    * value offset (epoch micros), not a row count, so peers at equal
+    * timestamps aggregate identically under any partitioning. */
+  val rangeFrame = QueryDef(
+    "window_range_frame",
+    "trailing-1-hour RANGE-frame sum of value per user",
+    Some(s"""SELECT event_id,
+                    ${Num.sql("""sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""", 4)} AS trailing_1h
+             FROM events"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select(col("event_id"),
+          Num.pround(sum(col("value")).over(w), 4).as("trailing_1h"))
+    })
+
+  /** lag/lead deltas — the per-key sequential derivative, one shuffle. */
+  val lagLead = QueryDef(
+    "window_lag_lead",
+    "per-user lag/lead value deltas over event time",
+    Some(s"""SELECT event_id,
+                    ${Num.sql("value - lag(value) OVER w", 4)} AS delta_prev,
+                    ${Num.sql("lead(value) OVER w - value", 4)} AS delta_next
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      Tables.events(s, dir).select(col("event_id"),
+        Num.pround(col("value") - lag(col("value"), 1).over(w), 4).as("delta_prev"),
+        Num.pround(lead(col("value"), 1).over(w) - col("value"), 4).as("delta_next"))
+    })
+
+  /** ntile + first/last_value — distribution bucketing and per-key bounds in
+    * one windowed pass. */
+  val ntileBounds = QueryDef(
+    "window_ntile_bounds",
+    "value deciles per event type + first/last value per user",
+    Some(s"""SELECT event_id,
+                    ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile,
+                    ${Num.sql("""first_value(value) OVER (PARTITION BY user_id
+                      ORDER BY epoch_us(ts), event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""", 4)} AS first_v,
+                    ${Num.sql("""last_value(value) OVER (PARTITION BY user_id
+                      ORDER BY epoch_us(ts), event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""", 4)} AS last_v
+             FROM events"""),
+    (s, dir) => {
+      val wt = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      val wu = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, dir).select(col("event_id"),
+        ntile(10).over(wt).cast("long").as("decile"),
+        Num.pround(first(col("value")).over(wu), 4).as("first_v"),
+        Num.pround(last(col("value")).over(wu), 4).as("last_v"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q1, q3, q4, q5, q6, q7, q10, q14, q18, q19,
+    semi, anti, except, intersect, rollup_, cube_, running, rankTopN, tumbling,
+    sliding, json, approx, unpivot_, rangeFrame, lagLead, ntileBounds)
 }

@@ -242,5 +242,46 @@ object Similarity {
       annIvf(e.filter(col("vec_id") < 5), e, stride = 25, nProbe = 3, k = 10)
     })
 
-  val defs: Seq[QueryDef] = Seq(pairsQ, annQ, annLshQ, annIvfQ)
+  /** One Lloyd iteration of k-means as a DataFrame transform: assign every
+    * vector to its nearest centroid (broadcast, rounded-cosine argmax with
+    * id tiebreak — the same deterministic cell assignment as [[annIvf]]),
+    * then recompute per-cell means dimension-wise. At 100 TB the corpus
+    * never shuffles for assignment (centroids broadcast); the mean update is
+    * one groupBy over (cell, dim). Long output shape (c_id, pos, mean). */
+  def kmeansUpdate(e: DataFrame, stride: Int): DataFrame = {
+    val c = withNorm(e)
+    val cents = c.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
+    c.join(broadcast(cents), lit(true))
+      .withColumn("csim", Num.pround(
+        Vec.cosinePrenormed(Vec.dot(col("v"), col("cv")), col("nrm"), col("cn")), 6))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("c_id"), col("pos").cast("long").as("pos"))
+      .agg(count(lit(1)).as("n_members"), Num.pround(avg(col("x")), 6).as("mean_x"))
+  }
+
+  val kmeansQ = QueryDef(
+    "kmeans_update",
+    "one k-means Lloyd iteration: nearest-centroid assign + mean update",
+    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                        FROM embeddings),
+             n AS (SELECT vec_id, v, sqrt(${dotSql.format("v", "v")}) AS nrm FROM e),
+             cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
+                       WHERE vec_id % 25 = 0),
+             cellr AS (SELECT vec_id, v, c_id,
+                              row_number() OVER (PARTITION BY vec_id ORDER BY
+                                ${Num.sql(dotSql.format("v", "cv") + " / (nrm * cn)", 6)} DESC,
+                                c_id) AS crank
+                       FROM n CROSS JOIN cents),
+             cells AS (SELECT vec_id, v, c_id FROM cellr WHERE crank = 1)
+             SELECT c_id, CAST(i - 1 AS BIGINT) AS pos, count(*) AS n_members,
+                    ${Num.sql("avg(v[i])", 6)} AS mean_x
+             FROM cells CROSS JOIN unnest(generate_series(1, 64)) AS t(i)
+             GROUP BY c_id, i"""),
+    (s, dir) => kmeansUpdate(Tables.embeddings(s, dir), stride = 25))
+
+  val defs: Seq[QueryDef] = Seq(pairsQ, annQ, annLshQ, annIvfQ, kmeansQ)
 }

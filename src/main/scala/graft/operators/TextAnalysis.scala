@@ -118,5 +118,25 @@ object TextAnalysis {
       Text.setFingerprint(Text.tokens(col("text"))).as("set_fp"),
       RollingHash.rolling_hash(trim(col("text"))).as("roll_fp")))
 
-  val defs: Seq[QueryDef] = Seq(tokenStats, quality, langid, fingerprint)
+  /** Corpus-level n-gram statistics: top-50 word bigrams by document
+    * frequency. Reuses the deduplication inverted index (distinct shingles
+    * per doc) — one shuffle to count, TakeOrdered for the top-K. */
+  val bigramDf = QueryDef(
+    "text_bigram_df",
+    "top-50 word bigrams by document frequency",
+    Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+                          FROM documents),
+            sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS s
+                   FROM toks CROSS JOIN unnest(generate_series(1, len(t)-1)) AS u(i)
+                   WHERE len(t) >= 2)
+            SELECT s AS bigram, count(*) AS doc_freq
+            FROM sh GROUP BY 1
+            ORDER BY doc_freq DESC, bigram LIMIT 50"""),
+    (s, dir) => Dedup.shingleIndex(Tables.documents(s, dir), "doc_id", "text", 2)
+      .groupBy(col("s").as("bigram"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("bigram"))
+      .limit(50))
+
+  val defs: Seq[QueryDef] = Seq(tokenStats, quality, langid, fingerprint, bigramDf)
 }
