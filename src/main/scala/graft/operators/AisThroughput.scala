@@ -81,13 +81,17 @@ object AisThroughput {
     (s, dir) => {
       import s.implicits._
       val n = countFor(s, dir)
-      val lines = (0 until n).map { i =>
-        NmeaEncoder.position(if (i % 3 == 0) 3 else 1, 257000001L + (i % 5000),
-          status = i % 16, speedKnots = (i % 90) / 1.2,
-          lon = -179.0 + (i % 3580) * 0.1, lat = -89.0 + (i % 1780) * 0.1,
-          heading = i % 400, ts = 1700000000L + i)
+      // synthesize ON the executors (spark.range, 32 partitions): the driver
+      // ships a closure, not n encoded strings — at scale the feed replay is
+      // generated/read where it is decoded
+      val lines = s.range(0, n, 1, 32).map { i =>
+        val ii = i.toInt
+        NmeaEncoder.position(if (ii % 3 == 0) 3 else 1, 257000001L + (ii % 5000),
+          status = ii % 16, speedKnots = (ii % 90) / 1.2,
+          lon = -179.0 + (ii % 3580) * 0.1, lat = -89.0 + (ii % 1780) * 0.1,
+          heading = ii % 400, ts = 1700000000L + ii)
       }
-      val decoded = AisIngest.decode(s.createDataset(lines).repartition(32))
+      val decoded = AisIngest.decode(lines)
       Enrich.withWeather(AisIngest.positions(decoded),
         () => new FixtureWeatherClient).toDF()
     })

@@ -28,6 +28,18 @@ object Dedup {
     df.groupBy(md5(col(text)).as("text_hash"))
       .agg(min(col(id)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** FNV-1a 64-bit over a string — collapses shingle strings to 8-byte join
+    * keys. At 100 TB the pair join and signature aggregation shuffle hashes,
+    * not n-gram text (~3× narrower rows); a collision across distinct
+    * shingles is ~|shingles|²/2⁶⁵ — and would surface as an oracle hash
+    * mismatch, not silent corruption. */
+  private def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
   /** Inverted shingle index: (doc_id, shingle), distinct per doc.
     * `maxDf` > 0 drops shingles appearing in more than that many docs —
     * the skew guard for hot n-grams at scale.
@@ -59,6 +71,28 @@ object Dedup {
     }
   }
 
+  /** [[shingleIndex]] with shingles pre-hashed to longs — the set-similarity
+    * pipelines never need the n-gram text, only set membership, so they
+    * join/aggregate on 8-byte keys. */
+  def shingleIndexHashed(df: DataFrame, id: String, text: String, n: Int,
+      maxDf: Long = 0L): DataFrame = {
+    import df.sparkSession.implicits._
+    val sh = df.select(col(id).cast("long").as("doc_id"), col(text).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (docId, t) =>
+        val toks = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        if (toks.length < n) Iterator.empty
+        else toks.sliding(n).map(g => (docId, fnv64(g.mkString(" ")))).toSeq.distinct
+      }.toDF("doc_id", "s")
+    if (maxDf <= 0) sh
+    else {
+      val cached = sh.cache()
+      val hot = cached.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select(col("s"))
+      cached.join(broadcast(hot), Seq("s"), "left_anti")
+    }
+  }
+
   private def shingleCounts(sh: DataFrame): DataFrame =
     sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
 
@@ -67,8 +101,9 @@ object Dedup {
     * engine-stable. */
   def jaccardPairs(df: DataFrame, id: String, text: String, n: Int,
       threshold: Double, maxDf: Long = 0L): DataFrame = {
-    // reused by the pair self-join and both count joins
-    val sh = shingleIndex(df, id, text, n, maxDf).cache()
+    // reused by the pair self-join and both count joins; hashed keys — the
+    // pair join shuffles 8-byte shingle hashes, not n-gram text
+    val sh = shingleIndexHashed(df, id, text, n, maxDf).cache()
     val cnt = shingleCounts(sh)
     val pairs = sh.as("a")
       .join(sh.as("b"),
@@ -114,7 +149,7 @@ object Dedup {
     * quadratic verify runs on the tiny candidate set). */
   def minHashDedup(df: DataFrame, id: String, text: String, n: Int,
       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
-    val sh = shingleIndex(df, id, text, n).cache()
+    val sh = shingleIndexHashed(df, id, text, n).cache()
     val sig = minHashSignatures(sh, numHashes)
     val cands = lshCandidates(sig, bands, numHashes / bands)
     val cnt = shingleCounts(sh)

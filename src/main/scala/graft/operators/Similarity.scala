@@ -100,6 +100,22 @@ object Similarity {
     * only its `nProbe` nearest cells. Corpus vectors live in exactly one
     * cell, so probing never duplicates candidates. Centroids broadcast;
     * the corpus never shuffles. */
+  /** Nearest-centroid (top-1 cell) assignment via max_by aggregation, not a
+    * window: the broadcast corpus×centroids product collapses in the
+    * map-side partial aggregate (rows for one vector are generated
+    * contiguously), so the shuffle carries one row per VECTOR instead of one
+    * per (vector, centroid) — |C| rows instead of |C|·k. Ranking is on the
+    * ROUNDED similarity with a c_id tiebreak (encoded as (csim, -c_id) so a
+    * single struct-max is deterministic across engines and partitionings). */
+  private def assignCells(c: DataFrame, cents: DataFrame): DataFrame =
+    c.join(broadcast(cents), lit(true))
+      .withColumn("csim", Num.pround(
+        Vec.cosinePrenormed(Vec.dot(col("v"), col("cv")), col("nrm"), col("cn")), 6))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("c_id"), struct(col("csim"), -col("c_id"))).as("c_id"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+
   def annIvf(queries: DataFrame, corpus: DataFrame, stride: Int,
       nProbe: Int, k: Int): DataFrame = {
     val c = withNorm(corpus)
@@ -117,7 +133,7 @@ object Similarity {
         .filter(col("crank") <= n)
         .drop("cv", "cn", "csim", "crank")
     }
-    val cells = topCells(c, "vec_id", 1)
+    val cells = assignCells(c, cents)
     val q = topCells(withNorm(queries), "vec_id", nProbe)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("c_id"))
@@ -252,12 +268,7 @@ object Similarity {
     val c = withNorm(e)
     val cents = c.filter(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
-    c.join(broadcast(cents), lit(true))
-      .withColumn("csim", Num.pround(
-        Vec.cosinePrenormed(Vec.dot(col("v"), col("cv")), col("nrm"), col("cn")), 6))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
+    assignCells(c, cents)
       .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("c_id"), col("pos").cast("long").as("pos"))
       .agg(count(lit(1)).as("n_members"), Num.pround(avg(col("x")), 6).as("mean_x"))
