@@ -294,5 +294,31 @@ object Similarity {
              GROUP BY c_id, i"""),
     (s, dir) => kmeansUpdate(Tables.embeddings(s, dir), stride = 25))
 
-  val defs: Seq[QueryDef] = Seq(pairsQ, annQ, annLshQ, annIvfQ, kmeansQ)
+  /** Embedding-cosine near-duplicate detection — the semantic-dedup
+    * counterpart of [[graft.operators.Dedup]]'s lexical pipelines: vector
+    * pairs above a cosine threshold are duplicate candidates. Brute-force
+    * pair join here (the exact baseline); the LSH/IVF bucketing above is the
+    * 100 TB path for the same predicate. The threshold sits in this corpus's
+    * top similarity band (max pair cosine ~0.5 — the synthetic embeddings
+    * carry no true duplicates, so the band plays that role). */
+  val nearDupQ = QueryDef(
+    "dedup_embedding_cosine",
+    "embedding near-dup candidates: cosine >= 0.45, exact pair join",
+    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                        FROM embeddings),
+             n AS (SELECT vec_id, v, sqrt(${dotSql.format("v", "v")}) AS nrm FROM e)
+             SELECT a.vec_id AS i, b.vec_id AS j,
+                    ${Num.sql(dotSql.format("a.v", "b.v") + " / (a.nrm * b.nrm)", 6)} AS cosine
+             FROM n a JOIN n b ON a.vec_id < b.vec_id
+             WHERE ${Num.sql(dotSql.format("a.v", "b.v") + " / (a.nrm * b.nrm)", 6)} >= 0.45"""),
+    (s, dir) => {
+      val n = withNorm(Tables.embeddings(s, dir))
+      n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+          Num.pround(Vec.cosinePrenormed(Vec.dot(col("a.v"), col("b.v")),
+            col("a.nrm"), col("b.nrm")), 6).as("cosine"))
+        .filter(col("cosine") >= 0.45)
+    })
+
+  val defs: Seq[QueryDef] = Seq(pairsQ, annQ, annLshQ, annIvfQ, kmeansQ, nearDupQ)
 }

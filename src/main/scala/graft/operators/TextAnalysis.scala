@@ -138,5 +138,29 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("bigram"))
       .limit(50))
 
-  val defs: Seq[QueryDef] = Seq(tokenStats, quality, langid, fingerprint, bigramDf)
+  /** BPE-style pre-tokenization counts: letter runs, digit runs, and single
+    * non-alnum marks — the three classes a byte-pair tokenizer's pre-split
+    * produces. Same character-class regex in both engines (no engine-specific
+    * syntax), per-row, codegen'd. */
+  val bpeTokens = QueryDef(
+    "text_bpe_tokens",
+    "BPE-ish pre-token counts: word runs, digit runs, punctuation marks",
+    Some("""SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+')) AS n_word,
+                   len(regexp_extract_all(text, '[0-9]+')) AS n_num,
+                   len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n]')) AS n_mark,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]'))
+                     AS n_pretokens
+            FROM documents"""),
+    (s, dir) => {
+      def cnt(pat: String) = regexp_count(col("text"), lit(pat))
+      Tables.documents(s, dir).select(col("doc_id"),
+        cnt("[A-Za-z]+").cast("long").as("n_word"),
+        cnt("[0-9]+").cast("long").as("n_num"),
+        cnt("[^A-Za-z0-9 \t\n]").cast("long").as("n_mark"),
+        cnt("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]").cast("long").as("n_pretokens"))
+    })
+
+  val defs: Seq[QueryDef] =
+    Seq(tokenStats, quality, langid, fingerprint, bigramDf, bpeTokens)
 }
