@@ -107,14 +107,19 @@ object Similarity {
     * per (vector, centroid) — |C| rows instead of |C|·k. Ranking is on the
     * ROUNDED similarity with a c_id tiebreak (encoded as (csim, -c_id) so a
     * single struct-max is deterministic across engines and partitionings). */
-  private def assignCells(c: DataFrame, cents: DataFrame): DataFrame =
-    c.join(broadcast(cents), lit(true))
-      .withColumn("csim", Num.pround(
-        Vec.cosinePrenormed(Vec.dot(col("v"), col("cv")), col("nrm"), col("cn")), 6))
+  private def assignCells(c: DataFrame, cents: DataFrame): DataFrame = {
+    // aggregate over NARROW rows (vec_id, c_id, csim) — carrying the vector
+    // through the partial aggregate would drag a 64-double array into its
+    // buffer (SortAggregate over ~550-byte rows); instead re-attach v/nrm
+    // with a key join on the |C|-row result afterwards
+    val best = c.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("c_id"),
+        Num.pround(Vec.cosinePrenormed(
+          Vec.dot(col("v"), col("cv")), col("nrm"), col("cn")), 6).as("csim"))
       .groupBy(col("vec_id"))
-      .agg(
-        max_by(col("c_id"), struct(col("csim"), -col("c_id"))).as("c_id"),
-        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .agg(max_by(col("c_id"), struct(col("csim"), -col("c_id"))).as("c_id"))
+    c.join(best, Seq("vec_id"))
+  }
 
   def annIvf(queries: DataFrame, corpus: DataFrame, stride: Int,
       nProbe: Int, k: Int): DataFrame = {
