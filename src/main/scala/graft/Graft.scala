@@ -29,9 +29,21 @@ object Graft {
   /** Install SQL functions + the custom as-of strategy on any session. */
   def init(spark: SparkSession): Unit = {
     plans.AsOf.register(spark)
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
-        "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "rolling_hash2",
+      exprs => RollingHash(exprs.head, RollingHash.Mult2, RollingHash.Mod2),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "dot_product",
+      exprs => functions.DotProduct(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "haversine_km",
+      exprs => operators.Geo.haversineExpr(exprs(0), exprs(1), exprs(2), exprs(3)),
+      "scala_udf")
   }
 
   /** Register every driver table under its name for SQL access. */

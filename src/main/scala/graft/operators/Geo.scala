@@ -4,6 +4,7 @@ import graft.QueryDef
 import graft.functions.Num
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -36,14 +37,30 @@ object Geo {
               (event_id % 3580) / 10.0 - 179.0 AS lon
        FROM events"""
 
-  /** Great-circle distance in km (haversine). Pure trig Columns; `asin`'s
-    * argument is clamped — floating summation can push it an ulp above 1. */
+  /** Great-circle distance in km (haversine) as a raw Catalyst expression
+    * tree — one implementation serves both the Column API and the
+    * `haversine_km` SQL function (the function registry needs Expressions,
+    * not Columns). `asin`'s argument is clamped — floating summation can
+    * push it an ulp above 1. The multiply chain is left-associated exactly
+    * like the oracle SQL so both engines run the same IEEE sequence. */
+  def haversineExpr(lat1: Expression, lon1: Expression,
+      lat2: Expression, lon2: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, Asin, Cos, Divide, Least, Literal, Multiply, Sin, Sqrt, Subtract, ToRadians}
+    def rad(e: Expression) = ToRadians(e)
+    val dlat = Divide(rad(Subtract(lat2, lat1)), Literal(2.0))
+    val dlon = Divide(rad(Subtract(lon2, lon1)), Literal(2.0))
+    val a = Add(
+      Multiply(Sin(dlat), Sin(dlat)),
+      Multiply(Multiply(Multiply(Cos(rad(lat1)), Cos(rad(lat2))),
+        Sin(dlon)), Sin(dlon)))
+    Multiply(Literal(2 * 6371.0088), Asin(Least(Seq(Sqrt(a), Literal(1.0)))))
+  }
+
+  /** Column form of [[haversineExpr]]. */
   def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
-    val dlat = radians(lat2 - lat1) / 2
-    val dlon = radians(lon2 - lon1) / 2
-    val a = sin(dlat) * sin(dlat) +
-      cos(radians(lat1)) * cos(radians(lat2)) * sin(dlon) * sin(dlon)
-    lit(2 * 6371.0088) * asin(least(sqrt(a), lit(1.0)))
+    import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
+    column(haversineExpr(expression(lat1), expression(lon1),
+      expression(lat2), expression(lon2)))
   }
 
   /** Same formula, same evaluation order, in DuckDB SQL. */

@@ -108,6 +108,22 @@ object AisPipeline {
         col("info_ts") >= col("pos_ts") - expr(s"INTERVAL $range"))
   }
 
+  /** Event-time session windows in streaming: per-ship voyage segments close
+    * after `gap` of silence; the watermark bounds session state and lets
+    * windows finalize. The streaming form of the batch `session_windows`
+    * operator (Advanced.sessionQ). Append-mode capable: a session emits once
+    * its close is older than the watermark. */
+  def voyageSessions(pos: Dataset[PositionEvent], watermark: String = "30 minutes",
+      gap: String = "15 minutes"): DataFrame =
+    pos.toDF()
+      .withColumn("ts", to_timestamp(from_unixtime(col("timestamp"))))
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("mmsi"))
+      .agg(count(lit(1)).as("n_reports"), avg(col("speed")).as("avg_speed"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("mmsi"), col("n_reports"), col("avg_speed"))
+
   /** Streaming dedup within the watermark: collapses at-least-once replays of
     * the same (mmsi, timestamp) report into one row — the training-pipeline
     * dedup primitive in streaming form, with bounded state. */

@@ -174,4 +174,72 @@ class StreamingSpec extends SparkSpec {
     assert(pos.count() == 2) // exactly-once into files: no dupes, no loss
     assert(pos.select(countDistinct(col("mmsi"))).head().getLong(0) == 2)
   }
+
+  test("streaming session windows close after the gap and honor the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[PositionEvent]
+    def p(mmsi: String, ts: Long) =
+      PositionEvent(mmsi, "UnderWayUsingEngine", ts, Gps(60, 5), 10.0, 90)
+    val q = AisPipeline.voyageSessions(input.toDS(),
+      watermark = "10 minutes", gap = "15 minutes").writeStream
+      .outputMode("append").format("memory").queryName("sessions_t9").start()
+    try {
+      val t0 = 1700000000L
+      // ship A: two reports 5 min apart (one session), then 20 min silence,
+      // then one more (second session)
+      input.addData(p("A", t0), p("A", t0 + 300), p("A", t0 + 1500))
+      q.processAllAvailable()
+      // advance event time far enough that the watermark passes both closes
+      input.addData(p("B", t0 + 7200))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_t9")
+        .filter(col("mmsi") === "A").collect()
+      assert(rows.length == 2, rows.mkString(";"))
+      assert(rows.map(_.getAs[Long]("n_reports")).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink writes batchId-keyed partitions (idempotent replay shape)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-feb").toString
+    val input = MemoryStream[String]
+    val decoded = AisIngest.positions(AisIngest.decode(
+      input.toDF().select(col("value").cast("string")).as[String]))
+    // the canonical exactly-once recipe for non-transactional sinks: key the
+    // write by batchId so a replayed batch overwrites instead of appending
+    val q = decoded.toDF().writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$tmp/batch_id=$batchId")
+    }.option("checkpointLocation", s"$tmp/ckpt").start()
+    try {
+      input.addData(position(1, 257000001L, 0, 12.3, 5.32, 60.39, 187, 1700000000L))
+      q.processAllAvailable()
+      input.addData(position(1, 257000002L, 0, 11.0, 5.0, 60.0, 90, 1700000060L))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$tmp/batch_id=*")
+      assert(out.count() == 2)
+    } finally q.stop()
+  }
+
+  test("streaming weather enrichment (mapPartitions) runs per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val enriched = Enrich.withWeather(
+      AisIngest.positions(AisIngest.decode(
+        input.toDF().select(col("value").cast("string")).as[String])),
+      () => new FixtureWeatherClient)
+    val q = enriched.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("enrich_t10").start()
+    try {
+      input.addData(position(1, 257000001L, 0, 12.3, 5.32, 60.39, 187, 1700000000L))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_t10").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[String]("locale") == "cell_60_5")
+      assert(rows.head.getAs[String]("country") == "Norway")
+    } finally q.stop()
+  }
 }
