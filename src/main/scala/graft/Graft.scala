@@ -31,19 +31,24 @@ object Graft {
     plans.AsOf.register(spark)
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "rolling_hash2",
-      exprs => RollingHash(exprs.head, RollingHash.Mult2, RollingHash.Mod2),
-      "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "dot_product",
-      exprs => functions.DotProduct(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "haversine_km",
-      exprs => operators.Geo.haversineExpr(exprs(0), exprs(1), exprs(2), exprs(3)),
-      "scala_udf")
+    def arity(name: String, n: Int)(
+        build: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+          => org.apache.spark.sql.catalyst.expressions.Expression) =
+      reg.createOrReplaceTempFunction(name, exprs => {
+        if (exprs.length != n)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map("functionName" -> name,
+              "expectedNum" -> n.toString, "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        build(exprs)
+      }, "scala_udf")
+    arity("rolling_hash", 1)(exprs => RollingHash(exprs.head))
+    arity("rolling_hash2", 1)(exprs =>
+      RollingHash(exprs.head, RollingHash.Mult2, RollingHash.Mod2))
+    arity("dot_product", 2)(exprs => functions.DotProduct(exprs(0), exprs(1)))
+    arity("haversine_km", 4)(exprs =>
+      operators.Geo.haversineExpr(exprs(0), exprs(1), exprs(2), exprs(3)))
   }
 
   /** Register every driver table under its name for SQL access. */

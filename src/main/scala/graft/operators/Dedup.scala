@@ -50,15 +50,18 @@ object Dedup {
     * re-running the regex split ~3× per shingle — measured 16× slower than
     * this per-partition Scala pass at sf0.1. Tokenization matches the oracle:
     * trim → lowercase → split on \s+. */
-  def shingleIndex(df: DataFrame, id: String, text: String, n: Int,
-      maxDf: Long = 0L): DataFrame = {
+  private def shingleIndexAs[T](
+      df: DataFrame, id: String, text: String, n: Int, maxDf: Long,
+      shingle: String => T)(implicit te: org.apache.spark.sql.Encoder[T]): DataFrame = {
     import df.sparkSession.implicits._
+    implicit val pairEnc: org.apache.spark.sql.Encoder[(Long, T)] =
+      org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.scalaLong, te)
     val sh = df.select(col(id).cast("long").as("doc_id"), col(text).as("t"))
       .as[(Long, String)]
       .flatMap { case (docId, t) =>
         val toks = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
         if (toks.length < n) Iterator.empty
-        else toks.sliding(n).map(g => (docId, g.mkString(" "))).toSeq.distinct
+        else toks.sliding(n).map(g => (docId, shingle(g.mkString(" ")))).toSeq.distinct
       }.toDF("doc_id", "s")
     if (maxDf <= 0) sh
     else {
@@ -71,26 +74,19 @@ object Dedup {
     }
   }
 
+  def shingleIndex(df: DataFrame, id: String, text: String, n: Int,
+      maxDf: Long = 0L): DataFrame = {
+    import df.sparkSession.implicits._
+    shingleIndexAs(df, id, text, n, maxDf, identity[String])
+  }
+
   /** [[shingleIndex]] with shingles pre-hashed to longs — the set-similarity
     * pipelines never need the n-gram text, only set membership, so they
     * join/aggregate on 8-byte keys. */
   def shingleIndexHashed(df: DataFrame, id: String, text: String, n: Int,
       maxDf: Long = 0L): DataFrame = {
     import df.sparkSession.implicits._
-    val sh = df.select(col(id).cast("long").as("doc_id"), col(text).as("t"))
-      .as[(Long, String)]
-      .flatMap { case (docId, t) =>
-        val toks = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
-        if (toks.length < n) Iterator.empty
-        else toks.sliding(n).map(g => (docId, fnv64(g.mkString(" ")))).toSeq.distinct
-      }.toDF("doc_id", "s")
-    if (maxDf <= 0) sh
-    else {
-      val cached = sh.cache()
-      val hot = cached.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxDf).select(col("s"))
-      cached.join(broadcast(hot), Seq("s"), "left_anti")
-    }
+    shingleIndexAs(df, id, text, n, maxDf, fnv64)
   }
 
   private def shingleCounts(sh: DataFrame): DataFrame =
@@ -257,11 +253,13 @@ object Dedup {
     s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
                      FROM documents),
         h AS (SELECT doc_id,
-                (list_reduce(list_transform(string_split(t, ''), c -> ord(c)::BIGINT),
-                  (a, b) -> (a * 31 + b) % 1000000007) * 1103515245 + 12345)
+                (CASE WHEN t = '' THEN 0 ELSE
+                  list_reduce(list_transform(string_split(t, ''), c -> ord(c)::BIGINT),
+                    (a, b) -> (a * 31 + b) % 1000000007) END * 1103515245 + 12345)
                   % 1000000007 AS h1,
-                (list_reduce(list_transform(string_split(t, ''), c -> ord(c)::BIGINT),
-                  (a, b) -> (a * 131 + b) % 998244353) * 1103515245 + 12345)
+                (CASE WHEN t = '' THEN 0 ELSE
+                  list_reduce(list_transform(string_split(t, ''), c -> ord(c)::BIGINT),
+                    (a, b) -> (a * 131 + b) % 998244353) END * 1103515245 + 12345)
                   % 998244353 AS h2
               FROM tok),
         v AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)

@@ -433,9 +433,9 @@ object Relational {
       val n2 = Tables.nation(s, dir).select(col("n_nationkey").as("nk2"),
         col("n_name").as("cust_nation"))
       Tables.lineitem(s, dir)
-        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(Tables.orders(s, dir)), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n1), col("s_nationkey") === col("nk1"))
         .join(broadcast(n2), col("c_nationkey") === col("nk2"))
         .filter(col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19" ||
@@ -467,7 +467,7 @@ object Relational {
           .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
             col("o_orderdate") < lit("1996-07-01 00:00:00").cast("timestamp"))),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
       .agg(Num.pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
@@ -497,9 +497,9 @@ object Relational {
         .agg(sum(col("l_quantity")).as("sq"))
         .filter(col("sq") > 250)
         .select(col("big_orderkey"))
-      l.join(broadcast(big), col("l_orderkey") === col("big_orderkey"), "left_semi")
-        .join(broadcast(Tables.orders(s, dir)), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      l.join(big, col("l_orderkey") === col("big_orderkey"), "left_semi")
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_name"), col("o_orderkey"),
           Num.pround(col("o_totalprice"), 2).as("totalprice"))
         .agg(Num.pround(sum(col("l_quantity")), 2).as("total_qty"))
