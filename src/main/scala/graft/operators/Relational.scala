@@ -507,6 +507,52 @@ object Relational {
         .limit(100)
     })
 
+  /** TPC-H Q17-shaped: correlated per-group average subquery, decorrelated
+    * into an aggregate join (the rewrite Catalyst applies to the SQL form;
+    * here declared directly). Safe for exact comparison: quantities are
+    * small integers, so per-part sums are exact doubles and the 0.5*avg
+    * threshold is bit-identical in both engines regardless of sum order. */
+  val q17 = QueryDef(
+    "q17_small_quantity",
+    "TPC-H Q17: correlated avg-quantity subquery via aggregate join",
+    Some(s"""SELECT ${Num.sql("sum(l.l_extendedprice) / 7.0", 2)} AS avg_yearly
+             FROM lineitem l
+             JOIN part p ON p.p_partkey = l.l_partkey
+             JOIN (SELECT l_partkey AS a_partkey, 0.5 * avg(l_quantity) AS half_avg
+                   FROM lineitem GROUP BY 1) a ON a.a_partkey = l.l_partkey
+             WHERE p.p_brand = 'Brand#1' AND l.l_quantity < a.half_avg"""),
+    (s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val halfAvg = l.groupBy(col("l_partkey").as("a_partkey"))
+        .agg((lit(0.5) * avg(col("l_quantity"))).as("half_avg"))
+      l.join(broadcast(Tables.part(s, dir).filter(col("p_brand") === "Brand#1")
+          .select(col("p_partkey"))),
+          col("p_partkey") === col("l_partkey"))
+        .join(halfAvg, col("a_partkey") === col("l_partkey"))
+        .filter(col("l_quantity") < col("half_avg"))
+        .agg(Num.pround(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    })
+
+  /** Approximate percentile with the same oracled contract as
+    * approx_distinct_users: the exact median plus proof the sketch landed
+    * inside the exact p45-p55 rank band (approx_percentile's guarantee is a
+    * rank bound, so the band is the honest assertion). */
+  val approxPct = QueryDef(
+    "approx_percentile_value",
+    "approx_percentile of event value, rank-band-bounded against exact",
+    Some(s"""SELECT ${Num.sql("quantile_cont(value, 0.5)", 4)} AS exact_median,
+                    true AS within_rank_band
+             FROM events"""),
+    (s, dir) => Tables.events(s, dir)
+      .agg(
+        Num.pround(expr("percentile(value, 0.5)"), 4).as("exact_median"),
+        expr("approx_percentile(value, 0.5, 10000)").as("ap"),
+        expr("percentile(value, 0.45)").as("p45"),
+        expr("percentile(value, 0.55)").as("p55"))
+      .select(col("exact_median"),
+        (col("ap") >= col("p45") && col("ap") <= col("p55"))
+          .as("within_rank_band")))
+
   /** RANGE window frame: trailing-hour sum per user — the frame bound is a
     * value offset (epoch micros), not a row count, so peers at equal
     * timestamps aggregate identically under any partitioning. */
@@ -568,7 +614,8 @@ object Relational {
         Num.pround(last(col("value")).over(wu), 4).as("last_v"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q1, q3, q4, q5, q6, q7, q10, q14, q18, q19,
-    semi, anti, except, intersect, rollup_, cube_, running, rankTopN, tumbling,
-    sliding, json, approx, unpivot_, rangeFrame, lagLead, ntileBounds)
+  val defs: Seq[QueryDef] = Seq(q1, q3, q4, q5, q6, q7, q10, q14, q17, q18,
+    q19, semi, anti, except, intersect, rollup_, cube_, running, rankTopN,
+    tumbling, sliding, json, approx, approxPct, unpivot_, rangeFrame, lagLead,
+    ntileBounds)
 }

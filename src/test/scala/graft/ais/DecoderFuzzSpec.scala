@@ -40,6 +40,29 @@ class DecoderFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("property: adjacent fragment pairs assemble through arbitrary noise " +
+    "and seqId collisions") {
+    // 40 type-5 messages cycling through only 3 seqIds, with random
+    // single-fragment noise and random duplicated first fragments injected
+    // between pairs — every complete adjacent pair must still assemble.
+    val rnd = new scala.util.Random(7L)
+    val msgs = (0 until 40).map { i =>
+      NmeaEncoder.staticVoyage(257100000L + i, f"C$i%03d", f"SHIP$i%03d",
+        60 + (i % 30), "OSLO", 1700000000L + i, seq = (i % 3).toString)
+        .flatMap(Nmea.parse)
+    }
+    val noise = Nmea.parse(NmeaEncoder.position(1, 999999999L, 0, 9.9,
+      5.0, 60.0, 90, 1699999999L)).get
+    val stream = msgs.flatMap { pair =>
+      val pre = if (rnd.nextBoolean()) Seq(noise) else Seq.empty
+      val dup = if (rnd.nextBoolean()) Seq(pair.head) else Seq.empty // stray frag 1
+      pre ++ dup ++ pair
+    }
+    val names = Nmea.assemble(stream.iterator).flatMap(AisDecoder.decode)
+      .flatMap(_.shipname).toSet
+    assert((0 until 40).forall(i => names.contains(f"SHIP$i%03d")), names.size)
+  }
+
   test("truncated payloads and absurd fill bits are rejected, not thrown") {
     for (p <- Seq("", "1", "177KQ", "1" * 200); fill <- Seq(0, 5)) {
       val body = s"AIVDM,1,1,,A,$p,$fill"
