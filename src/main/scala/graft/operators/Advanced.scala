@@ -299,6 +299,29 @@ object Advanced {
         .agg(count(lit(1)).as("n_signups_1h"))
     })
 
+  /** Ordered per-key sequence assembly — the training-sequence builder:
+    * collect each user's event types in (time, id) order into one string.
+    * collect_list alone has no order guarantee, so the elements carry their
+    * sort key into array_sort and drop it after — deterministic under any
+    * partitioning, one shuffle. */
+  val sequencesQ = QueryDef(
+    "user_event_sequences",
+    "per-user time-ordered event-type sequence as a delimited string",
+    Some("""SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY epoch_us(ts), event_id) AS seq,
+                   count(*) AS n
+            FROM events GROUP BY user_id"""),
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(
+            unix_micros(col("ts")).as("t"), col("event_id").as("e"),
+            col("event_type").as("v")))),
+          x => x.getField("v"))).as("seq"),
+        count(lit(1)).as("n")))
+
   val defs: Seq[QueryDef] = Seq(asofQ, asofCustomQ, sessionQ, groupingSetsQ,
-    pivotQ, scalarSubQ, unionQ, percentileQ, topkAggQ, mapGroupsQ, rangeJoinQ)
+    pivotQ, scalarSubQ, unionQ, percentileQ, topkAggQ, mapGroupsQ, rangeJoinQ,
+    sequencesQ)
 }

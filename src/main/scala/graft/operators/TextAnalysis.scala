@@ -161,6 +161,39 @@ object TextAnalysis {
         cnt("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]").cast("long").as("n_pretokens"))
     })
 
+  /** Content-addressed train/val/test split: the assignment hashes the
+    * DOCUMENT BODY (md5, identical across engines), not the row id, so it is
+    * stable under re-sharding, dedup reordering, and incremental ingestion —
+    * the property a training-data split actually needs. 12/2/2 sixteenths by
+    * the first fingerprint nibble. */
+  val trainValSplit = QueryDef(
+    "split_train_val",
+    "deterministic content-hash train/val/test split per document",
+    Some("""SELECT doc_id,
+                   CASE WHEN substring(md5(text), 1, 1) BETWEEN '0' AND 'b' THEN 'train'
+                        WHEN substring(md5(text), 1, 1) IN ('c', 'd') THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents"""),
+    (s, dir) => Tables.documents(s, dir).select(col("doc_id"),
+      when(substring(md5(col("text")), 1, 1).between("0", "b"), "train")
+        .when(substring(md5(col("text")), 1, 1).isin("c", "d"), "val")
+        .otherwise("test").as("split")))
+
+  /** Redaction pass: scrub digit runs (the stand-in for PII tokens — same
+    * engine-portable character-class regex in both engines) and fingerprint
+    * the redacted body so the transform itself is hash-verified. */
+  val redact = QueryDef(
+    "text_redact",
+    "redact digit runs, count redactions, fingerprint the redacted text",
+    Some("""SELECT doc_id,
+                   len(regexp_extract_all(text, '[0-9]+')) AS n_redacted,
+                   md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS redacted_fp
+            FROM documents"""),
+    (s, dir) => Tables.documents(s, dir).select(col("doc_id"),
+      regexp_count(col("text"), lit("[0-9]+")).cast("long").as("n_redacted"),
+      md5(regexp_replace(col("text"), "[0-9]+", "<NUM>")).as("redacted_fp")))
+
   val defs: Seq[QueryDef] =
-    Seq(tokenStats, quality, langid, fingerprint, bigramDf, bpeTokens)
+    Seq(tokenStats, quality, langid, fingerprint, bigramDf, bpeTokens,
+      trainValSplit, redact)
 }
