@@ -116,4 +116,27 @@ object AisIngest {
     * per-key ordering matters (the Kafka sink key's analog, producer:47-49). */
   def keyByMmsi(df: DataFrame, partitions: Int): DataFrame =
     df.repartition(partitions, col("mmsi"))
+
+  /** SURVEY §7.4 fallback interface: accept already-decoded position events
+    * as JSON lines, bypassing the NMEA decoder — replay/testing path for
+    * pre-decoded feeds. Malformed lines and objects missing the key drop
+    * (from_json yields null), mirroring decode's drop-don't-throw posture. */
+  def positionsFromJson(raw: Dataset[String]): Dataset[PositionEvent] = {
+    import raw.sparkSession.implicits._
+    val schema = org.apache.spark.sql.Encoders.product[PositionEvent].schema
+    raw.toDF("value")
+      .select(from_json(col("value"), schema).as("p"))
+      .filter(col("p").isNotNull && col("p.mmsi").isNotNull)
+      .select(col("p.*")).as[PositionEvent]
+  }
+
+  /** JSON-lines fallback for the info branch. */
+  def shipInfoFromJson(raw: Dataset[String]): Dataset[ShipInfoEvent] = {
+    import raw.sparkSession.implicits._
+    val schema = org.apache.spark.sql.Encoders.product[ShipInfoEvent].schema
+    raw.toDF("value")
+      .select(from_json(col("value"), schema).as("p"))
+      .filter(col("p").isNotNull && col("p.mmsi").isNotNull)
+      .select(col("p.*")).as[ShipInfoEvent]
+  }
 }

@@ -156,4 +156,18 @@ class PipelineSpec extends SparkSpec {
     assert(one.length == 1)
     assert(one.head.getAs[String]("shipname") == "HAVFRUEN II")
   }
+
+  test("JSON-lines fallback source round-trips decoded events (SURVEY §7.4)") {
+    import spark.implicits._
+    val decoded = AisIngest.decode(spark.createDataset(lines).coalesce(1))
+    val pos = AisIngest.positions(decoded)
+    val back = AisIngest.positionsFromJson(pos.toJSON)
+    assert(back.collect().toSet == pos.collect().toSet)
+    val info = AisIngest.shipInfo(decoded)
+    assert(AisIngest.shipInfoFromJson(info.toJSON).collect().toSet ==
+      info.collect().toSet)
+    // malformed lines drop, never throw
+    val junk = spark.createDataset(Seq("{not json", "", """{"x":1}"""))
+    assert(AisIngest.positionsFromJson(junk).isEmpty)
+  }
 }
