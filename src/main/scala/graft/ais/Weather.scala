@@ -54,21 +54,51 @@ class FixtureWeatherClient extends WeatherClient {
   * the pooling the reference got from its HTTPS singleton), JSON parsed with
   * the same field discipline as Enrich.parseWeatherJson. Zero-egress test
   * environments never construct it (WEATHER_API_KEY unset → fixture client).
+  *
+  * Operational posture (SURVEY §7.4.3): calls are rate-limited to the API's
+  * sustained ceiling (default 3600 ms between calls per client instance ≈
+  * the free tier's 1000/hr — README.md:50) and transient failures (429, 5xx,
+  * I/O) retry up to `maxRetries` times; permanent 4xx drop immediately.
+  * Combined with the per-cell LRU in [[Enrich.withWeather]], steady-state
+  * call volume is one per newly-seen 1° cell, not one per record.
   */
 class HttpWeatherClient(apiKey: String,
-    endpoint: String = "https://api.weatherapi.com/v1/current.json")
+    endpoint: String = "https://api.weatherapi.com/v1/current.json",
+    maxRetries: Int = 2,
+    minIntervalMs: Long = 3600L)
     extends WeatherClient {
   @transient private lazy val http = java.net.http.HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofSeconds(5)).build()
+  private var lastCallNanos = 0L
 
-  def current(lat: Double, lon: Double): Option[WeatherInfo] =
-    try {
-      val uri = java.net.URI.create(s"$endpoint?key=$apiKey&q=$lat,$lon")
-      val resp = http.send(
-        java.net.http.HttpRequest.newBuilder(uri).GET().build(),
-        java.net.http.HttpResponse.BodyHandlers.ofString())
-      if (resp.statusCode() != 200) None else parse(resp.body())
-    } catch { case scala.util.control.NonFatal(_) => None }
+  /** Seam for tests: one HTTP round trip → (status, body). */
+  protected def fetch(uri: java.net.URI): (Int, String) = {
+    val resp = http.send(
+      java.net.http.HttpRequest.newBuilder(uri).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def throttle(): Unit = {
+    val waitNs = lastCallNanos + minIntervalMs * 1000000L - System.nanoTime()
+    if (lastCallNanos != 0L && waitNs > 0) Thread.sleep(waitNs / 1000000L)
+    lastCallNanos = System.nanoTime()
+  }
+
+  def current(lat: Double, lon: Double): Option[WeatherInfo] = {
+    val uri = java.net.URI.create(s"$endpoint?key=$apiKey&q=$lat,$lon")
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      throttle()
+      try {
+        val (status, body) = fetch(uri)
+        if (status == 200) return parse(body)
+        if (status != 429 && status < 500) return None // permanent: no retry
+      } catch { case scala.util.control.NonFatal(_) => () } // transient
+      attempt += 1
+    }
+    None
+  }
 
   /** Same drop rules as the reference (consumer:42-50): error key or missing
     * location/current → None. Minimal hand parse to avoid a JSON dependency
