@@ -84,5 +84,30 @@ object Media {
       .select(col("doc_id"),
         explode(sequence(lit(0L), col("n_frames") - 1, lit(4L))).as("frame_idx")))
 
-  val defs: Seq[QueryDef] = Seq(metadataQ, frameSampleQ)
+  /** Resize planning: aspect-preserving target dimensions (max side 256) for
+    * every payload — integer arithmetic over the stubbed decode dims, so a
+    * real resize kernel at the [[decodeStub]] seam receives exact output
+    * shapes. Pure per-row expressions; payload bytes untouched. */
+  val resizeQ = QueryDef(
+    "media_resize",
+    "aspect-preserving resize dims (max side 256) per payload",
+    Some("""WITH m AS (SELECT doc_id,
+                              octet_length(encode(text)) % 640 + 1 AS width,
+                              (octet_length(encode(text)) * 7) % 480 + 1 AS height
+                       FROM documents)
+            SELECT doc_id, width, height,
+                   width * 256 // greatest(width, height) AS out_w,
+                   height * 256 // greatest(width, height) AS out_h
+            FROM m"""),
+    (s, dir) => {
+      val payload = encode(col("text"), "UTF-8")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (octet_length(payload) % 640 + 1).as("width"),
+          (octet_length(payload) * 7 % 480 + 1).as("height"))
+        .withColumn("out_w", expr("width * 256 div greatest(width, height)"))
+        .withColumn("out_h", expr("height * 256 div greatest(width, height)"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(metadataQ, frameSampleQ, resizeQ)
 }
