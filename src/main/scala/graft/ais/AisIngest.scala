@@ -117,26 +117,44 @@ object AisIngest {
   def keyByMmsi(df: DataFrame, partitions: Int): DataFrame =
     df.repartition(partitions, col("mmsi"))
 
-  /** SURVEY §7.4 fallback interface: accept already-decoded position events
-    * as JSON lines, bypassing the NMEA decoder — replay/testing path for
-    * pre-decoded feeds. Malformed lines and objects missing the key drop
-    * (from_json yields null), mirroring decode's drop-don't-throw posture. */
-  def positionsFromJson(raw: Dataset[String]): Dataset[PositionEvent] = {
-    import raw.sparkSession.implicits._
-    val schema = org.apache.spark.sql.Encoders.product[PositionEvent].schema
+  /** Conjunction of not-null predicates over every leaf of `schema` under
+    * `root`: a replayed pre-decoded event must be COMPLETE. Without this, an
+    * object missing a primitive field would pass from_json with a null and
+    * then throw inside typed deserialization instead of dropping. */
+  private def requiredNonNull(root: org.apache.spark.sql.Column,
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.Column =
+    schema.fields.foldLeft(root.isNotNull) { (acc, f) =>
+      val child = root.getField(f.name)
+      f.dataType match {
+        case st: org.apache.spark.sql.types.StructType =>
+          acc && requiredNonNull(child, st)
+        case _ => acc && child.isNotNull
+      }
+    }
+
+  private def fromJsonLines[T <: Product](raw: Dataset[String])(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    val schema = enc.schema
     raw.toDF("value")
       .select(from_json(col("value"), schema).as("p"))
-      .filter(col("p").isNotNull && col("p.mmsi").isNotNull)
-      .select(col("p.*")).as[PositionEvent]
+      .filter(requiredNonNull(col("p"),
+        schema.asInstanceOf[org.apache.spark.sql.types.StructType]))
+      .select(col("p.*")).as[T]
+  }
+
+  /** SURVEY §7.4 fallback interface: accept already-decoded position events
+    * as JSON lines, bypassing the NMEA decoder — replay/testing path for
+    * pre-decoded feeds. Malformed lines, objects missing the key, and
+    * objects missing any required field drop, mirroring decode's
+    * drop-don't-throw posture. */
+  def positionsFromJson(raw: Dataset[String]): Dataset[PositionEvent] = {
+    import raw.sparkSession.implicits._
+    fromJsonLines[PositionEvent](raw)
   }
 
   /** JSON-lines fallback for the info branch. */
   def shipInfoFromJson(raw: Dataset[String]): Dataset[ShipInfoEvent] = {
     import raw.sparkSession.implicits._
-    val schema = org.apache.spark.sql.Encoders.product[ShipInfoEvent].schema
-    raw.toDF("value")
-      .select(from_json(col("value"), schema).as("p"))
-      .filter(col("p").isNotNull && col("p.mmsi").isNotNull)
-      .select(col("p.*")).as[ShipInfoEvent]
+    fromJsonLines[ShipInfoEvent](raw)
   }
 }

@@ -56,11 +56,16 @@ class FixtureWeatherClient extends WeatherClient {
   * environments never construct it (WEATHER_API_KEY unset → fixture client).
   *
   * Operational posture (SURVEY §7.4.3): calls are rate-limited to the API's
-  * sustained ceiling (default 3600 ms between calls per client instance ≈
-  * the free tier's 1000/hr — README.md:50) and transient failures (429, 5xx,
-  * I/O) retry up to `maxRetries` times; permanent 4xx drop immediately.
-  * Combined with the per-cell LRU in [[Enrich.withWeather]], steady-state
-  * call volume is one per newly-seen 1° cell, not one per record.
+  * sustained ceiling (default 3600 ms between calls ≈ the free tier's
+  * 1000/hr — README.md:50) and transient failures (429, 5xx, I/O) retry up
+  * to `maxRetries` times; permanent 4xx drop immediately. The throttle is
+  * JVM-GLOBAL (companion object), not per instance: `withWeather` builds one
+  * client per partition, and per-instance spacing would multiply the fleet
+  * rate by the partition count. On a multi-executor cluster each executor
+  * JVM throttles independently — scale `minIntervalMs` by executor count
+  * there. Combined with the per-cell LRU in [[Enrich.withWeather]],
+  * steady-state call volume is one per newly-seen 1° cell, not one per
+  * record.
   */
 class HttpWeatherClient(apiKey: String,
     endpoint: String = "https://api.weatherapi.com/v1/current.json",
@@ -69,7 +74,6 @@ class HttpWeatherClient(apiKey: String,
     extends WeatherClient {
   @transient private lazy val http = java.net.http.HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofSeconds(5)).build()
-  private var lastCallNanos = 0L
 
   /** Seam for tests: one HTTP round trip → (status, body). */
   protected def fetch(uri: java.net.URI): (Int, String) = {
@@ -79,10 +83,11 @@ class HttpWeatherClient(apiKey: String,
     (resp.statusCode(), resp.body())
   }
 
-  private def throttle(): Unit = {
-    val waitNs = lastCallNanos + minIntervalMs * 1000000L - System.nanoTime()
-    if (lastCallNanos != 0L && waitNs > 0) Thread.sleep(waitNs / 1000000L)
-    lastCallNanos = System.nanoTime()
+  private def throttle(): Unit = HttpWeatherClient.lock.synchronized {
+    val last = HttpWeatherClient.lastCallNanos
+    val waitNs = last + minIntervalMs * 1000000L - System.nanoTime()
+    if (last != 0L && waitNs > 0) Thread.sleep(waitNs / 1000000L)
+    HttpWeatherClient.lastCallNanos = System.nanoTime()
   }
 
   def current(lat: Double, lon: Double): Option[WeatherInfo] = {
@@ -118,6 +123,12 @@ class HttpWeatherClient(apiKey: String,
       dir <- str("wind_dir")
     } yield WeatherInfo(name, region, country, cond, tempF, wind, dir)
   }
+}
+
+object HttpWeatherClient {
+  /** JVM-global throttle state shared across per-partition client instances. */
+  private val lock = new Object
+  @volatile private var lastCallNanos = 0L
 }
 
 object Enrich {

@@ -96,17 +96,21 @@ object Media {
                               (octet_length(encode(text)) * 7) % 480 + 1 AS height
                        FROM documents)
             SELECT doc_id, width, height,
-                   width * 256 // greatest(width, height) AS out_w,
-                   height * 256 // greatest(width, height) AS out_h
+                   greatest(1, width * 256 // greatest(width, height)) AS out_w,
+                   greatest(1, height * 256 // greatest(width, height)) AS out_h
             FROM m"""),
     (s, dir) => {
       val payload = encode(col("text"), "UTF-8")
+      // clamp to >= 1: floor division of an extreme aspect ratio (1x321)
+      // would otherwise emit a degenerate 0-wide target
       Tables.documents(s, dir)
         .select(col("doc_id"),
           (octet_length(payload) % 640 + 1).as("width"),
           (octet_length(payload) * 7 % 480 + 1).as("height"))
-        .withColumn("out_w", expr("width * 256 div greatest(width, height)"))
-        .withColumn("out_h", expr("height * 256 div greatest(width, height)"))
+        .withColumn("out_w",
+          expr("greatest(1L, width * 256 div greatest(width, height))"))
+        .withColumn("out_h",
+          expr("greatest(1L, height * 256 div greatest(width, height))"))
     })
 
   val defs: Seq[QueryDef] = Seq(metadataQ, frameSampleQ, resizeQ)

@@ -83,9 +83,10 @@ object Relational {
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10))
 
-  /** TPC-H Q5-shaped: 6-way join with broadcast dimensions. region, nation and
-    * supplier/customer are tiny next to orders⋈lineitem — broadcasting them
-    * keeps the only shuffle on the fact-fact join keys. */
+  /** TPC-H Q5-shaped: 6-way join. Only the FIXED-size dimensions (region,
+    * nation) carry broadcast hints; supplier/customer/orders scale with the
+    * data and a forced broadcast would OOM at 100 TB — AQE still picks
+    * broadcast for them at small scale from runtime sizes. */
   val q5 = QueryDef(
     "q5_region_revenue",
     "TPC-H Q5: multi-way join, broadcast dims, revenue per nation",
@@ -112,9 +113,9 @@ object Relational {
           col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
       val lineitem = Tables.lineitem(s, dir)
       lineitem
-        .join(broadcast(orders), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(customer),
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(customer,
           col("o_custkey") === col("c_custkey") &&
             col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
@@ -463,9 +464,9 @@ object Relational {
              ORDER BY revenue DESC, c_custkey LIMIT 20"""),
     (s, dir) => Tables.lineitem(s, dir)
       .filter(col("l_returnflag") === "R")
-      .join(broadcast(Tables.orders(s, dir)
+      .join(Tables.orders(s, dir)
           .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
-            col("o_orderdate") < lit("1996-07-01 00:00:00").cast("timestamp"))),
+            col("o_orderdate") < lit("1996-07-01 00:00:00").cast("timestamp")),
         col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))

@@ -23,13 +23,29 @@ object Tables {
     * re-creating the DataFrame would only repeat file listing + parquet
     * footer/schema reads on every query — a real engine caches catalog
     * metadata. The returned DataFrame is still lazy; only the relation
-    * (file index + schema) is reused. */
+    * (file index + schema) is reused. LRU-bounded so stopped sessions and
+    * their plans are eventually released; callers regenerating files at a
+    * cached path in the SAME session should read via spark.read directly
+    * (the cache pins the first file listing, by design for static tables). */
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, String), DataFrame]): Boolean =
+        size() > 64
+    }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.computeIfAbsent((spark, dir, name),
-      _ => spark.read.parquet(s"$dir/$name.parquet"))
+    cache.synchronized {
+      val key = (spark, dir, name)
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else {
+        val df = spark.read.parquet(s"$dir/$name.parquet")
+        cache.put(key, df)
+        df
+      }
+    }
 
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")

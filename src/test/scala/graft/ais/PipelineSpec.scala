@@ -166,8 +166,12 @@ class PipelineSpec extends SparkSpec {
     val info = AisIngest.shipInfo(decoded)
     assert(AisIngest.shipInfoFromJson(info.toJSON).collect().toSet ==
       info.collect().toSet)
-    // malformed lines drop, never throw
-    val junk = spark.createDataset(Seq("{not json", "", """{"x":1}"""))
+    // malformed lines AND partially-populated objects drop, never throw
+    // (a present key with missing primitives would otherwise blow up typed
+    // deserialization with AssertNotNull)
+    val junk = spark.createDataset(Seq("{not json", "", """{"x":1}""",
+      """{"mmsi":"257000001"}""",
+      """{"mmsi":"257000001","timestamp":1,"speed":4.0,"heading":10}"""))
     assert(AisIngest.positionsFromJson(junk).isEmpty)
   }
 }
