@@ -85,9 +85,37 @@ class PlanSpec extends SparkSpec {
 
   test("text analysis plans are shuffle-free single stages") {
     for (q <- Seq("text_token_stats", "text_quality", "text_langid",
-        "text_fingerprint", "media_metadata")) {
+        "text_fingerprint", "media_metadata", "split_train_val",
+        "text_redact", "text_bpe_tokens", "media_resize")) {
       val p = plan(run(q))
       assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+    }
+  }
+
+  test("range_join_binned hashes on the manufactured bin key, no nested loop") {
+    val p = plan(run("range_join_binned"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("nearest-centroid assignment aggregates — no window over the product") {
+    val p = plan(run("kmeans_update"))
+    assert(!p.contains("Window"), p)
+  }
+
+  test("geo_cell_density prunes the events scan to referenced columns") {
+    val p = plan(run("geo_cell_density"))
+    val scan = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!scan.contains("props") && !scan.contains("event_type"), scan)
+  }
+
+  test("no catalog query degrades to a CartesianProduct") {
+    // vector pair scans are deliberate *conditioned* nested-loop joins
+    // (BroadcastNestedLoopJoin); a true CartesianProduct anywhere means a
+    // join lost its condition — at 100 TB that is a dead query
+    SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+      val p = plan(run(q))
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
     }
   }
 }
