@@ -195,6 +195,40 @@ object Dedup {
   /** Hamming distance between two SimHash fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Near-dup PAIRS → dedup CLUSTERS: connected components of the pair
+    * graph by min-label propagation, the step that turns pairwise similarity
+    * into "keep one document per duplicate group". Iterative DataFrame
+    * fixpoint (the Pregel-lite pattern — MLlib does the same for its graph
+    * routines): each round every node adopts the smallest label among itself
+    * and its neighbors; converges in O(component diameter) rounds, and dup
+    * clusters are shallow (near-clique), so 2-3 rounds in practice. Each
+    * round is one join + one aggregate — all distributed; the driver only
+    * checks the convergence count. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("i"), col("j"))
+      .union(pairs.select(col("j").as("i"), col("i").as("j")))
+      .cache()
+    var labels = edges.select(col("i").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .cache()
+    var converged = false
+    while (!converged) {
+      val neighborLabels = labels.join(edges, col("id") === col("i"))
+        .select(col("j").as("id"), col("label"))
+      val next = labels.unionByName(neighborLabels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .cache()
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") < col("o.label"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels
+  }
+
   // ---- QueryDefs over `documents` ------------------------------------------
 
   private val jaccardOracle =
@@ -272,6 +306,30 @@ object Dedup {
     Some(simhashOracle),
     (s, dir) => simHash(Tables.documents(s, dir), "doc_id", "text"))
 
+  /** Cluster assignment oracled against a DuckDB recursive CTE: both engines
+    * compute "min reachable doc_id" over the near-dup pair graph — label
+    * propagation fixpoint on the Spark side, reflexive-transitive closure +
+    * min on the SQL side. Same fixpoint, independently derived. */
+  val clustersQ = QueryDef(
+    "dedup_clusters",
+    "near-dup pairs -> connected components: cluster id + keeper flag",
+    Some(s"""WITH RECURSIVE pairs AS (SELECT i, j FROM ($jaccardOracle) q),
+             edges AS (SELECT i, j FROM pairs UNION ALL SELECT j, i FROM pairs),
+             nodes AS (SELECT DISTINCT i AS id FROM edges),
+             reach(id, r) AS (
+               SELECT id, id FROM nodes
+               UNION
+               SELECT e.j AS id, w.r FROM reach w JOIN edges e ON e.i = w.id)
+             SELECT id AS doc_id, min(r) AS cluster,
+                    (id = min(r)) AS is_keeper
+             FROM reach GROUP BY id"""),
+    (s, dir) => {
+      val pairs = jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
+      connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("label").as("cluster"),
+          (col("id") === col("label")).as("is_keeper"))
+    })
+
   /** The skew guard exercised under the oracle: identical pipeline with hot
     * shingles (document frequency > 50) dropped on both sides. */
   val jaccardCappedQ = QueryDef(
@@ -293,5 +351,5 @@ object Dedup {
       maxDf = 50))
 
   val defs: Seq[QueryDef] =
-    Seq(exactQ, jaccardQ, jaccardCappedQ, minHashQ, simHashQ)
+    Seq(exactQ, jaccardQ, jaccardCappedQ, minHashQ, simHashQ, clustersQ)
 }
