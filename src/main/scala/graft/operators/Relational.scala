@@ -554,6 +554,41 @@ object Relational {
         (col("ap") >= col("p45") && col("ap") <= col("p55"))
           .as("within_rank_band")))
 
+  /** FULL OUTER join — the one join type the surface lacked: daily purchase
+    * activity against daily error activity per user. Day granularity keeps
+    * the key sparse so genuine left-only and right-only rows exist; keys
+    * coalesce across sides. */
+  val fullOuter = QueryDef(
+    "full_outer_activity",
+    "full outer join of per-user-day purchase and error counts",
+    Some("""WITH p AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                              count(*) AS n_purchases
+                       FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+                 e AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                              count(*) AS n_errors
+                       FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+            SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+                   COALESCE(p.day, e.day) AS day,
+                   COALESCE(p.n_purchases, 0) AS n_purchases,
+                   COALESCE(e.n_errors, 0) AS n_errors
+            FROM p FULL OUTER JOIN e
+              ON p.user_id = e.user_id AND p.day = e.day"""),
+    (s, dir) => {
+      def daily(tpe: String, out: String) = Tables.events(s, dir)
+        .filter(col("event_type") === tpe)
+        .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as(out))
+      daily("purchase", "n_purchases").as("p")
+        .join(daily("error", "n_errors").as("e"),
+          col("p.user_id") === col("e.user_id") && col("p.day") === col("e.day"),
+          "full_outer")
+        .select(
+          coalesce(col("p.user_id"), col("e.user_id")).as("user_id"),
+          coalesce(col("p.day"), col("e.day")).as("day"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+          coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+    })
+
   /** RANGE window frame: trailing-hour sum per user — the frame bound is a
     * value offset (epoch micros), not a row count, so peers at equal
     * timestamps aggregate identically under any partitioning. */
@@ -616,7 +651,7 @@ object Relational {
     })
 
   val defs: Seq[QueryDef] = Seq(q1, q3, q4, q5, q6, q7, q10, q14, q17, q18,
-    q19, semi, anti, except, intersect, rollup_, cube_, running, rankTopN,
-    tumbling, sliding, json, approx, approxPct, unpivot_, rangeFrame, lagLead,
-    ntileBounds)
+    q19, semi, anti, fullOuter, except, intersect, rollup_, cube_, running,
+    rankTopN, tumbling, sliding, json, approx, approxPct, unpivot_, rangeFrame,
+    lagLead, ntileBounds)
 }
