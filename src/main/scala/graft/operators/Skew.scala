@@ -44,5 +44,31 @@ object Skew {
       .select(col("k").as("event_type"), col("n"),
         Num.pround(col("vsum"), 2).as("vsum")))
 
-  val defs: Seq[QueryDef] = Seq(saltedQ)
+  /** Skew diagnosis — the report you run BEFORE choosing a mitigation: per
+    * grouping key its row count, share of the table, and heaviness rank.
+    * One aggregate + one windowed pass over the (small) per-key result. */
+  val skewReportQ = QueryDef(
+    "skew_report_suppkey",
+    "per-key skew report: count, share of total, rank (top 20 suppliers)",
+    Some(s"""WITH k AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1),
+             t AS (SELECT sum(n) AS total FROM k)
+             SELECT l_suppkey, n,
+                    ${Num.sql("100.0 * n / total", 4)} AS pct,
+                    rank() OVER (ORDER BY n DESC) AS heaviness
+             FROM k, t
+             ORDER BY n DESC, l_suppkey LIMIT 20"""),
+    (s, dir) => {
+      val k = Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+      val total = k.agg(sum(col("n")).as("total"))
+      k.crossJoin(broadcast(total))
+        .select(col("l_suppkey"), col("n"),
+          Num.pround(lit(100.0) * col("n") / col("total"), 4).as("pct"),
+          rank().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc)).cast("long").as("heaviness"))
+        .orderBy(col("n").desc, col("l_suppkey"))
+        .limit(20)
+    })
+
+  val defs: Seq[QueryDef] = Seq(saltedQ, skewReportQ)
 }

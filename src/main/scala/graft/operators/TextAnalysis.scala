@@ -193,7 +193,33 @@ object TextAnalysis {
       regexp_count(col("text"), lit("[0-9]+")).cast("long").as("n_redacted"),
       md5(regexp_replace(col("text"), "[0-9]+", "<NUM>")).as("redacted_fp")))
 
+  /** Deterministic weighted source mixing: treat the corpus as two sources
+    * (split by one hash nibble), keep source A whole and downsample source B
+    * to ~25% by a SECOND, independent nibble of the content hash — the
+    * training-mix primitive (re-weight sources without RNG state, stable
+    * under re-sharding; downsampling decisions are content-addressed exactly
+    * like [[trainValSplit]]). */
+  val corpusMix = QueryDef(
+    "corpus_mix_weighted",
+    "two-source weighted mix: keep A, downsample B to 25% by content hash",
+    Some("""WITH tagged AS (SELECT doc_id,
+                                   CASE WHEN substring(md5(text), 1, 1) < '8'
+                                        THEN 'A' ELSE 'B' END AS source,
+                                   substring(md5(text), 2, 1) AS w
+                            FROM documents)
+            SELECT doc_id, source FROM tagged
+            WHERE source = 'A' OR w < '4'"""),
+    (s, dir) => {
+      val h1 = substring(md5(col("text")), 1, 1)
+      val h2 = substring(md5(col("text")), 2, 1)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(h1 < "8", "A").otherwise("B").as("source"), h2.as("w"))
+        .filter(col("source") === "A" || col("w") < "4")
+        .select(col("doc_id"), col("source"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(tokenStats, quality, langid, fingerprint, bigramDf, bpeTokens,
-      trainValSplit, redact)
+      trainValSplit, redact, corpusMix)
 }
