@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.ais._
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 /** The streaming pipeline (SURVEY.md §3.1-3.2): raw NMEA lines → decode →
   * router → two append sinks, plus the stateful latest-per-key view and
@@ -134,6 +134,45 @@ object AisPipeline {
       .withWatermark("event_ts", watermark)
       .dropDuplicatesWithinWatermark("mmsi", "timestamp")
       .drop("event_ts")
+
+  /** Per-ship lifetime activity snapshot. */
+  case class ShipActivity(mmsi: String, n_reports: Long, last_ts: Long)
+
+  /** Spark 4 arbitrary-state v2 (`transformWithState` + [[StatefulProcessor]],
+    * RocksDB-backed): a per-ship report counter and last-seen timestamp in
+    * typed [[ValueState]], re-emitted whenever the key updates — the modern
+    * API for the compaction-intent state that [[latestInfo]] keeps under the
+    * older flatMapGroupsWithState. Requires
+    * `spark.sql.streaming.stateStore.providerClass =
+    * ...state.RocksDBStateStoreProvider`. */
+  class ShipStatsProcessor
+      extends StatefulProcessor[String, PositionEvent, ShipActivity] {
+    @transient private var nState: ValueState[Long] = _
+    @transient private var lastState: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      nState = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+      lastState = getHandle.getValueState[Long]("last", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[PositionEvent],
+        timers: TimerValues): Iterator[ShipActivity] = {
+      var n = if (nState.exists()) nState.get() else 0L
+      var last = if (lastState.exists()) lastState.get() else 0L
+      rows.foreach { p => n += 1; if (p.timestamp > last) last = p.timestamp }
+      nState.update(n)
+      lastState.update(last)
+      Iterator.single(ShipActivity(key, n, last))
+    }
+  }
+
+  /** [[ShipStatsProcessor]] wired onto a position stream. Update-mode. */
+  def shipActivity(pos: Dataset[PositionEvent]): Dataset[ShipActivity] = {
+    import pos.sparkSession.implicits._
+    pos.groupByKey(_.mmsi)
+      .transformWithState(new ShipStatsProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
 
   /** Batch replay of the full pipeline: NMEA text file(s) → the two tables.
     * Same transforms as streaming (they're stateless) — used by entry() and

@@ -223,6 +223,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState keeps per-ship counters across micro-batches " +
+    "(arbitrary-state v2, RocksDB store)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[PositionEvent]
+      def p(mmsi: String, ts: Long) =
+        PositionEvent(mmsi, "UnderWayUsingEngine", ts, Gps(60, 5), 10.0, 90)
+      val q = AisPipeline.shipActivity(input.toDS()).toDF().writeStream
+        .outputMode("update").format("memory").queryName("tws_t11").start()
+      try {
+        input.addData(p("A", 100), p("A", 200), p("B", 50))
+        q.processAllAvailable()
+        input.addData(p("A", 150)) // late but counted; last_ts stays 200
+        q.processAllAvailable()
+        val last = spark.table("tws_t11").groupBy(col("mmsi"))
+          .agg(max(col("n_reports")).as("n"), max(col("last_ts")).as("t"))
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        assert(last("A") == (3L, 200L), last)
+        assert(last("B") == (1L, 50L), last)
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming weather enrichment (mapPartitions) runs per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
