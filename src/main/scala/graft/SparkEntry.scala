@@ -24,9 +24,9 @@ object SparkEntry {
     operators.Serving.defs ++ operators.Ingest.defs ++
       operators.Relational.defs ++ operators.Advanced.defs ++
       operators.Skew.defs ++ operators.AisThroughput.defs ++
-      operators.Geo.defs ++ operators.Dedup.defs ++
-      operators.Similarity.defs ++ operators.TextAnalysis.defs ++
-      multimodal.Media.defs
+      operators.Geo.defs ++ operators.Analytics.defs ++
+      operators.Dedup.defs ++ operators.Similarity.defs ++
+      operators.TextAnalysis.defs ++ multimodal.Media.defs
 
   /** Flagship: the full AIS pipeline end-to-end — synthesized NMEA sentences
     * → decode (types 1/3/18/5, two-fragment assembly) → quality filters →

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.Num
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Product-analytics query shapes over the event stream — funnel
+  * conversion, cohort retention, value histograms. The serving-layer
+  * companions to the dashboard counts (SURVEY.md §2.D): all two-phase
+  * aggregates or one-shuffle conditional aggregations, no per-user state.
+  */
+object Analytics {
+
+  /** Ordered funnel: per user the earliest time of each stage, converted
+    * when the stages happened in order. One grouped conditional-min pass —
+    * no self-joins, no window, |users| rows after the single shuffle. */
+  val funnelQ = QueryDef(
+    "funnel_conversion",
+    "view->click->purchase ordered funnel: per-stage user counts",
+    Some("""WITH f AS (SELECT user_id,
+                              min(CASE WHEN event_type = 'view'
+                                       THEN epoch_us(ts) END) AS v,
+                              min(CASE WHEN event_type = 'click'
+                                       THEN epoch_us(ts) END) AS c,
+                              min(CASE WHEN event_type = 'purchase'
+                                       THEN epoch_us(ts) END) AS p
+                       FROM events GROUP BY user_id)
+            SELECT count(*) FILTER (v IS NOT NULL) AS n_viewed,
+                   count(*) FILTER (v IS NOT NULL AND c > v) AS n_clicked_after,
+                   count(*) FILTER (v IS NOT NULL AND c > v AND p > c) AS n_converted
+            FROM f"""),
+    (s, dir) => {
+      def stageMin(tpe: String) =
+        min(when(col("event_type") === tpe, unix_micros(col("ts"))))
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(stageMin("view").as("v"), stageMin("click").as("c"),
+          stageMin("purchase").as("p"))
+        .agg(
+          count(when(col("v").isNotNull, 1)).as("n_viewed"),
+          count(when(col("v").isNotNull && col("c") > col("v"), 1))
+            .as("n_clicked_after"),
+          count(when(col("v").isNotNull && col("c") > col("v") &&
+            col("p") > col("c"), 1)).as("n_converted"))
+    })
+
+  /** Cohort retention: users grouped by signup week crossed with the weeks
+    * they were active — the classic retention matrix. Signup weeks come from
+    * one aggregate; the activity join broadcasts the (small) per-user cohort
+    * map. Both engines truncate to ISO Monday weeks. */
+  val cohortQ = QueryDef(
+    "cohort_retention",
+    "signup-week x active-week distinct-user retention matrix",
+    Some("""WITH su AS (SELECT user_id,
+                               strftime(date_trunc('week', min(ts)), '%Y-%m-%d') AS signup_wk
+                        FROM events WHERE event_type = 'signup' GROUP BY 1)
+            SELECT su.signup_wk,
+                   strftime(date_trunc('week', e.ts), '%Y-%m-%d') AS active_wk,
+                   count(DISTINCT e.user_id) AS n_users
+            FROM events e JOIN su ON e.user_id = su.user_id
+            GROUP BY 1, 2"""),
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val signup = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id").as("su_user"))
+        .agg(date_format(date_trunc("week", min(col("ts"))), "yyyy-MM-dd")
+          .as("signup_wk"))
+      e.join(broadcast(signup), col("user_id") === col("su_user"))
+        .groupBy(col("signup_wk"),
+          date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("active_wk"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    })
+
+  /** Fixed-width value histogram by explicit floor binning (identical
+    * arithmetic in both engines — no engine-specific bucket function),
+    * overflow clamped into the top bin. */
+  val histogramQ = QueryDef(
+    "value_histogram",
+    "event value histogram: 17 bins of width 20, top bin clamped",
+    Some(s"""SELECT least(CAST(floor(value / 20) AS BIGINT), 16) AS bin,
+                    count(*) AS n, ${Num.sql("avg(value)", 4)} AS mean_in_bin
+             FROM events GROUP BY 1"""),
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(least(floor(col("value") / 20).cast("long"), lit(16L)).as("bin"))
+      .agg(count(lit(1)).as("n"), Num.pround(avg(col("value")), 4).as("mean_in_bin")))
+
+  val defs: Seq[QueryDef] = Seq(funnelQ, cohortQ, histogramQ)
+}
