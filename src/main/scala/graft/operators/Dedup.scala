@@ -205,9 +205,14 @@ object Dedup {
     * round is one join + one aggregate — all distributed; the driver only
     * checks the convergence count. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("i"), col("j"))
-      .union(pairs.select(col("j").as("i"), col("i").as("j")))
-      .cache()
+    val p = pairs.select(col("i"), col("j")).cache()
+    // verified near-dup pair lists are tiny relative to the corpus; below
+    // this size every fixpoint round is pure job overhead, so run the loop
+    // in one task (the AQE-style decision a driver CAN make: on a size, not
+    // on data values — results are identical either way)
+    val singleTask = p.count() < 100000
+    val edges0 = p.union(p.select(col("j").as("i"), col("i").as("j")))
+    val edges = (if (singleTask) edges0.coalesce(1) else edges0).cache()
     var labels = edges.select(col("i").as("id")).distinct()
       .withColumn("label", col("id"))
       .cache()
@@ -226,6 +231,7 @@ object Dedup {
       labels = next
     }
     edges.unpersist()
+    p.unpersist()
     labels
   }
 
