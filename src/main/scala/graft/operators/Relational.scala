@@ -209,12 +209,16 @@ object Relational {
     "running sum over a deterministic per-key frame",
     Some(s"""SELECT l_suppkey, l_orderkey, l_linenumber,
                    ${Num.sql("""sum(l_quantity) OVER (PARTITION BY l_suppkey
-                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""", 2)} AS running_qty
             FROM lineitem"""),
     (s, dir) => {
+      // (orderkey, linenumber) is NOT unique in this synthetic lineitem:
+      // l_quantity joins the sort key so the order is total over the summed
+      // value and the running sum is engine- and run-deterministic
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, dir).select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
