@@ -83,19 +83,22 @@ class HttpWeatherClient(apiKey: String,
     (resp.statusCode(), resp.body())
   }
 
-  private def throttle(): Unit = HttpWeatherClient.lock.synchronized {
-    val last = HttpWeatherClient.lastCallNanos
-    val waitNs = last + minIntervalMs * 1000000L - System.nanoTime()
-    if (last != 0L && waitNs > 0) Thread.sleep(waitNs / 1000000L)
-    HttpWeatherClient.lastCallNanos = System.nanoTime()
-  }
+  private def throttle(): Unit =
+    if (minIntervalMs > 0) HttpWeatherClient.lock.synchronized {
+      val last = HttpWeatherClient.lastCallNanos
+      val waitNs = last + minIntervalMs * 1000000L - System.nanoTime()
+      if (last != 0L && waitNs > 0) Thread.sleep(waitNs / 1000000L)
+      HttpWeatherClient.lastCallNanos = System.nanoTime()
+    } // interval <= 0 (tests): no throttle, no shared-state stamp
 
   def current(lat: Double, lon: Double): Option[WeatherInfo] = {
-    val uri = java.net.URI.create(s"$endpoint?key=$apiKey&q=$lat,$lon")
     var attempt = 0
     while (attempt <= maxRetries) {
       throttle()
       try {
+        // URI.create stays inside the try: a malformed endpoint must drop
+        // (permanently, via the retry cap), not escape mapPartitions
+        val uri = java.net.URI.create(s"$endpoint?key=$apiKey&q=$lat,$lon")
         val (status, body) = fetch(uri)
         if (status == 200) return parse(body)
         if (status != 429 && status < 500) return None // permanent: no retry

@@ -47,8 +47,9 @@ object Analytics {
 
   /** Cohort retention: users grouped by signup week crossed with the weeks
     * they were active — the classic retention matrix. Signup weeks come from
-    * one aggregate; the activity join broadcasts the (small) per-user cohort
-    * map. Both engines truncate to ISO Monday weeks. */
+    * one aggregate; the signup map scales with users, so no broadcast
+    * hint — AQE picks the join side at runtime. Both engines truncate to
+    * ISO Monday weeks. */
   val cohortQ = QueryDef(
     "cohort_retention",
     "signup-week x active-week distinct-user retention matrix",
@@ -66,7 +67,7 @@ object Analytics {
         .groupBy(col("user_id").as("su_user"))
         .agg(date_format(date_trunc("week", min(col("ts"))), "yyyy-MM-dd")
           .as("signup_wk"))
-      e.join(broadcast(signup), col("user_id") === col("su_user"))
+      e.join(signup, col("user_id") === col("su_user"))
         .groupBy(col("signup_wk"),
           date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("active_wk"))
         .agg(countDistinct(col("user_id")).as("n_users"))

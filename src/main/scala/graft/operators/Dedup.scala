@@ -230,9 +230,16 @@ object Dedup {
       labels.unpersist()
       labels = next
     }
+    // hand back a self-contained result: localCheckpoint materializes the
+    // converged labels and truncates the iterative lineage, so every round's
+    // cache (including the final one) can be released here instead of
+    // leaking in executor storage until session end — and a consumer
+    // recomputing the result never replays the fixpoint
+    val result = labels.localCheckpoint(true)
+    labels.unpersist()
     edges.unpersist()
     p.unpersist()
-    labels
+    result
   }
 
   // ---- QueryDefs over `documents` ------------------------------------------

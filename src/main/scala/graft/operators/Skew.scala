@@ -61,13 +61,18 @@ object Skew {
       val k = Tables.lineitem(s, dir)
         .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
       val total = k.agg(sum(col("n")).as("total"))
+      // top-20 FIRST (TakeOrdered — per-partition heaps, no global sort or
+      // single-partition window over the whole key set), then rank the 20
+      // survivors: rank counts strictly-greater n, so excluded ties at the
+      // boundary cannot change the survivors' rank values
       k.crossJoin(broadcast(total))
         .select(col("l_suppkey"), col("n"),
-          Num.pround(lit(100.0) * col("n") / col("total"), 4).as("pct"),
-          rank().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("n").desc)).cast("long").as("heaviness"))
+          Num.pround(lit(100.0) * col("n") / col("total"), 4).as("pct"))
         .orderBy(col("n").desc, col("l_suppkey"))
         .limit(20)
+        .withColumn("heaviness", rank().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("n").desc))
+          .cast("long"))
     })
 
   val defs: Seq[QueryDef] = Seq(saltedQ, skewReportQ)
