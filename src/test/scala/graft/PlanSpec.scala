@@ -109,6 +109,26 @@ class PlanSpec extends SparkSpec {
     assert(!scan.contains("props") && !scan.contains("event_type"), scan)
   }
 
+  test("AQE re-plans sort-merge joins to broadcasts from runtime sizes") {
+    // disable static broadcast estimation (the 100 TB situation: size
+    // estimates are useless) but leave the adaptive threshold: the
+    // de-hinted q5 fact joins must statically plan as shuffles and then
+    // convert to broadcasts from actual runtime statistics
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+    try {
+      val df = run("q5_region_revenue")
+      assert(plan(df).contains("SortMergeJoin"), plan(df)) // static: shuffled
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"), finalPlan)
+      assert("BroadcastHashJoin".r.findAllIn(finalPlan).length >= 4, finalPlan)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("no catalog query degrades to a CartesianProduct") {
     // vector pair scans are deliberate *conditioned* nested-loop joins
     // (BroadcastNestedLoopJoin); a true CartesianProduct anywhere means a
