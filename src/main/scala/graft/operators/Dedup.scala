@@ -195,6 +195,32 @@ object Dedup {
   /** Hamming distance between two SimHash fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** All fingerprint pairs within `maxDist` hamming distance WITHOUT the
+    * all-pairs product — and with EXACT recall, not LSH-probabilistic: split
+    * the 60-bit fingerprint into maxDist+1 bands; two prints within maxDist
+    * differ in at most maxDist bands, so by pigeonhole at least one band is
+    * IDENTICAL — candidates come from maxDist+1 equi-joins on band values,
+    * then the exact distance filter keeps true pairs. Shuffle cost is
+    * (maxDist+1)·|fp| narrow rows instead of |fp|² comparisons. */
+  def hammingPairs(fp: DataFrame, maxDist: Int, bits: Int = 60): DataFrame = {
+    val nBands = maxDist + 1
+    val width = bits / nBands
+    val bandCols = (0 until nBands).map(b =>
+      shiftright(col("simhash"), b * width)
+        .bitwiseAND(lit((1L << width) - 1)).as(s"band$b"))
+    val t = fp.select(Seq(col("doc_id"), col("simhash")) ++ bandCols: _*)
+    val cands = (0 until nBands).map { b =>
+      t.as("x").join(t.as("y"),
+          col(s"x.band$b") === col(s"y.band$b") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+          col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+    }.reduce(_ unionByName _).distinct()
+    cands
+      .select(col("i"), col("j"), hamming(col("ha"), col("hb")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Near-dup PAIRS → dedup CLUSTERS: connected components of the pair
     * graph by min-label propagation, the step that turns pairwise similarity
     * into "keep one document per duplicate group". Iterative DataFrame
@@ -343,6 +369,20 @@ object Dedup {
           (col("id") === col("label")).as("is_keeper"))
     })
 
+  /** Banded hamming search under the oracle: the DuckDB side computes the
+    * full quadratic answer; the engine's pigeonhole banding must return
+    * exactly that set (recall is structural, not probabilistic). */
+  val hammingQ = QueryDef(
+    "simhash_hamming_pairs",
+    "fingerprint pairs within hamming distance 3 via exact pigeonhole bands",
+    Some(s"""WITH fp AS ($simhashOracle)
+             SELECT a.doc_id AS i, b.doc_id AS j,
+                    bit_count(xor(a.simhash, b.simhash)) AS dist
+             FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""),
+    (s, dir) => hammingPairs(
+      simHash(Tables.documents(s, dir), "doc_id", "text"), maxDist = 3))
+
   /** The skew guard exercised under the oracle: identical pipeline with hot
     * shingles (document frequency > 50) dropped on both sides. */
   val jaccardCappedQ = QueryDef(
@@ -364,5 +404,5 @@ object Dedup {
       maxDf = 50))
 
   val defs: Seq[QueryDef] =
-    Seq(exactQ, jaccardQ, jaccardCappedQ, minHashQ, simHashQ, clustersQ)
+    Seq(exactQ, jaccardQ, jaccardCappedQ, minHashQ, simHashQ, hammingQ, clustersQ)
 }
