@@ -208,7 +208,9 @@ object Dedup {
     val bandCols = (0 until nBands).map(b =>
       shiftright(col("simhash"), b * width)
         .bitwiseAND(lit((1L << width) - 1)).as(s"band$b"))
-    val t = fp.select(Seq(col("doc_id"), col("simhash")) ++ bandCols: _*)
+    // cached: the banded table feeds 2(maxDist+1) join sides — without this
+    // the upstream fingerprint aggregation re-executes under every branch
+    val t = fp.select(Seq(col("doc_id"), col("simhash")) ++ bandCols: _*).cache()
     val cands = (0 until nBands).map { b =>
       t.as("x").join(t.as("y"),
           col(s"x.band$b") === col(s"y.band$b") &&
