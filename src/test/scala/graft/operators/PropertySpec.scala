@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Differential property tests: each distributed operator against an
+  * independent local reference implementation over randomized inputs. */
+class PropertySpec extends SparkSpec {
+
+  private def sample[A](gen: Gen[A], n: Int, seed: Long): Seq[A] =
+    Gen.listOfN(n, gen).pureApply(Gen.Parameters.default, Seed(seed))
+
+  test("property: encode->decode round-trips valid positions to wire precision") {
+    import graft.ais.{AisDecoder, Nmea, NmeaEncoder}
+    val gen = for {
+      mmsi <- Gen.chooseNum(100000000L, 999999999L)
+      status <- Gen.chooseNum(0, 15)
+      speed <- Gen.chooseNum(0, 1022).map(_ / 10.0) // wire precision 0.1 kn
+      lon <- Gen.chooseNum(-179999999, 179999999).map(_ / 1e6)
+      lat <- Gen.chooseNum(-89999999, 89999999).map(_ / 1e6)
+      heading <- Gen.chooseNum(0, 359)
+      ts <- Gen.chooseNum(1500000000L, 1900000000L)
+      t <- Gen.oneOf(1, 3)
+    } yield (t, mmsi, status, speed, lon, lat, heading, ts)
+    sample(gen, 300, 11L).foreach { case (t, mmsi, st, sp, lon, lat, hdg, ts) =>
+      val line = NmeaEncoder.position(t, mmsi, st, sp, lon, lat, hdg, ts)
+      val d = Nmea.assemble(Nmea.parse(line).iterator)
+        .flatMap(AisDecoder.decode).toSeq.headOption
+        .getOrElse(fail(s"did not decode: $line"))
+      assert(d.msgType == t && d.mmsi == mmsi.toString)
+      assert(d.status.contains(st) && d.heading.contains(hdg))
+      assert(d.receiverTs.contains(ts))
+      assert(math.abs(d.speed.get - sp) < 1e-9) // speed is exactly on-grid
+      assert(math.abs(d.lon.get - lon) <= 0.5 / 600000 + 1e-12) // wire quantum
+      assert(math.abs(d.lat.get - lat) <= 0.5 / 600000 + 1e-12)
+    }
+  }
+
+  test("property: binned range join equals the naive inequality join") {
+    import graft.operators.Advanced.rangeJoinBinned
+    import spark.implicits._
+    val windowUs = 1000L
+    val gen = Gen.chooseNum(0L, 20000L)
+    val lts = sample(gen, 150, 21L).distinct
+    val rts = sample(gen, 150, 22L).distinct
+    val left = lts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("event_id", "ts_us")
+    val right = rts.zipWithIndex.map { case (t, i) => (i.toLong + 10000, t) }
+      .toDF("s_id", "s_ts_us")
+    val binned = rangeJoinBinned(left, right, "ts_us", "s_ts_us", windowUs)
+      .select(col("event_id"), col("s_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = (for {
+      (lt, li) <- lts.zipWithIndex
+      (rt, ri) <- rts.zipWithIndex
+      if rt >= lt - windowUs && rt <= lt
+    } yield (li.toLong, ri.toLong + 10000)).toSet
+    assert(binned == naive,
+      s"missing=${(naive -- binned).take(5)} extra=${(binned -- naive).take(5)}")
+  }
+
+  test("property: connectedComponents equals local union-find on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(31L, 32L, 33L)) {
+      val edgeGen = for {
+        a <- Gen.chooseNum(0L, 60L); b <- Gen.chooseNum(0L, 60L) if a != b
+      } yield (math.min(a, b), math.max(a, b))
+      val edges = sample(edgeGen, 80, seed).distinct
+      // local union-find reference
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("i", "j"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed=$seed diff=${
+        (expected.toSet diff got.toSet).take(5)}")
+    }
+  }
+}
