@@ -10,12 +10,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - [[operators.Ingest]]        — §2.A/§2.C ingest transforms + latest-per-key
   *   - [[operators.Relational]]    — TPC-H shapes, set ops, windows, rollups
   *   - [[operators.Advanced]]      — session windows, as-of (composed + custom
-  *                                   plan), grouping sets, pivot, percentiles,
-  *                                   typed aggregator/mapGroups
-  *   - [[operators.Skew]]          — salted two-phase aggregation
-  *   - [[operators.AisThroughput]] — the AIS pipeline as a benchable query
+  *                                   plan), binned range join, grouping sets,
+  *                                   pivot, percentiles, typed
+  *                                   aggregator/mapGroups, sequence assembly
+  *   - [[operators.Skew]]          — salted two-phase aggregation + skew report
+  *   - [[operators.AisThroughput]] — the AIS pipeline as an oracled benchable query
+  *   - [[operators.Geo]]           — cell density, haversine track analytics
+  *   - [[operators.Analytics]]     — funnel, cohort retention, histograms
   *   - [[operators.Dedup]] / [[operators.Similarity]] /
   *     [[operators.TextAnalysis]] / [[multimodal.Media]] — SURVEY.md §7.6
+  *     (near-dup pipelines incl. clusters + hamming bands, ANN + k-means,
+  *     text/quality/split/mix, multimodal decode/resize/frame-sample)
   * Full inventory: SURVEY.md §8; scale contract: SCALE.md.
   */
 object SparkEntry {
