@@ -129,6 +129,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("partitioned MV layout prunes directories at planning time") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mv").toString
+    graft.sources.Mv.write(
+      graft.sources.Tables.events(spark, sf("sf0.001")), tmp, "event_type")
+    val df = graft.sources.Mv.read(spark, tmp)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the partition predicate must land in PartitionFilters (directory
+    // pruning), not in PushedFilters (rowgroup statistics)
+    assert(p.contains("PartitionFilters"), p)
+    assert("PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(p).nonEmpty, p)
+    // and only the matching partition's files are scanned
+    def filesScanned(d: org.apache.spark.sql.DataFrame): Long =
+      d.queryExecution.executedPlan.collectLeaves()
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles }.sum
+    val scanned = filesScanned(df)
+    val allFiles = filesScanned(graft.sources.Mv.read(spark, tmp))
+    assert(scanned < allFiles, s"$scanned vs $allFiles")
+    assert(df.count() > 0)
+  }
+
   test("no catalog query degrades to a CartesianProduct") {
     // vector pair scans are deliberate *conditioned* nested-loop joins
     // (BroadcastNestedLoopJoin); a true CartesianProduct anywhere means a
