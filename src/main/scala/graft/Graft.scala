@@ -58,4 +58,10 @@ object Graft {
         else Tables.table(spark, dir, t)
       df.createOrReplaceTempView(t)
     }
+
+  /** Register the whole query catalog as temp views — every operator the
+    * engine ships becomes `SELECT * FROM <name>` (views are lazy; nothing
+    * executes until queried). A reference user's SQL-only migration path. */
+  def registerQueries(spark: SparkSession, dir: String): Unit =
+    SparkEntry.catalog.foreach(q => q.run(spark, dir).createOrReplaceTempView(q.name))
 }

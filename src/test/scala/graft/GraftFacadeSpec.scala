@@ -26,6 +26,19 @@ class GraftFacadeSpec extends SparkSpec {
     assert(n == 15)
   }
 
+  test("the query catalog is reachable as SQL views, composable with SQL") {
+    Graft.init(spark)
+    Graft.registerQueries(spark, sf("sf0.001"))
+    val top = spark.sql(
+      """SELECT count(*) AS n FROM q1_pricing_summary""").head().getLong(0)
+    assert(top == 6)
+    // views compose: join two catalog results in plain SQL
+    val joined = spark.sql(
+      """SELECT count(*) FROM dedup_exact e
+         JOIN split_train_val s ON e.keeper_id = s.doc_id""").head().getLong(0)
+    assert(joined > 0)
+  }
+
   test("dot_product, haversine_km and rolling_hash2 SQL functions evaluate") {
     Graft.init(spark)
     val r = spark.sql(
