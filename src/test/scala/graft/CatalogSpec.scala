@@ -12,6 +12,14 @@ class CatalogSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("every catalog query declares a DuckDB oracle — no rows-only checks") {
+    // as of round 2 the whole surface is hash-verified; a new query landing
+    // without an oracle silently downgrades the driver's gate to a weak
+    // rows-only check, so make that a test failure instead
+    val missing = SparkEntry.catalog.filter(_.oracle.isEmpty).map(_.name)
+    assert(missing.isEmpty, s"rows-only queries: $missing")
+  }
+
   test("entry() returns rows on sf0.001 (driver smoke check)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
