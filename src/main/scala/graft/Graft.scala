@@ -61,7 +61,10 @@ object Graft {
 
   /** Register the whole query catalog as temp views — every operator the
     * engine ships becomes `SELECT * FROM <name>` (views are lazy; nothing
-    * executes until queried). A reference user's SQL-only migration path. */
+    * executes until queried — builders with driver-side actions, e.g. the
+    * dedup-cluster fixpoint, are wrapped in [[plans.Deferred]] so even those
+    * run no jobs before first use; GraftFacadeSpec pins this). A reference
+    * user's SQL-only migration path. */
   def registerQueries(spark: SparkSession, dir: String): Unit =
     SparkEntry.catalog.foreach(q => q.run(spark, dir).createOrReplaceTempView(q.name))
 }

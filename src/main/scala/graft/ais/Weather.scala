@@ -83,18 +83,41 @@ class HttpWeatherClient(apiKey: String,
     (resp.statusCode(), resp.body())
   }
 
-  private def throttle(): Unit =
-    if (minIntervalMs > 0) HttpWeatherClient.lock.synchronized {
-      val last = HttpWeatherClient.lastCallNanos
-      val waitNs = last + minIntervalMs * 1000000L - System.nanoTime()
-      if (last != 0L && waitNs > 0) Thread.sleep(waitNs / 1000000L)
-      HttpWeatherClient.lastCallNanos = System.nanoTime()
-    } // interval <= 0 (tests): no throttle, no shared-state stamp
+  /** Claim the next JVM-global call slot and sleep (outside any lock) until
+    * it arrives. Each caller CAS-advances `nextSlotNanos` by the interval, so
+    * concurrent partitions queue for distinct slots instead of serializing
+    * behind one sleeper holding a lock; the nanosecond remainder is passed to
+    * sleep, so the enforced interval never undershoots. Returns false when
+    * interrupted mid-wait (task kill): the interrupt flag is restored and the
+    * caller drops the lookup rather than leaking InterruptedException through
+    * mapPartitions. */
+  private def throttle(): Boolean = {
+    if (minIntervalMs <= 0) return true // tests: no throttle, no shared stamp
+    val intervalNs = minIntervalMs * 1000000L
+    var slot = 0L
+    var claimed = false
+    while (!claimed) {
+      val now = System.nanoTime()
+      val prev = HttpWeatherClient.nextSlotNanos.get()
+      slot = if (now - prev >= 0) now else prev // wraparound-safe compare
+      claimed = HttpWeatherClient.nextSlotNanos.compareAndSet(prev, slot + intervalNs)
+    }
+    var waitNs = slot - System.nanoTime()
+    while (waitNs > 0) {
+      try Thread.sleep(waitNs / 1000000L, (waitNs % 1000000L).toInt)
+      catch { case _: InterruptedException =>
+        Thread.currentThread().interrupt()
+        return false
+      }
+      waitNs = slot - System.nanoTime()
+    }
+    true
+  }
 
   def current(lat: Double, lon: Double): Option[WeatherInfo] = {
     var attempt = 0
     while (attempt <= maxRetries) {
-      throttle()
+      if (!throttle()) return None // interrupted: drop, the task is dying
       try {
         // URI.create stays inside the try: a malformed endpoint must drop
         // (permanently, via the retry cap), not escape mapPartitions
@@ -129,9 +152,11 @@ class HttpWeatherClient(apiKey: String,
 }
 
 object HttpWeatherClient {
-  /** JVM-global throttle state shared across per-partition client instances. */
-  private val lock = new Object
-  @volatile private var lastCallNanos = 0L
+  /** JVM-global throttle state shared across per-partition client instances:
+    * the nanoTime at-or-after which the next call may fire. Initialized to
+    * "now" at class load so the first call proceeds immediately. */
+  private val nextSlotNanos =
+    new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
 }
 
 object Enrich {

@@ -78,7 +78,11 @@ object AisThroughput {
     "ais_pipeline_decode",
     "full AIS pipeline over synthesized NMEA: decode, filter, enrich (oracled)",
     Some(oracle),
-    (s, dir) => {
+    (s, dir) => graft.plans.Deferred.dataFrame(s,
+      org.apache.spark.sql.Encoders.product[graft.ais.PositionWithWeather].schema,
+      // countFor is an action (the sizing count over events), so defer the
+      // whole build to first execution — registration stays job-free
+      () => {
       import s.implicits._
       val n = countFor(s, dir)
       // synthesize ON the executors (spark.range, 32 partitions): the driver
@@ -94,7 +98,7 @@ object AisThroughput {
       val decoded = AisIngest.decode(lines)
       Enrich.withWeather(AisIngest.positions(decoded),
         () => new FixtureWeatherClient).toDF()
-    })
+    }))
 
   val defs: Seq[QueryDef] = Seq(pipelineQ)
 }

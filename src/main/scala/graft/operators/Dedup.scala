@@ -365,10 +365,19 @@ object Dedup {
                     (id = min(r)) AS is_keeper
              FROM reach GROUP BY id"""),
     (s, dir) => {
-      val pairs = jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
-      connectedComponents(pairs)
-        .select(col("id").as("doc_id"), col("label").as("cluster"),
-          (col("id") === col("label")).as("is_keeper"))
+      // the fixpoint runs driver-side actions (count, convergence checks), so
+      // the builder would otherwise execute the heaviest catalog query at view
+      // REGISTRATION time — defer it to first action via the thunk-backed plan
+      import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
+      graft.plans.Deferred.dataFrame(s, StructType(Seq(
+        StructField("doc_id", LongType), StructField("cluster", LongType),
+        StructField("is_keeper", BooleanType))),
+        () => {
+          val pairs = jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
+          connectedComponents(pairs)
+            .select(col("id").as("doc_id"), col("label").as("cluster"),
+              (col("id") === col("label")).as("is_keeper"))
+        })
     })
 
   /** Banded hamming search under the oracle: the DuckDB side computes the

@@ -37,6 +37,12 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.synchronized {
+      // stopped sessions never hit again — drop their entries now instead of
+      // pinning session + analyzed plans until 64 newer entries evict them
+      // (test suites cycle many short-lived sessions in one JVM)
+      val it = cache.entrySet().iterator()
+      while (it.hasNext)
+        if (it.next().getKey._1.sparkContext.isStopped) it.remove()
       val key = (spark, dir, name)
       val hit = cache.get(key)
       if (hit != null) hit

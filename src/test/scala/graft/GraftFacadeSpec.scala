@@ -39,6 +39,32 @@ class GraftFacadeSpec extends SparkSpec {
     assert(joined > 0)
   }
 
+  test("registering the catalog runs ZERO Spark jobs; deferred views still answer") {
+    var jobs = 0
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(counter)
+    try {
+      Graft.init(spark)
+      Graft.registerTables(spark, sf("sf0.001"))
+      Graft.registerQueries(spark, sf("sf0.001"))
+      org.apache.spark.GraftListenerBridge
+        .waitUntilListenerBusEmpty(spark.sparkContext)
+      assert(jobs == 0,
+        s"view registration must be lazy but submitted $jobs Spark jobs")
+      // the deferred-builder views (fixpoint clusters, synthesized pipeline)
+      // execute correctly on first use — and only then
+      val clusters = spark.sql(
+        "SELECT count(*) FROM dedup_clusters WHERE is_keeper").head().getLong(0)
+      assert(clusters > 0)
+      org.apache.spark.GraftListenerBridge
+        .waitUntilListenerBusEmpty(spark.sparkContext)
+      assert(jobs > 0)
+    } finally spark.sparkContext.removeSparkListener(counter)
+  }
+
   test("dot_product, haversine_km and rolling_hash2 SQL functions evaluate") {
     Graft.init(spark)
     val r = spark.sql(
