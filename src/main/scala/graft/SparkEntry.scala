@@ -27,7 +27,8 @@ object SparkEntry {
 
   val catalog: Seq[QueryDef] =
     operators.Serving.defs ++ operators.Ingest.defs ++
-      operators.Relational.defs ++ operators.Advanced.defs ++
+      operators.Relational.defs ++ operators.TpchMore.defs ++
+      operators.Advanced.defs ++
       operators.Skew.defs ++ operators.AisThroughput.defs ++
       operators.Geo.defs ++ operators.Analytics.defs ++
       operators.Dedup.defs ++ operators.Similarity.defs ++
