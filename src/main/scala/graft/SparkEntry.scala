@@ -32,7 +32,8 @@ object SparkEntry {
       operators.Skew.defs ++ operators.AisThroughput.defs ++
       operators.Geo.defs ++ operators.Analytics.defs ++
       operators.Dedup.defs ++ operators.Similarity.defs ++
-      operators.TextAnalysis.defs ++ multimodal.Media.defs
+      operators.TextAnalysis.defs ++ operators.Pipeline.defs ++
+      multimodal.Media.defs
 
   /** Flagship: the full AIS pipeline end-to-end — synthesized NMEA sentences
     * → decode (types 1/3/18/5, two-fragment assembly) → quality filters →
