@@ -32,7 +32,9 @@ object Pipeline {
     * totals. */
   def packSequences(df: DataFrame, id: String, nTokens: String,
       capacity: Long): DataFrame = {
-    val chunk = (col(id) / lit(1000L)).cast("long").as("chunk")
+    // exact integer division for the chunk key: true division rounds through
+    // a double, which is only monotone in id up to ~2^53
+    val chunk = expr(s"$id div 1000").as("chunk")
     val inChunk = Window.partitionBy(col("chunk")).orderBy(col(id))
       .rowsBetween(Window.unboundedPreceding, -1)
     val within = df.select(col(id), col(nTokens), chunk)

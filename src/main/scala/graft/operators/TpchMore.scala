@@ -191,20 +191,23 @@ object TpchMore {
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
     })
 
-  /** Q16: distinct supplier count per part attribute group, with a NOT-IN
-    * supplier exclusion (negative balance standing in for the original's
-    * complaint-comment filter) — lineitem is the part-supplier relation in
-    * this schema. */
+  /** Q16: distinct supplier count per part attribute group, with an
+    * anti-join supplier exclusion (negative balance standing in for the
+    * original's complaint-comment filter) — lineitem is the part-supplier
+    * relation in this schema. The oracle is spelled NOT EXISTS so both sides
+    * share left_anti's null semantics by construction (NOT IN would empty
+    * the result on a single NULL s_suppkey). */
   val q16 = QueryDef(
     "q16_supplier_cnt",
-    "TPC-H Q16: supplier count by part brand/type/size with NOT-IN exclusion",
+    "TPC-H Q16: supplier count by part brand/type/size with anti-join exclusion",
     Some("""SELECT p.p_brand, p.p_type, p.p_size,
                    count(DISTINCT l.l_suppkey) AS supplier_cnt
             FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
             WHERE p.p_brand <> 'Brand#1'
               AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
-              AND l.l_suppkey NOT IN
-                (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+              AND NOT EXISTS
+                (SELECT 1 FROM supplier s WHERE s.s_acctbal < 0
+                   AND s.s_suppkey = l.l_suppkey)
             GROUP BY 1, 2, 3"""),
     (s, dir) => Tables.lineitem(s, dir)
       .join(Tables.supplier(s, dir).filter(col("s_acctbal") < 0)

@@ -47,16 +47,27 @@ case class DeferredExec(
   /** Runs the thunk (which may itself submit Spark jobs — the same nested-job
     * pattern subquery and broadcast execution use) and hands back its rows.
     * The built plan's columns must match the declared output positionally by
-    * dataType; names/nullability are the declaration's. */
-  override protected def doExecute(): RDD[InternalRow] = {
+    * dataType, and a column declared non-nullable must be non-nullable in the
+    * built schema (codegen above this node may assume non-null); names are
+    * the declaration's. The built RDD is memoized so repeated executions of
+    * this node (multiple actions on one view reference) pay the driver-side
+    * build once. */
+  private lazy val builtRdd: RDD[InternalRow] = {
     val df = build()
-    val got = df.schema.map(_.dataType)
-    val want = output.map(_.dataType)
-    require(got == want,
-      s"deferred result schema drifted: built $got, declared $want")
+    val got = df.schema
+    val want = output
+    require(got.map(_.dataType) == want.map(_.dataType),
+      s"deferred result schema drifted: built ${got.map(_.dataType)}, " +
+        s"declared ${want.map(_.dataType)}")
+    got.zip(want).foreach { case (b, w) =>
+      require(w.nullable || !b.nullable,
+        s"deferred column ${w.name} declared non-nullable but built nullable")
+    }
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.toRdd
   }
+
+  override protected def doExecute(): RDD[InternalRow] = builtRdd
 }
 
 object Deferred {
@@ -69,7 +80,10 @@ object Deferred {
   }
 
   /** A lazy DataFrame with a known schema whose content is built by `build`
-    * on first execution. */
+    * on first execution; the build is memoized per planned instance, so
+    * re-executing one materialized plan does not re-run the builder (a fresh
+    * query over the view plans a fresh instance and builds again — cache the
+    * view's result if that matters). */
   def dataFrame(spark: SparkSession, schema: StructType,
       build: () => DataFrame): DataFrame = {
     register(spark)

@@ -40,10 +40,13 @@ class GraftFacadeSpec extends SparkSpec {
   }
 
   test("registering the catalog runs ZERO Spark jobs; deferred views still answer") {
-    var jobs = 0
+    // incremented on the listener-bus dispatch thread, read on the test
+    // thread — needs an atomic, not a plain var
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val counter = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
-          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(counter)
     try {
@@ -52,8 +55,8 @@ class GraftFacadeSpec extends SparkSpec {
       Graft.registerQueries(spark, sf("sf0.001"))
       org.apache.spark.GraftListenerBridge
         .waitUntilListenerBusEmpty(spark.sparkContext)
-      assert(jobs == 0,
-        s"view registration must be lazy but submitted $jobs Spark jobs")
+      assert(jobs.get() == 0,
+        s"view registration must be lazy but submitted ${jobs.get()} Spark jobs")
       // the deferred-builder views (fixpoint clusters, synthesized pipeline)
       // execute correctly on first use — and only then
       val clusters = spark.sql(
@@ -61,7 +64,7 @@ class GraftFacadeSpec extends SparkSpec {
       assert(clusters > 0)
       org.apache.spark.GraftListenerBridge
         .waitUntilListenerBusEmpty(spark.sparkContext)
-      assert(jobs > 0)
+      assert(jobs.get() > 0)
     } finally spark.sparkContext.removeSparkListener(counter)
   }
 
