@@ -205,42 +205,78 @@ object Dedup {
   def hammingPairs(fp: DataFrame, maxDist: Int, bits: Int = 60): DataFrame = {
     val nBands = maxDist + 1
     val width = bits / nBands
-    val bandCols = (0 until nBands).map(b =>
-      shiftright(col("simhash"), b * width)
-        .bitwiseAND(lit((1L << width) - 1)).as(s"band$b"))
-    // cached: the banded table feeds 2(maxDist+1) join sides — without this
-    // the upstream fingerprint aggregation re-executes under every branch
-    val t = fp.select(Seq(col("doc_id"), col("simhash")) ++ bandCols: _*).cache()
-    val cands = (0 until nBands).map { b =>
-      t.as("x").join(t.as("y"),
-          col(s"x.band$b") === col(s"y.band$b") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
-          col("x.simhash").as("ha"), col("y.simhash").as("hb"))
-    }.reduce(_ unionByName _).distinct()
-    cands
-      .select(col("i"), col("j"), hamming(col("ha"), col("hb")).as("dist"))
+    // one (band, value) row per band per doc, then a SINGLE self-join on the
+    // (band, value) pair — one shuffle per side — instead of maxDist+1
+    // separate joins unioned (which cost a shuffle pair per band and forced
+    // the banded table to be cached across 2(maxDist+1) branches); cached so
+    // the upstream fingerprint aggregation runs once across the two sides
+    // even when exchange reuse doesn't kick in under AQE
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until nBands).map(b =>
+        shiftright(col("simhash"), b * width)
+          .bitwiseAND(lit((1L << width) - 1))): _*)).as(Seq("band", "bv")))
+      .cache()
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        hamming(col("x.simhash"), col("y.simhash")).as("dist"))
       .filter(col("dist") <= maxDist)
+      .distinct()
   }
 
   /** Near-dup PAIRS → dedup CLUSTERS: connected components of the pair
-    * graph by min-label propagation, the step that turns pairwise similarity
-    * into "keep one document per duplicate group". Iterative DataFrame
-    * fixpoint (the Pregel-lite pattern — MLlib does the same for its graph
-    * routines): each round every node adopts the smallest label among itself
-    * and its neighbors; converges in O(component diameter) rounds, and dup
-    * clusters are shallow (near-clique), so 2-3 rounds in practice. Each
-    * round is one join + one aggregate — all distributed; the driver only
-    * checks the convergence count. */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
-    val p = pairs.select(col("i"), col("j")).cache()
-    // verified near-dup pair lists are tiny relative to the corpus; below
-    // this size every fixpoint round is pure job overhead, so run the loop
-    // in one task (the AQE-style decision a driver CAN make: on a size, not
-    // on data values — results are identical either way)
-    val singleTask = p.count() < 100000
-    val edges0 = p.union(p.select(col("j").as("i"), col("i").as("j")))
-    val edges = (if (singleTask) edges0.coalesce(1) else edges0).cache()
+    * graph, the step that turns pairwise similarity into "keep one document
+    * per duplicate group". Two physical paths behind one semantics (label =
+    * min doc_id reachable):
+    *
+    *   - pair sets under `broadcastThreshold` (the broadcast-join size
+    *     class) collect to the driver and run union-find — one job instead
+    *     of a multi-round fixpoint;
+    *   - larger graphs run the iterative min-label-propagation DataFrame
+    *     fixpoint (the Pregel-lite pattern — MLlib does the same for its
+    *     graph routines): each round every node adopts the smallest label
+    *     among itself and its neighbors; converges in O(component diameter)
+    *     rounds, and dup clusters are shallow (near-clique), so 2-3 rounds
+    *     in practice. Each round is one join + one aggregate — all
+    *     distributed; the driver only checks the convergence count. */
+  def connectedComponents(pairs: DataFrame,
+      broadcastThreshold: Long = 100000L): DataFrame = {
+    val p = pairs.select(col("i").cast("long").as("i"),
+      col("j").cast("long").as("j")).cache()
+    val nPairs = p.count()
+    if (nPairs < broadcastThreshold) {
+      // Broadcast-scale fast path: verified near-dup PAIR lists are tiny
+      // relative to the corpus (they are the output of the ≥0.8 filter, not
+      // the documents). At the size a broadcast join would collect anyway,
+      // union-find on the driver replaces O(component diameter) rounds of
+      // join+aggregate+convergence-check jobs with one collect — the same
+      // size-based (never value-based) decision AQE makes, and both paths
+      // produce the identical min-label assignment (PropertySpec pins the
+      // distributed path to a local union-find reference).
+      val edges = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+      p.unpersist()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // attach the larger root under the smaller: every node starts as its
+        // own root, so each component's final root is its minimum element
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labels = parent.keysIterator.map(x => (x, find(x))).toSeq
+      return pairs.sparkSession.createDataFrame(labels).toDF("id", "label")
+    }
+    val edges = p.union(p.select(col("j").as("i"), col("i").as("j"))).cache()
     var labels = edges.select(col("i").as("id")).distinct()
       .withColumn("label", col("id"))
       .cache()

@@ -80,10 +80,14 @@ class PropertySpec extends SparkSpec {
       }
       val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
         .map(x => x -> find(x)).toMap
-      val got = Dedup.connectedComponents(edges.toDF("i", "j"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expected, s"seed=$seed diff=${
-        (expected.toSet diff got.toSet).take(5)}")
+      // exercise BOTH physical paths: threshold 0 forces the distributed
+      // fixpoint, the default takes the driver union-find fast path
+      for (threshold <- Seq(0L, 100000L)) {
+        val got = Dedup.connectedComponents(edges.toDF("i", "j"), threshold)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"seed=$seed threshold=$threshold diff=${
+          (expected.toSet diff got.toSet).take(5)}")
+      }
     }
   }
 }
