@@ -26,29 +26,48 @@ object Graft {
     spark
   }
 
-  /** Install SQL functions + the custom as-of strategy on any session. */
+  /** (name, arity, builder) for every engine SQL function — consumed by both
+    * [[init]] (runtime temp-function registration) and
+    * [[plans.GraftExtensions]] (build-time `spark.sql.extensions` injection),
+    * so the two integration paths can't drift. */
+  val sqlFunctions: Seq[(String, Int,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+        => org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    ("rolling_hash", 1, exprs => RollingHash(exprs.head)),
+    ("rolling_hash2", 1, exprs =>
+      RollingHash(exprs.head, RollingHash.Mult2, RollingHash.Mod2)),
+    ("dot_product", 2, exprs => functions.DotProduct(exprs(0), exprs(1))),
+    ("haversine_km", 4, exprs =>
+      operators.Geo.haversineExpr(exprs(0), exprs(1), exprs(2), exprs(3))))
+
+  /** Arity-checking wrapper shared by both registration paths. */
+  def checkedBuilder(name: String, n: Int,
+      build: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+        => org.apache.spark.sql.catalyst.expressions.Expression):
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+        => org.apache.spark.sql.catalyst.expressions.Expression =
+    exprs => {
+      if (exprs.length != n)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map("functionName" -> name,
+            "expectedNum" -> n.toString, "actualNum" -> exprs.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      build(exprs)
+    }
+
+  /** Install SQL functions + the custom operator strategies on any session
+    * (the runtime path; the equivalent build-time path is
+    * `spark.sql.extensions=graft.plans.GraftExtensions`). */
   def init(spark: SparkSession): Unit = {
     plans.AsOf.register(spark)
+    plans.Deferred.register(spark)
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-    def arity(name: String, n: Int)(
-        build: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
-          => org.apache.spark.sql.catalyst.expressions.Expression) =
-      reg.createOrReplaceTempFunction(name, exprs => {
-        if (exprs.length != n)
-          throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-            messageParameters = Map("functionName" -> name,
-              "expectedNum" -> n.toString, "actualNum" -> exprs.length.toString,
-              "docroot" -> "https://spark.apache.org/docs/latest"))
-        build(exprs)
-      }, "scala_udf")
-    arity("rolling_hash", 1)(exprs => RollingHash(exprs.head))
-    arity("rolling_hash2", 1)(exprs =>
-      RollingHash(exprs.head, RollingHash.Mult2, RollingHash.Mod2))
-    arity("dot_product", 2)(exprs => functions.DotProduct(exprs(0), exprs(1)))
-    arity("haversine_km", 4)(exprs =>
-      operators.Geo.haversineExpr(exprs(0), exprs(1), exprs(2), exprs(3)))
+    sqlFunctions.foreach { case (name, n, build) =>
+      reg.createOrReplaceTempFunction(name,
+        checkedBuilder(name, n, build), "scala_udf")
+    }
   }
 
   /** Register every driver table under its name for SQL access. */

@@ -3,15 +3,17 @@ package graft.operators
 import graft.QueryDef
 import graft.functions.Num
 import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** The second tranche of TPC-H-shaped pipelines (Q8, Q9, Q11, Q12, Q13, Q15,
-  * Q16, Q20, Q21, Q22), completing the classic decision-support operator
-  * shapes the engine supports: market-share ratios, profit expressions over
-  * many-way joins, scalar-subquery thresholds, conditional counts,
-  * left-outer distribution histograms, view + max selection, distinct-count
-  * grouping with NOT-IN exclusion, nested dominant-share semi joins,
-  * sole-late-supplier decorrelation, and anti-join prospect detection.
+/** The second tranche of TPC-H-shaped pipelines (Q2, Q8, Q9, Q11, Q12, Q13,
+  * Q15, Q16, Q20, Q21, Q22), completing all 22 classic decision-support
+  * operator shapes: min-cost-supplier correlated subquery, market-share
+  * ratios, profit expressions over many-way joins, scalar-subquery
+  * thresholds, conditional counts, left-outer distribution histograms,
+  * view + max selection, distinct-count grouping with anti-join exclusion,
+  * nested dominant-share semi joins, sole-late-supplier decorrelation, and
+  * anti-join prospect detection.
   *
   * The driver's synthetic schema has no partsupp, l_commitdate/receiptdate,
   * l_shipmode, o_comment, or c_phone, so queries referencing those are
@@ -28,6 +30,55 @@ object TpchMore {
 
   private def ts(s: String) = lit(s).cast("timestamp")
   private val revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  /** Q2: cheapest European supplier per small ECONOMY part. partsupp is
+    * emulated as min(l_extendedprice / l_quantity) per (part, supplier) from
+    * lineitem (this schema has no partsupp table); Q2's correlated min-cost
+    * subquery is decorrelated into a window min over the part key — one pass
+    * over the already-joined rows instead of a per-row probe. The cost
+    * equality filter compares RAW doubles (min is a comparison, not
+    * arithmetic, so both engines pick the identical IEEE value); rounding
+    * happens only at output. */
+  val q2 = QueryDef(
+    "q2_min_cost_supplier",
+    "TPC-H Q2: cheapest EUROPE supplier per small ECONOMY part",
+    Some(s"""WITH ps AS (SELECT l_partkey, l_suppkey,
+                    min(l_extendedprice / l_quantity) AS cost
+                  FROM lineitem GROUP BY 1, 2),
+             eu AS (SELECT ps.l_partkey, ps.cost, s.s_name, s.s_acctbal,
+                           n.n_name, p.p_partkey, p.p_type
+                    FROM ps JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+                    JOIN nation n ON n.n_nationkey = s.s_nationkey
+                    JOIN region r ON r.r_regionkey = n.n_regionkey
+                    JOIN part p ON p.p_partkey = ps.l_partkey
+                    WHERE r.r_name = 'EUROPE'
+                      AND p.p_type = 'ECONOMY' AND p.p_size <= 10),
+             m AS (SELECT *, min(cost) OVER (PARTITION BY l_partkey) AS min_cost
+                   FROM eu)
+             SELECT p_partkey, p_type, s_name, n_name,
+                    ${Num.sql("s_acctbal", 2)} AS s_acctbal,
+                    ${Num.sql("cost", 2)} AS ps_supplycost
+             FROM m WHERE cost = min_cost"""),
+    (s, dir) => {
+      val ps = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+      val eu = ps
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_type") === "ECONOMY" && col("p_size") <= 10)),
+          col("l_partkey") === col("p_partkey"))
+      eu.withColumn("min_cost",
+          min(col("cost")).over(Window.partitionBy(col("l_partkey"))))
+        .filter(col("cost") === col("min_cost"))
+        .select(col("p_partkey"), col("p_type"), col("s_name"), col("n_name"),
+          Num.pround(col("s_acctbal"), 2).as("s_acctbal"),
+          Num.pround(col("cost"), 2).as("ps_supplycost"))
+    })
 
   /** Q8: a nation's share of a region's market for one part type, by order
     * year. The share is a conditional-sum ratio (q14's pattern) over a 7-way
@@ -327,5 +378,5 @@ object TpchMore {
     })
 
   val defs: Seq[QueryDef] =
-    Seq(q8, q9, q11, q12, q13, q15, q16, q20, q21, q22)
+    Seq(q2, q8, q9, q11, q12, q13, q15, q16, q20, q21, q22)
 }

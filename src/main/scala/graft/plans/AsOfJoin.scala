@@ -188,11 +188,23 @@ object AsOf {
   }
 }
 
-/** SparkSessionExtensions entry point:
-  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`. */
+/** SparkSessionExtensions entry point — the zero-code cluster install:
+  * `spark-submit --conf spark.sql.extensions=graft.plans.GraftExtensions`
+  * (or `.config(...)` on the builder) makes every custom operator strategy,
+  * optimizer rule, and SQL function available without calling
+  * [[graft.Graft.init]]. Kept in lockstep with the runtime path by sharing
+  * [[graft.Graft.sqlFunctions]]. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => PushFilterThroughAsOf)
+    e.injectPlannerStrategy(_ => DeferredStrategy)
+    graft.Graft.sqlFunctions.foreach { case (name, n, build) =>
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.Graft", name),
+        graft.Graft.checkedBuilder(name, n, build)))
+    }
   }
 }
