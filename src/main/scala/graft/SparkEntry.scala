@@ -29,7 +29,8 @@ object SparkEntry {
     operators.Serving.defs ++ operators.Ingest.defs ++
       operators.Relational.defs ++ operators.TpchMore.defs ++
       operators.Advanced.defs ++
-      operators.Skew.defs ++ operators.AisThroughput.defs ++
+      operators.Skew.defs ++ operators.Sketches.defs ++
+      operators.AisThroughput.defs ++
       operators.Geo.defs ++ operators.Analytics.defs ++
       operators.Dedup.defs ++ operators.Similarity.defs ++
       operators.TextAnalysis.defs ++ operators.Pipeline.defs ++

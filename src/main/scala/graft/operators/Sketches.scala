@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.RollingHash
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch: the frequency-estimation companion to the engine's
+  * other sketches (HLL count-distinct, approx percentile, Bloom pruning,
+  * top-K aggregator). depth×width counters, each row votes in one bucket
+  * per depth row; a key's estimate is the MIN of its depth counters —
+  * never below the true count, above it only on collisions.
+  *
+  * Scale design (100 TB): the sketch is a two-phase hash aggregation over
+  * (depth, bucket) — map-side partials collapse every partition to ≤
+  * depth·width cells, so the shuffle carries O(depth·width) rows per
+  * partition regardless of input size; the finished sketch (256 cells here)
+  * broadcasts back to the distinct-key side for the min-of-counters probe.
+  * Nothing fact-scale ever shuffles twice.
+  *
+  * The hash family is the engine's rolling-hash pair combined by double
+  * hashing (h1 + d·h2 mod P mod width — pure BIGINT arithmetic), so the
+  * DuckDB oracle rebuilds the ENTIRE sketch bit-for-bit and the estimates
+  * hash-match exactly; correctness of the never-underestimates invariant is
+  * additionally asserted per key in the output.
+  */
+object Sketches {
+
+  final val P: Long = 1000000007L
+
+  /** The per-depth bucket columns for a string key column. */
+  private def bucketCols(key: Column, depth: Int, width: Int): Seq[Column] = {
+    val h1 = RollingHash.mix(RollingHash.rolling_hash(key), RollingHash.Mod)
+    val h2 = RollingHash.mix(RollingHash.rolling_hash2(key), RollingHash.Mod2)
+    (0 until depth).map(d => (h1 + lit(d.toLong) * h2) % P % width)
+  }
+
+  /** Count-min estimate per distinct value of `key`, alongside the exact
+    * count and the overcount the sketch incurred. */
+  def cmsFrequency(df: DataFrame, key: String, depth: Int, width: Int): DataFrame = {
+    val keyed = df.select(col(key), col(key).cast("string").as("k"))
+    val cells = keyed.select(col(key),
+      posexplode(array(bucketCols(col("k"), depth, width): _*))
+        .as(Seq("depth", "bucket")))
+    // the sketch: ≤ depth·width rows after two-phase aggregation
+    val counts = cells.groupBy(col("depth"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    // probe: each distinct key reads its depth counters from the broadcast
+    // sketch and takes the min
+    val est = cells.distinct()
+      .join(broadcast(counts), Seq("depth", "bucket"))
+      .groupBy(col(key)).agg(min(col("cnt")).as("cms_estimate"))
+    val exact = df.groupBy(col(key)).agg(count(lit(1)).as("exact_n"))
+    exact.join(est, Seq(key))
+      .select(col(key), col("exact_n"), col("cms_estimate"),
+        (col("cms_estimate") - col("exact_n")).as("overcount"),
+        (col("cms_estimate") >= col("exact_n")).as("never_underestimates"))
+  }
+
+  /** DuckDB replica of the rolling-hash pair over a VARCHAR key (same
+    * formula as the SimHash oracle — digits-only keys are never empty, so
+    * the empty-token guard is unnecessary). */
+  private def hashSql(expr: String, mult: Long, mod: Long): String =
+    s"""(list_reduce(list_transform(string_split($expr, ''), c -> ord(c)::BIGINT),
+          (a, b) -> (a * $mult + b) % $mod) * 1103515245 + 12345) % $mod"""
+
+  private def cmsOracle(depth: Int, width: Int): String =
+    s"""WITH ev AS (SELECT user_id, CAST(user_id AS VARCHAR) AS k FROM events),
+        h AS (SELECT user_id,
+                     ${hashSql("k", RollingHash.Mult, RollingHash.Mod)} AS h1,
+                     ${hashSql("k", RollingHash.Mult2, RollingHash.Mod2)} AS h2
+              FROM ev),
+        cells AS (SELECT user_id, d,
+                         ((h1 + d * h2) % $P) % $width AS bucket
+                  FROM h CROSS JOIN unnest(generate_series(0, ${depth - 1})) AS t(d)),
+        counts AS (SELECT d, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+        probe AS (SELECT DISTINCT user_id, d, bucket FROM cells),
+        est AS (SELECT user_id, min(cnt) AS cms_estimate
+                FROM probe JOIN counts USING (d, bucket) GROUP BY 1),
+        exact AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1)
+        SELECT user_id, exact_n, cms_estimate,
+               cms_estimate - exact_n AS overcount,
+               cms_estimate >= exact_n AS never_underestimates
+        FROM exact JOIN est USING (user_id)"""
+
+  val cmsQ = QueryDef(
+    "cms_user_frequency",
+    "count-min sketch (4x64) user frequencies vs exact counts",
+    Some(cmsOracle(depth = 4, width = 64)),
+    (s, dir) => cmsFrequency(Tables.events(s, dir), "user_id",
+      depth = 4, width = 64))
+
+  val defs: Seq[QueryDef] = Seq(cmsQ)
+}
