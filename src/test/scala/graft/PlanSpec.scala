@@ -109,6 +109,20 @@ class PlanSpec extends SparkSpec {
     assert(!scan.contains("props") && !scan.contains("event_type"), scan)
   }
 
+  test("q2 broadcasts every dimension side; only fact-scale rows shuffle") {
+    val p = plan(run("q2_min_cost_supplier"))
+    // nation, region, filtered part carry hints; supplier may stay a shuffle
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("cms sketch aggregates two-phase and broadcasts the probe side") {
+    val p = plan(run("cms_user_frequency"))
+    // sketch build + probe: partial aggregates before each shuffle
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("AQE re-plans sort-merge joins to broadcasts from runtime sizes") {
     // disable static broadcast estimation (the 100 TB situation: size
     // estimates are useless) but leave the adaptive threshold: the
