@@ -34,6 +34,7 @@ object SparkEntry {
       operators.Geo.defs ++ operators.Analytics.defs ++
       operators.Dedup.defs ++ operators.Similarity.defs ++
       operators.TextAnalysis.defs ++ operators.Pipeline.defs ++
+      operators.Warehouse.defs ++
       multimodal.Media.defs
 
   /** Flagship: the full AIS pipeline end-to-end — synthesized NMEA sentences

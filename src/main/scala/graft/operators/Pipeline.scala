@@ -235,5 +235,27 @@ object Pipeline {
         })
     })
 
-  val defs: Seq[QueryDef] = Seq(packQ, sampleQ, tfidfQ, liftQ, bloomQ)
+  /** Exact-k per-stratum sample: the 10 docs per source with the smallest
+    * content hash — the "give me exactly k examples per source" primitive
+    * (rate-based sampling can't hit k exactly). Hash-ranked, so the pick is
+    * reproducible across runs, engines, and shardings. One shuffle by source
+    * + a rank window; at 100 TB a pre-filter on a hash prefix would bound the
+    * window input per stratum first (same move as sample_stratified). */
+  val samplePerKeyQ = QueryDef(
+    "sample_per_source_topk",
+    "deterministic exact-k (10) sample per source, ranked by content hash",
+    Some("""SELECT doc_id, source, rn FROM
+              (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+                 ORDER BY md5(text), doc_id) AS rn
+               FROM documents)
+            WHERE rn <= 10"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("text")), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= 10)
+    })
+
+  val defs: Seq[QueryDef] = Seq(packQ, sampleQ, tfidfQ, liftQ, bloomQ, samplePerKeyQ)
 }

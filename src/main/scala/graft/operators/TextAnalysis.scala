@@ -219,7 +219,41 @@ object TextAnalysis {
         .select(col("doc_id"), col("source"))
     })
 
+  /** Within-document repetition signals (the Gopher-family quality filters:
+    * heavily repetitive documents are low-value training data): duplicate
+    * unigram fraction (1 - distinct/total) and the share of the single most
+    * frequent token. One shuffle by (doc, term) with map-side combine, then a
+    * per-doc aggregate — each ratio is integer counts and one IEEE division. */
+  val repetition = QueryDef(
+    "text_repetition",
+    "within-doc repetition: duplicate-unigram fraction + top-token share",
+    Some(s"""WITH tok AS (SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+                 FROM documents),
+             tf AS (SELECT doc_id, term, count(*) AS c FROM tok
+                    WHERE term <> '' GROUP BY 1, 2),
+             d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+                          count(*) AS n_distinct, max(c) AS top_c
+                   FROM tf GROUP BY 1)
+             SELECT doc_id, total AS n_tokens,
+                    ${Num.sql("1.0 - CAST(n_distinct AS DOUBLE) / total", 4)} AS dup_frac,
+                    ${Num.sql("CAST(top_c AS DOUBLE) / total", 4)} AS top_share
+             FROM d"""),
+    (s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      tf.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("total"), count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_c"))
+        .select(col("doc_id"), col("total").as("n_tokens"),
+          Num.pround(lit(1.0) - col("n_distinct").cast("double") / col("total"), 4)
+            .as("dup_frac"),
+          Num.pround(col("top_c").cast("double") / col("total"), 4).as("top_share"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(tokenStats, quality, langid, fingerprint, bigramDf, bpeTokens,
-      trainValSplit, redact, corpusMix)
+      trainValSplit, redact, corpusMix, repetition)
 }

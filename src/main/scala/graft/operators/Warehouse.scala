@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.{Num, ZValue}
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-maintenance operators: the table-evolution shapes a serving
+  * store needs once it outgrows the reference's append-only `ENGINE = Memory`
+  * materialized views (sql/clickhouse-ddl.sql:33,62 — unbounded append, no
+  * dedup, no ordering key). Each is the standard incremental-maintenance
+  * pattern expressed as one declarative Spark plan:
+  *
+  *   - SCD type-2 history: compress an append-only event log into
+  *     validity intervals (change-data-capture of `status` per key);
+  *   - MERGE / upsert: latest-wins reconciliation of an update batch into a
+  *     base snapshot (what a compacted Kafka topic, README.md:199-200, does
+  *     implicitly — here as an auditable batch operator);
+  *   - Markov transition matrix: next-event behavior model over per-key
+  *     ordered sequences (training-data feature + product analytics);
+  *   - Z-order layout key: multi-dimensional clustering via the native
+  *     [[graft.functions.ZValue]] Morton expression, the data-skipping
+  *     layout primitive for 100 TB serving tables.
+  *
+  * Shuffle profile: every operator here is one hash shuffle by the entity key
+  * (user_id) followed by window passes that REUSE that partitioning — Catalyst
+  * plans a single Exchange; the transition matrix adds one tiny groupBy whose
+  * output is 5x5 rows.
+  */
+object Warehouse {
+
+  /** Events of one user ordered by time; event_id breaks timestamp ties so
+    * every window below is a total order (the (ts, event_id) pair is unique). */
+  private def byTime = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts"), col("event_id"))
+
+  /** SCD type-2: per-user `event_type` history compressed to change intervals
+    * [valid_from, valid_to); open intervals carry NULL valid_to. Two window
+    * passes over ONE partitioning: lag() marks change rows, lead() over the
+    * surviving rows closes each interval. */
+  val scd2 = QueryDef(
+    "scd2_status_intervals",
+    "SCD type-2 validity intervals from the event log (CDC history table)",
+    Some("""WITH e AS (SELECT user_id, event_type,
+                              epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+                       FROM events),
+             c AS (SELECT *, lag(event_type) OVER
+                       (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+                   FROM e),
+             ch AS (SELECT user_id, event_type, ts_us, event_id FROM c
+                    WHERE prev IS NULL OR prev <> event_type)
+             SELECT user_id, event_type AS status, ts_us AS valid_from_us,
+                    lead(ts_us) OVER (PARTITION BY user_id
+                      ORDER BY ts_us, event_id) AS valid_to_us
+             FROM ch"""),
+    (s, dir) => {
+      val changed = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        .withColumn("prev", lag(col("event_type"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      changed.select(col("user_id"), col("event_type").as("status"),
+        col("ts_us").as("valid_from_us"),
+        lead(col("ts_us"), 1).over(Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))).as("valid_to_us"))
+    })
+
+  /** MERGE (upsert): reconcile an update batch into a base snapshot,
+    * latest-wins. The batches are deterministic slices of the log (update
+    * batch = event_id divisible by 3), each compacted to its own
+    * latest-per-key state; a full-outer join then implements the three MERGE
+    * arms — matched (update wins), not-matched-by-target (insert), and
+    * not-matched-by-source (keep). At scale both compactions and the join
+    * share one hash partitioning on the key. */
+  val merge = QueryDef(
+    "merge_upsert_state",
+    "latest-wins MERGE of an update batch into a base snapshot (3 arms)",
+    Some("""WITH e AS (SELECT user_id, value, event_id,
+                              epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+                       FROM events),
+             base AS (SELECT user_id, value FROM
+                        (SELECT *, row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts_us DESC, event_id DESC) AS rn
+                         FROM e WHERE event_id % 3 <> 0) WHERE rn = 1),
+             upd AS (SELECT user_id, value FROM
+                       (SELECT *, row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts_us DESC, event_id DESC) AS rn
+                        FROM e WHERE event_id % 3 = 0) WHERE rn = 1)
+             SELECT coalesce(b.user_id, u.user_id) AS user_id,
+                    coalesce(u.value, b.value) AS value,
+                    CASE WHEN b.user_id IS NULL THEN 'insert'
+                         WHEN u.user_id IS NULL THEN 'keep'
+                         ELSE 'update' END AS action
+             FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id"""),
+    (s, dir) => {
+      def latest(df: DataFrame) = df
+        .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("value"))
+      val e = Tables.events(s, dir)
+      val base = latest(e.filter(col("event_id") % 3 =!= 0))
+        .withColumnRenamed("user_id", "b_user").withColumnRenamed("value", "b_value")
+      val upd = latest(e.filter(col("event_id") % 3 === 0))
+        .withColumnRenamed("user_id", "u_user").withColumnRenamed("value", "u_value")
+      base.join(upd, col("b_user") === col("u_user"), "full_outer")
+        .select(coalesce(col("b_user"), col("u_user")).as("user_id"),
+          coalesce(col("u_value"), col("b_value")).as("value"),
+          when(col("b_user").isNull, "insert")
+            .when(col("u_user").isNull, "keep")
+            .otherwise("update").as("action"))
+    })
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next event type | current) with counts. lead() pairs consecutive
+    * events on the per-user time order; the 5x5 transition table aggregates
+    * map-side. Integer count over integer total is ONE IEEE division, so the
+    * probability is engine-exact before the display rounding. */
+  val markov = QueryDef(
+    "markov_transitions",
+    "next-event Markov transition matrix P(next | current) over user sequences",
+    Some(s"""WITH e AS (SELECT user_id, event_type,
+                               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+                        FROM events),
+              pairs AS (SELECT event_type AS cur,
+                               lead(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id) AS nxt
+                        FROM e),
+              t AS (SELECT cur, nxt, count(*) AS n FROM pairs
+                    WHERE nxt IS NOT NULL GROUP BY 1, 2)
+              SELECT cur, nxt, n,
+                     ${Num.sql("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY cur)", 4)} AS p
+              FROM t"""),
+    (s, dir) => {
+      val t = Tables.events(s, dir)
+        .select(col("event_type").as("cur"),
+          lead(col("event_type"), 1).over(byTime).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+      t.select(col("cur"), col("nxt"), col("n"),
+        Num.pround(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("cur"))), 4).as("p"))
+    })
+
+  /** Z-order clustering key over (user_id, value-in-cents): the layout column
+    * a 100 TB serving table range-partitions by so min/max file stats prune
+    * on either dimension. The key itself is the native codegen'd
+    * [[graft.functions.ZValue]]; cents = floor(value*100) is the same IEEE
+    * multiply+floor in both engines. */
+  val zorder = QueryDef(
+    "zorder_key_events",
+    "Morton Z-order clustering key over (user_id, value cents) via native expr",
+    Some(s"""SELECT event_id, (user_id & 65535) AS x,
+                    (CAST(floor(value * 100) AS BIGINT) & 65535) AS y,
+                    ${ZValue.zvalueSql("user_id", "CAST(floor(value * 100) AS BIGINT)")} AS z
+             FROM events"""),
+    (s, dir) => {
+      val y = floor(col("value") * 100).cast("long")
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          col("user_id").bitwiseAND(65535).as("x"),
+          y.bitwiseAND(65535).as("y"),
+          ZValue.zvalue(col("user_id"), y).as("z"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(scd2, merge, markov, zorder)
+}

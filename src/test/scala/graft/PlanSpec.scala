@@ -123,6 +123,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("scd2 runs both window passes over ONE exchange and one sort") {
+    val p = plan(run("scd2_status_intervals"))
+    // lag-mark + lead-close share (partition, order): Catalyst must plan a
+    // single hashpartitioning exchange — a second one would double-shuffle
+    // the full 100 TB log
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+    assert("Sort ".r.findAllIn(p).length <= 2, p)
+  }
+
+  test("markov transition matrix aggregates map-side before its shuffle") {
+    val p = plan(run("markov_transitions"))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("AQE re-plans sort-merge joins to broadcasts from runtime sizes") {
     // disable static broadcast estimation (the 100 TB situation: size
     // estimates are useless) but leave the adaptive threshold: the

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.ZValue
+import org.apache.spark.sql.functions._
+
+class WarehouseSpec extends SparkSpec {
+
+  test("ZValue.compute matches a bit-by-bit reference interleave") {
+    def reference(x: Long, y: Long): Long = {
+      var z = 0L
+      var i = 0
+      while (i < 16) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      z
+    }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (0xABCDL, 0x1234L), (70000L, 3L)) // >16 bits masks
+    cases.foreach { case (x, y) =>
+      assert(ZValue.compute(x, y) == reference(x, y), s"($x, $y)")
+    }
+    // Z-order locality: adjacent cells in either dimension stay within the
+    // enclosing quad (the property file-level min/max pruning relies on)
+    assert(ZValue.compute(2L, 3L) == 14L && ZValue.compute(3L, 3L) == 15L)
+  }
+
+  test("zvalue expression evaluates inside codegen and matches compute") {
+    // a parquet-backed plan (not a local relation, which the optimizer would
+    // constant-fold at plan time): the expression must run INSIDE codegen
+    val df = Warehouse.zorder.run(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(1) Project [... zvalue(...)]": the starred stage IS WholeStageCodegen
+    assert(plan.contains("*(1) Project") && plan.contains("zvalue("), plan)
+    df.collect().foreach { r =>
+      assert(r.getLong(3) == ZValue.compute(r.getLong(1), r.getLong(2)))
+    }
+  }
+
+  test("repartitionByRange on the z key yields a range-partitioned layout") {
+    val df = Warehouse.zorder.run(spark, sf("sf0.001"))
+      .repartitionByRange(4, col("z"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning(z"), plan)
+    // each output file would carry a tight z min/max: partitions are sorted
+    // and non-overlapping in z
+    val ranges = df.select(spark_partition_id().as("p"), col("z"))
+      .groupBy(col("p")).agg(min("z").as("lo"), max("z").as("hi"))
+      .orderBy(col("lo")).collect()
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) <= b.getLong(1),
+        s"overlapping z ranges: $a $b")
+      case _ =>
+    }
+  }
+
+  test("scd2 intervals tile each user's timeline without gaps or overlaps") {
+    val rows = Warehouse.scd2.run(spark, sf("sf0.001"))
+      .orderBy(col("user_id"), col("valid_from_us")).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, ivs) =>
+      ivs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!a.isNullAt(3), "only the last interval may be open")
+          assert(a.getLong(3) == b.getLong(2), s"gap/overlap: $a -> $b")
+        case _ =>
+      }
+      assert(ivs.last.isNullAt(3), "last interval must be open-ended")
+      // consecutive intervals always change status (else not compressed)
+      ivs.sliding(2).foreach {
+        case Array(a, b) => assert(a.getString(1) != b.getString(1))
+        case _ =>
+      }
+    }
+  }
+
+  test("merge arms partition the key space: insert/keep/update are disjoint and exhaustive") {
+    val out = Warehouse.merge.run(spark, sf("sf0.001")).collect()
+    assert(out.map(_.getLong(0)).distinct.length == out.length, "one row per key")
+    val events = graft.sources.Tables.events(spark, sf("sf0.001"))
+    val allUsers = events.select("user_id").distinct().count()
+    assert(out.length == allUsers, "every user present in the merged state")
+    assert(out.forall(r => Set("insert", "keep", "update")(r.getString(2))))
+  }
+
+  test("markov rows are per-cur probability distributions summing to ~1") {
+    val rows = Warehouse.markov.run(spark, sf("sf0.001")).collect()
+    rows.groupBy(_.getString(0)).foreach { case (cur, ts) =>
+      val total = ts.map(_.getDouble(3)).sum
+      assert(math.abs(total - 1.0) < 1e-2, s"$cur sums to $total")
+    }
+  }
+}
