@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.CorpusDedup.StreamDoc
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class CorpusDedupSpec extends SparkSpec {
+
+  private def mkDoc(id: Long, seed: String): StreamDoc =
+    StreamDoc(id, (1 to 40).map(i => s"$seed$i").mkString(" "))
+
+  /** `base` with a few tokens perturbed — above the 0.8 Jaccard bar. */
+  private def nearCopy(id: Long, seed: String): StreamDoc =
+    StreamDoc(id, (1 to 40).map(i => if (i == 39) "x" else s"$seed$i").mkString(" "))
+
+  test("signature/band geometry: near-dups collide, distinct docs do not") {
+    val a = CorpusDedup.signature(mkDoc(1, "tok").text)
+    val b = CorpusDedup.signature(nearCopy(2, "tok").text)
+    val c = CorpusDedup.signature(mkDoc(3, "other").text)
+    assert(CorpusDedup.estJaccard(a, b) >= CorpusDedup.Threshold)
+    assert(CorpusDedup.estJaccard(a, c) < 0.2)
+    assert(CorpusDedup.bandKeys(a).intersect(CorpusDedup.bandKeys(b)).nonEmpty)
+    assert(CorpusDedup.bandKeys(a).intersect(CorpusDedup.bandKeys(c)).isEmpty)
+  }
+
+  test("incremental dedup flags near-dups against PRIOR batches via state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val q = CorpusDedup.incrementalDedup(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("corpus_dedup_t1").start()
+    try {
+      input.addData(mkDoc(10, "alpha"), mkDoc(20, "beta"))
+      q.processAllAvailable()
+      // batch 2: a near-copy of doc 10, an exact copy of doc 20, a fresh doc
+      input.addData(nearCopy(11, "alpha"), mkDoc(21, "beta"), mkDoc(30, "gamma"))
+      q.processAllAvailable()
+      val out = spark.table("corpus_dedup_t1").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out(10L) == -1L && out(20L) == -1L && out(30L) == -1L)
+      assert(out(11L) == 10L, s"near-copy must point at its keeper: $out")
+      assert(out(21L) == 20L, s"exact copy must point at its keeper: $out")
+    } finally q.stop()
+  }
+
+  test("intra-batch duplicates resolve deterministically to the lowest id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val q = CorpusDedup.incrementalDedup(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("corpus_dedup_t2").start()
+    try {
+      input.addData(mkDoc(7, "delta"), nearCopy(5, "delta"), mkDoc(9, "delta"))
+      q.processAllAvailable()
+      val out = spark.table("corpus_dedup_t2").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out(5L) == -1L, s"lowest id is the keeper: $out")
+      assert(out(7L) == 5L && out(9L) == 5L, out.toString)
+    } finally q.stop()
+  }
+
+  test("exact streaming dedup keeps first writer per content hash") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val q = CorpusDedup.exactDedupStream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("corpus_dedup_t3").start()
+    try {
+      input.addData(StreamDoc(1, "same text"), StreamDoc(2, "same text"))
+      q.processAllAvailable()
+      input.addData(StreamDoc(3, "same text"), StreamDoc(4, "new text"))
+      q.processAllAvailable()
+      val ids = spark.table("corpus_dedup_t3").collect().map(_.getLong(0)).sorted
+      assert(ids.length == 2 && ids.contains(4L), ids.mkString(","))
+    } finally q.stop()
+  }
+}
