@@ -450,6 +450,68 @@ object Dedup {
     (s, dir) => jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8,
       maxDf = 50))
 
+  /** Cross-document repeated substring spans — the span-level dedup shape
+    * (remove repeated PASSAGES, not whole documents): every 8-token window
+    * shared verbatim by >= 2 docs is located in each doc, and overlapping/
+    * adjacent hits merge into maximal spans via the gaps-and-islands window
+    * pattern. Unlike pair-based dedup this is LINEAR — membership join
+    * against the repeated-shingle set, never a doc x doc product. The join
+    * key here is the raw 8-gram string so the DuckDB oracle can replicate it;
+    * at 100 TB key on fnv64 of the shingle instead ([[shingleIndexHashed]])
+    * so the shuffle carries 8-byte keys. Token positions are 1-based,
+    * span_end inclusive. */
+  val spansW = 8
+  val spansQ = QueryDef(
+    "dedup_repeated_spans",
+    "maximal cross-doc repeated 8-token spans per doc (islands merge)",
+    Some(s"""WITH toks AS (SELECT doc_id,
+                    string_split_regex(trim(lower(text)), '\\s+') AS t
+                  FROM documents),
+             s1 AS (SELECT doc_id, i,
+                      concat_ws(' ', ${(0 until spansW).map(k => s"t[i+$k]").mkString(", ")}) AS sh
+                    FROM toks CROSS JOIN
+                      unnest(generate_series(1, len(t) - ${spansW - 1})) AS u(i)
+                    WHERE len(t) >= $spansW),
+             rep AS (SELECT sh FROM s1 GROUP BY sh
+                     HAVING count(DISTINCT doc_id) >= 2),
+             pos AS (SELECT DISTINCT doc_id, i FROM s1 JOIN rep USING (sh)),
+             g AS (SELECT doc_id, i,
+                     CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                            <= $spansW THEN 0 ELSE 1 END AS brk
+                   FROM pos),
+             isl AS (SELECT doc_id, i,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+                     FROM g)
+             SELECT doc_id, min(i) AS span_start,
+                    max(i) + ${spansW - 1} AS span_end
+             FROM isl GROUP BY doc_id, grp"""),
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val sh = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, txt) =>
+          val a = txt.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          if (a.length < spansW) Iterator.empty
+          else a.sliding(spansW).zipWithIndex.map {
+            case (g, i) => (id, i + 1, g.mkString(" ")) }
+        }.toDF("doc_id", "i", "sh")
+      val rep = sh.groupBy(col("sh"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("sh"))
+      val pos = sh.join(rep, "sh").select(col("doc_id"), col("i")).distinct()
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      pos
+        .withColumn("brk",
+          when(col("i") - lag(col("i"), 1).over(w) <= spansW, 0).otherwise(1))
+        .withColumn("grp", sum(col("brk")).over(w))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("i")).as("span_start"),
+          (max(col("i")) + (spansW - 1)).as("span_end"))
+        .select(col("doc_id"), col("span_start"), col("span_end"))
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(exactQ, jaccardQ, jaccardCappedQ, minHashQ, simHashQ, hammingQ, clustersQ)
+    Seq(exactQ, jaccardQ, jaccardCappedQ, minHashQ, simHashQ, hammingQ,
+      clustersQ, spansQ)
 }

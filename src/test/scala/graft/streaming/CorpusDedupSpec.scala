@@ -61,6 +61,33 @@ class CorpusDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("band-bucket state survives a checkpointed restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdedup").toString
+    val input = MemoryStream[StreamDoc]
+    // memory sinks can't recover a checkpoint; foreachBatch can
+    val out = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    def start() = CorpusDedup.incrementalDedup(input.toDS())
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => out.put(r.getLong(0), r.getLong(1)))
+      }.start()
+    val q1 = start()
+    input.addData(mkDoc(100, "epsilon"))
+    q1.processAllAvailable()
+    q1.stop()
+    // a new query from the SAME checkpoint must still know doc 100
+    val q2 = start()
+    try {
+      input.addData(nearCopy(101, "epsilon"))
+      q2.processAllAvailable()
+      assert(out.get(101L) == 100L,
+        s"restarted query lost pre-restart dedup state: $out")
+    } finally q2.stop()
+  }
+
   test("exact streaming dedup keeps first writer per content hash") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
