@@ -38,7 +38,8 @@ object Graft {
       RollingHash(exprs.head, RollingHash.Mult2, RollingHash.Mod2)),
     ("dot_product", 2, exprs => functions.DotProduct(exprs(0), exprs(1))),
     ("haversine_km", 4, exprs =>
-      operators.Geo.haversineExpr(exprs(0), exprs(1), exprs(2), exprs(3))))
+      operators.Geo.haversineExpr(exprs(0), exprs(1), exprs(2), exprs(3))),
+    ("zvalue", 2, exprs => functions.ZValue(exprs(0), exprs(1))))
 
   /** Arity-checking wrapper shared by both registration paths. */
   def checkedBuilder(name: String, n: Int,

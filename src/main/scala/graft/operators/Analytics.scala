@@ -86,5 +86,35 @@ object Analytics {
       .groupBy(least(floor(col("value") / 20).cast("long"), lit(16L)).as("bin"))
       .agg(count(lit(1)).as("n"), Num.pround(avg(col("value")), 4).as("mean_in_bin")))
 
-  val defs: Seq[QueryDef] = Seq(funnelQ, cohortQ, histogramQ)
+  /** RFM feature vector per user — the classic recency/frequency/monetary
+    * triple plus activity breadth, the feature-engineering aggregate a
+    * training pipeline derives from an event log. One two-phase aggregation
+    * (all five aggregates partial map-side); recency is an exact integer
+    * microsecond difference against the corpus max via a broadcast scalar. */
+  val rfmQ = QueryDef(
+    "user_rfm_features",
+    "per-user RFM features: recency, frequency, monetary, active days",
+    Some(s"""WITH mx AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS m FROM events)
+             SELECT user_id,
+                    (SELECT m FROM mx) - max(epoch_us(CAST(ts AS TIMESTAMP))) AS recency_us,
+                    count(*) AS frequency,
+                    ${Num.sql("sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)", 2)}
+                      AS monetary,
+                    count(DISTINCT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')) AS active_days
+             FROM events GROUP BY user_id"""),
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val mx = e.agg(max(unix_micros(col("ts"))).as("m"))
+      e.groupBy(col("user_id"))
+        .agg(max(unix_micros(col("ts"))).as("last_us"),
+          count(lit(1)).as("frequency"),
+          Num.pround(sum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(0.0)), 2).as("monetary"),
+          countDistinct(date_format(col("ts"), "yyyy-MM-dd")).as("active_days"))
+        .join(broadcast(mx))
+        .select(col("user_id"), (col("m") - col("last_us")).as("recency_us"),
+          col("frequency"), col("monetary"), col("active_days"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(funnelQ, cohortQ, histogramQ, rfmQ)
 }

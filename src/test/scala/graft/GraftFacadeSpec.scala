@@ -68,14 +68,16 @@ class GraftFacadeSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(counter)
   }
 
-  test("dot_product, haversine_km and rolling_hash2 SQL functions evaluate") {
+  test("dot_product, haversine_km, rolling_hash2 and zvalue SQL functions evaluate") {
     Graft.init(spark)
     val r = spark.sql(
       """SELECT dot_product(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS dp,
                 haversine_km(60.39d, 5.32d, 59.91d, 10.75d) AS bergen_oslo_km,
-                rolling_hash2('abc') AS h2""").head()
+                rolling_hash2('abc') AS h2,
+                zvalue(2L, 3L) AS z""").head()
     assert(r.getDouble(0) == 32.0)
     assert(math.abs(r.getDouble(1) - 305.0) < 5.0) // Bergen->Oslo great circle
     assert(r.getLong(2) == (('a'.toInt * 131 + 'b') % 998244353L * 131 + 'c') % 998244353L)
+    assert(r.getLong(3) == 14L) // interleave(0b10, 0b11) = 0b1110
   }
 }
