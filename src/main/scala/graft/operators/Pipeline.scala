@@ -257,5 +257,65 @@ object Pipeline {
         .filter(col("rn") <= 10)
     })
 
-  val defs: Seq[QueryDef] = Seq(packQ, sampleQ, tfidfQ, liftQ, bloomQ, samplePerKeyQ)
+  /** Context-window chunking with overlap: each document's token stream cut
+    * into windows of `W` tokens at stride `S` (the return_overflowing_tokens
+    * shape tokenizer pipelines use — every token appears in some chunk, the
+    * final chunk is short, interior chunks overlap by W-S). Chunk count is
+    * pure integer arithmetic (exact ceil division), the per-doc explode is
+    * map-side only — no shuffle at any corpus size. */
+  val chunkW = 32L
+  val chunkS = 16L
+  val chunkQ = QueryDef(
+    "chunk_with_stride",
+    s"overlapping $chunkW-token context windows at stride $chunkS per doc",
+    Some(s"""WITH t AS (SELECT doc_id,
+                   len(string_split_regex(trim(lower(text)), '\\s+')) AS n
+                 FROM documents),
+             c AS (SELECT doc_id, n,
+                     CASE WHEN n <= $chunkW THEN 1
+                          ELSE ((n - ${chunkW - chunkS + 1}) // $chunkS) + 1
+                     END AS n_chunks
+                   FROM t)
+             SELECT doc_id, k AS chunk_idx, k * $chunkS AS chunk_start,
+                    least(k * $chunkS + $chunkW, n) AS chunk_end
+             FROM c CROSS JOIN unnest(generate_series(0, n_chunks - 1)) AS u(k)"""),
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n"))
+      .withColumn("n_chunks", when(col("n") <= chunkW, 1L)
+        .otherwise(expr(s"((n - ${chunkW - chunkS + 1}) div $chunkS) + 1")))
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("k"))
+      .select(col("doc_id"), col("k").as("chunk_idx"),
+        (col("k") * chunkS).as("chunk_start"),
+        least(col("k") * chunkS + chunkW, col("n")).as("chunk_end")))
+
+  /** Vocabulary construction: top-20 tokens by corpus frequency with ids
+    * assigned by rank (count desc, token asc tiebreak). The rank window runs
+    * over the AGGREGATED vocab (one row per distinct token), never the token
+    * stream — at 100 TB that input is |vocab|, bounded by construction. */
+  val vocabQ = QueryDef(
+    "vocab_top_tokens",
+    "top-20 vocabulary with rank-assigned ids (count desc, token tiebreak)",
+    Some("""SELECT token, n, token_id FROM
+              (SELECT u AS token, count(*) AS n,
+                      row_number() OVER (ORDER BY count(*) DESC, u) AS token_id
+               FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS u
+                     FROM documents)
+               WHERE u <> '' GROUP BY u)
+            WHERE token_id <= 20"""),
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("token"))
+      Tables.documents(s, dir)
+        .select(explode(Text.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .withColumn("token_id", row_number().over(w))
+        .filter(col("token_id") <= 20)
+        .select(col("token"), col("n"), col("token_id"))
+    })
+
+  val defs: Seq[QueryDef] =
+    Seq(packQ, sampleQ, tfidfQ, liftQ, bloomQ, samplePerKeyQ, chunkQ, vocabQ)
 }

@@ -132,6 +132,14 @@ class PlanSpec extends SparkSpec {
     assert("Sort ".r.findAllIn(p).length <= 2, p)
   }
 
+  test("merge compactions push top-1 below their shuffles (WindowGroupLimit x2)") {
+    val p = plan(run("merge_upsert_state"))
+    // both latest-per-key arms must prune to per-partition candidates BEFORE
+    // shuffling — at 100 TB that's "shuffle ~|keys| rows", not the full log
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("markov transition matrix aggregates map-side before its shuffle") {
     val p = plan(run("markov_transitions"))
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
