@@ -116,5 +116,37 @@ object Analytics {
           col("frequency"), col("monetary"), col("active_days"))
     })
 
-  val defs: Seq[QueryDef] = Seq(funnelQ, cohortQ, histogramQ, rfmQ)
+  /** Volume-anomaly report: daily event counts per type flagged against the
+    * type's median daily volume (median, not mean — robust to the anomalies
+    * themselves). Both engines share the exact interpolated-percentile
+    * definition, so the flag threshold compares bit-identical doubles. Two
+    * tiny aggregations (days x types, then types) + a broadcast join back. */
+  val anomalyQ = QueryDef(
+    "events_daily_anomaly",
+    "daily volume per event type flagged against 0.5x-1.5x of the type median",
+    Some(s"""WITH d AS (SELECT event_type,
+                               strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+                               count(*) AS n
+                        FROM events GROUP BY 1, 2),
+              m AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+                    FROM d GROUP BY 1)
+              SELECT d.event_type, d.day, d.n, ${Num.sql("m.med", 4)} AS median_n,
+                     (CAST(d.n AS DOUBLE) > 1.5 * m.med OR
+                      CAST(d.n AS DOUBLE) < 0.5 * m.med) AS is_anomaly
+              FROM d JOIN m ON d.event_type = m.event_type"""),
+    (s, dir) => {
+      val d = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val m = d.groupBy(col("event_type").as("m_type"))
+        .agg(expr("percentile(n, 0.5)").as("med"))
+      d.join(broadcast(m), col("event_type") === col("m_type"))
+        .select(col("event_type"), col("day"), col("n"),
+          Num.pround(col("med"), 4).as("median_n"),
+          (col("n").cast("double") > col("med") * 1.5 ||
+            col("n").cast("double") < col("med") * 0.5).as("is_anomaly"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(funnelQ, cohortQ, histogramQ, rfmQ, anomalyQ)
 }

@@ -265,6 +265,20 @@ object Pipeline {
     * map-side only — no shuffle at any corpus size. */
   val chunkW = 32L
   val chunkS = 16L
+
+  /** The chunk arithmetic as a reusable transform over (id, token-count)
+    * rows; PropertySpec drives it with randomized lengths. */
+  def chunkWithStride(counts: DataFrame, id: String, n: String,
+      w: Long, s: Long): DataFrame =
+    counts
+      .withColumn("n_chunks", when(col(n) <= w, 1L)
+        .otherwise(expr(s"(($n - ${w - s + 1}) div $s) + 1")))
+      .select(col(id), col(n),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("k"))
+      .select(col(id), col("k").as("chunk_idx"),
+        (col("k") * s).as("chunk_start"),
+        least(col("k") * s + w, col(n)).as("chunk_end"))
+
   val chunkQ = QueryDef(
     "chunk_with_stride",
     s"overlapping $chunkW-token context windows at stride $chunkS per doc",
@@ -279,16 +293,10 @@ object Pipeline {
              SELECT doc_id, k AS chunk_idx, k * $chunkS AS chunk_start,
                     least(k * $chunkS + $chunkW, n) AS chunk_end
              FROM c CROSS JOIN unnest(generate_series(0, n_chunks - 1)) AS u(k)"""),
-    (s, dir) => Tables.documents(s, dir)
-      .select(col("doc_id"),
-        size(Text.tokens(col("text"))).cast("long").as("n"))
-      .withColumn("n_chunks", when(col("n") <= chunkW, 1L)
-        .otherwise(expr(s"((n - ${chunkW - chunkS + 1}) div $chunkS) + 1")))
-      .select(col("doc_id"), col("n"),
-        explode(sequence(lit(0L), col("n_chunks") - 1)).as("k"))
-      .select(col("doc_id"), col("k").as("chunk_idx"),
-        (col("k") * chunkS).as("chunk_start"),
-        least(col("k") * chunkS + chunkW, col("n")).as("chunk_end")))
+    (s, dir) => chunkWithStride(
+      Tables.documents(s, dir).select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n")),
+      "doc_id", "n", chunkW, chunkS))
 
   /** Vocabulary construction: top-20 tokens by corpus frequency with ids
     * assigned by rank (count desc, token asc tiebreak). The rank window runs

@@ -325,5 +325,29 @@ object Similarity {
         .filter(col("cosine") >= 0.45)
     })
 
-  val defs: Seq[QueryDef] = Seq(pairsQ, annQ, annLshQ, annIvfQ, kmeansQ, nearDupQ)
+  /** Int8 quantization after unit-norm scaling — the storage/serving form of
+    * an embedding index (4x smaller than float32, 8x than the double
+    * intermediate). Per-row arithmetic only (norm once per vector, then one
+    * IEEE divide/multiply/floor per component) — shuffle-free at any corpus
+    * size; emitted exploded (vec_id, i, q) so the oracle compares component
+    * by component. Zero vectors are excluded on both sides (their direction
+    * is undefined; under ANSI mode the inf cast would error, not corrupt). */
+  val quantQ = QueryDef(
+    "embedding_quantize",
+    "unit-norm int8 quantization of embeddings, exploded per component",
+    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                        FROM embeddings),
+             n AS (SELECT vec_id, v, sqrt(${dotSql.format("v", "v")}) AS nrm FROM e)
+             SELECT vec_id, i, CAST(floor(v[i] / nrm * 127) AS INT) AS q
+             FROM n CROSS JOIN unnest(generate_series(1, len(v))) AS u(i)
+             WHERE nrm > 0"""),
+    (s, dir) => withNorm(Tables.embeddings(s, dir))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"), col("nrm"),
+        posexplode(col("v")).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).as("i"),
+        floor(col("x") / col("nrm") * 127).cast("int").as("q")))
+
+  val defs: Seq[QueryDef] =
+    Seq(pairsQ, annQ, annLshQ, annIvfQ, kmeansQ, nearDupQ, quantQ)
 }

@@ -90,4 +90,54 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: zvalue is a bijection on 16-bit pairs and quad-monotone") {
+    import graft.functions.ZValue
+    val gen = for {
+      x <- Gen.chooseNum(0L, 65535L); y <- Gen.chooseNum(0L, 65535L)
+    } yield (x, y)
+    val pts = sample(gen, 500, 41L).distinct
+    val zs = pts.map { case (x, y) => ZValue.compute(x, y) }
+    // injective: distinct inputs -> distinct keys (interleave is a bijection)
+    assert(zs.distinct.length == pts.length)
+    pts.foreach { case (x, y) =>
+      val z = ZValue.compute(x, y)
+      assert(z >= 0 && z <= 0xFFFFFFFFL)
+      // same 2^k x 2^k quad  <=>  same z prefix: the pruning property —
+      // check k = 8 (high-byte quad)
+      val quad = ((x >> 8) << 8, (y >> 8) << 8)
+      val quadZ = ZValue.compute(quad._1, quad._2)
+      assert((z >> 16) == (quadZ >> 16),
+        s"($x,$y): z-prefix leaves its enclosing 256x256 quad")
+    }
+  }
+
+  test("property: stride chunking covers every token, in bounds, full-width interior") {
+    import spark.implicits._
+    val W = Pipeline.chunkW; val S = Pipeline.chunkS
+    val ns = sample(Gen.chooseNum(1L, 400L), 60, 42L).distinct
+    val counts = ns.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("doc_id", "n")
+    val got = Pipeline.chunkWithStride(counts, "doc_id", "n", W, S)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getLong(1)).map(r => (r.getLong(2), r.getLong(3))).toSeq
+      }
+    ns.zipWithIndex.foreach { case (n, i) =>
+      val chunks = got(i.toLong)
+      // invariants independent of the chunk-count formula:
+      assert(chunks.head._1 == 0 && chunks.last._2 == n, s"n=$n $chunks")
+      chunks.foreach { case (a, b) =>
+        assert(a < b && b <= n && b - a <= W, s"n=$n [$a,$b)") }
+      // no token falls between consecutive chunks
+      chunks.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(s2 <= e1, s"n=$n gap before $s2")
+        case _ =>
+      }
+      // every interior chunk is full width (only the last may be short)
+      chunks.dropRight(1).foreach { case (a, b) =>
+        assert(b - a == W, s"n=$n interior [$a,$b) not full") }
+    }
+  }
 }
