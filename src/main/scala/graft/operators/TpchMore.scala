@@ -329,6 +329,11 @@ object TpchMore {
             WHERE lo.late = 1 AND st.ns > 1 AND st.nl = 1
             GROUP BY 1"""),
     (s, dir) => {
+      // single-pass shape: pre-aggregate to (order, supplier) grain — the
+      // countDistinct pair becomes count/sum over that grain computed by a
+      // window sharing one orderkey partitioning, so the fact join is
+      // scanned ONCE and no EXPAND doubles the shuffle (the naive
+      // two-countDistinct form re-joined lineitem x orders per branch)
       val lo = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey"), col("o_orderdate")),
@@ -336,15 +341,20 @@ object TpchMore {
         .select(col("l_orderkey"), col("l_suppkey"),
           when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1)
             .otherwise(0).as("late"))
-      val st = lo.groupBy(col("l_orderkey").as("st_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("ns"),
-          countDistinct(when(col("late") === 1, col("l_suppkey"))).as("nl"))
-      lo.filter(col("late") === 1)
-        .join(st, col("l_orderkey") === col("st_orderkey"))
-        .filter(col("ns") > 1 && col("nl") === 1)
-        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      val sup = lo.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("late")).as("any_late"),
+          sum(col("late")).cast("long").as("n_late_lines"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey"))
+      sup
+        .withColumn("ns", count(lit(1)).over(w))
+        .withColumn("nl", sum(col("any_late")).over(w))
+        .filter(col("any_late") === 1 && col("ns") > 1 && col("nl") === 1)
+        .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
-        .agg(count(lit(1)).as("numwait"))
+        .agg(sum(col("n_late_lines")).as("numwait"))
     })
 
   /** Q22: dormant high-balance customers by country — the phone-prefix

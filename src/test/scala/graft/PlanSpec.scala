@@ -140,6 +140,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q21 scans the fact table once — no per-branch re-join, no EXPAND") {
+    val p = plan(run("q21_sole_late_supplier"))
+    // the (order, supplier) pre-aggregate + window form reads lineitem once;
+    // the two-countDistinct form re-joined the fact per branch and doubled
+    // shuffle rows through an Expand
+    assert("lineitem.parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Expand"), p)
+  }
+
   test("markov transition matrix aggregates map-side before its shuffle") {
     val p = plan(run("markov_transitions"))
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
