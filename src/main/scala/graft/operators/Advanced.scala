@@ -167,6 +167,28 @@ object Advanced {
         .distinct()
     })
 
+  /** Schema-evolution union: two writer generations of the same table (the
+    * old one lacks `event_type`, the new one lacks `value`) merged by COLUMN
+    * NAME with nulls filling the gaps — `unionByName(allowMissingColumns)`,
+    * the schema-drift read path a long-lived 100 TB table needs (positional
+    * UNION would silently misalign columns). Narrow per-row op, no shuffle. */
+  val unionByNameQ = QueryDef(
+    "setop_union_by_name",
+    "union of two schema generations by name, missing columns null-filled",
+    Some("""SELECT event_id, user_id, value, NULL AS event_type
+            FROM events WHERE event_id % 2 = 0
+            UNION ALL BY NAME
+            SELECT event_id, user_id, NULL AS value, event_type
+            FROM events WHERE event_id % 2 = 1"""),
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val oldGen = e.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("value"))
+      val newGen = e.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      oldGen.unionByName(newGen, allowMissingColumns = true)
+    })
+
   /** The same as-of query through the custom Catalyst operator
     * (graft.plans.AsOfJoinPlan → AsOfJoinExec) — identical semantics,
     * identical oracle, different physical plan (co-partitioned sort-merge
@@ -322,6 +344,6 @@ object Advanced {
         count(lit(1)).as("n")))
 
   val defs: Seq[QueryDef] = Seq(asofQ, asofCustomQ, sessionQ, groupingSetsQ,
-    pivotQ, scalarSubQ, unionQ, percentileQ, topkAggQ, mapGroupsQ, rangeJoinQ,
-    sequencesQ)
+    pivotQ, scalarSubQ, unionQ, unionByNameQ, percentileQ, topkAggQ,
+    mapGroupsQ, rangeJoinQ, sequencesQ)
 }

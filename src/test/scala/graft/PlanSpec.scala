@@ -175,6 +175,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    import spark.implicits._
+    // one key carries ~all left rows — the power-law hot key that would pin
+    // a 100 TB shuffle on one task; AQE must split it into subpartitions
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "10KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "10KB")
+    try {
+      val left = (1 to 40000).map(i => (if (i % 100 == 0) i.toLong else 7L,
+        s"payload-$i-${"x" * 30}")).toDF("k", "v")
+      val right = (1L to 500L).map(k => (k, s"dim-$k")).toDF("k", "name")
+      val joined = left.join(right, "k")
+      joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), finalPlan)
+    } finally {
+      Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        .foreach(spark.conf.unset)
+    }
+  }
+
   test("partitioned MV layout prunes directories at planning time") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-mv").toString
     graft.sources.Mv.write(
