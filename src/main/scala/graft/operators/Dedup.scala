@@ -455,11 +455,12 @@ object Dedup {
     * shared verbatim by >= 2 docs is located in each doc, and overlapping/
     * adjacent hits merge into maximal spans via the gaps-and-islands window
     * pattern. Unlike pair-based dedup this is LINEAR — membership join
-    * against the repeated-shingle set, never a doc x doc product. The join
-    * key here is the raw 8-gram string so the DuckDB oracle can replicate it;
-    * at 100 TB key on fnv64 of the shingle instead ([[shingleIndexHashed]])
-    * so the shuffle carries 8-byte keys. Token positions are 1-based,
-    * span_end inclusive. */
+    * against the repeated-shingle set, never a doc x doc product. The
+    * engine keys on fnv64 of the 8-gram (8-byte shuffle rows, ~6x narrower
+    * than the raw string; a cross-shingle collision is ~|shingles|²/2⁶⁵ and
+    * would surface as an oracle span mismatch) — the oracle works with the
+    * raw strings, which only have to agree on the OUTPUT spans. Token
+    * positions are 1-based, span_end inclusive. */
   val spansW = 8
   val spansQ = QueryDef(
     "dedup_repeated_spans",
@@ -494,7 +495,7 @@ object Dedup {
           val a = txt.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
           if (a.length < spansW) Iterator.empty
           else a.sliding(spansW).zipWithIndex.map {
-            case (g, i) => (id, i + 1, g.mkString(" ")) }
+            case (g, i) => (id, i + 1, fnv64(g.mkString(" "))) }
         }.toDF("doc_id", "i", "sh")
       val rep = sh.groupBy(col("sh"))
         .agg(countDistinct(col("doc_id")).as("nd"))

@@ -88,6 +88,39 @@ class CorpusDedupSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("differential: streaming dedup agrees with the batch MinHash pair set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch truth: exact-verified near-dup pairs over the real corpus
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+    val pairs = graft.operators.Dedup.minHashDedup(
+      docs, "doc_id", "text", n = 3, numHashes = 32, bands = 8, threshold = 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus must contain near-dup pairs")
+    val input = MemoryStream[StreamDoc]
+    val q = CorpusDedup.incrementalDedup(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("corpus_dedup_diff").start()
+    try {
+      val all = docs.select("doc_id", "text").collect()
+        .map(r => StreamDoc(r.getLong(0), r.getString(1)))
+        .sortBy(_.doc_id)
+      input.addData(all.toIndexedSeq)
+      q.processAllAvailable()
+      val flags = spark.table("corpus_dedup_diff").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dupDocs = flags.filter(_._2 >= 0).keySet
+      // completeness: the later doc of every true pair is flagged
+      pairs.foreach { case (i, j) =>
+        assert(dupDocs(math.max(i, j)),
+          s"pair ($i,$j): later doc not flagged by the stream") }
+      // soundness: every flagged doc appears in some true pair
+      val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+      dupDocs.foreach { d =>
+        assert(inPairs(d), s"stream flagged $d which is in no exact pair") }
+    } finally q.stop()
+  }
+
   test("exact streaming dedup keeps first writer per content hash") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
