@@ -113,5 +113,46 @@ object Media {
           expr("greatest(1L, height * 256 div greatest(width, height))"))
     })
 
-  val defs: Seq[QueryDef] = Seq(metadataQ, frameSampleQ, resizeQ)
+  /** Feature extraction at the decode seam: per-payload byte statistics
+    * (total, mean byte value, low-byte count, distinct bytes) computed in
+    * the same batched mapPartitions pass a real featurizer (CLIP embedding,
+    * mel spectrogram) would occupy. Payload bytes are touched exactly once
+    * per partition and never shuffled — only the fixed-width feature row
+    * moves. Oracle: the corpus is ASCII, so byte stats equal code-point
+    * stats over the text (pinned by the gate at every SF). */
+  val featuresQ = QueryDef(
+    "media_feature_bytes",
+    "per-payload byte features via the batched decode seam (mapPartitions)",
+    Some(s"""WITH cp AS (SELECT doc_id,
+                    list_transform(string_split(text, ''), c -> ord(c)) AS cps
+                  FROM documents)
+             SELECT doc_id, len(cps) AS n_bytes,
+                    ${graft.functions.Num.sql(
+                      "CAST(list_sum(cps) AS DOUBLE) / len(cps)", 4)} AS mean_byte,
+                    len(list_filter(cps, c -> c < 97)) AS n_low,
+                    len(list_distinct(cps)) AS n_distinct_bytes
+             FROM cp WHERE len(cps) > 0"""),
+    (s, dir) => {
+      import s.implicits._
+      asMedia(s, dir).filter(r => r.payload.nonEmpty).mapPartitions { it =>
+        it.map { r =>
+          var sum = 0L; var low = 0L
+          val seen = new java.util.BitSet(256)
+          var i = 0
+          while (i < r.payload.length) {
+            val b = r.payload(i) & 0xFF
+            sum += b; if (b < 97) low += 1; seen.set(b)
+            i += 1
+          }
+          (r.doc_id, r.payload.length.toLong, sum, low,
+            seen.cardinality().toLong)
+        }
+      }.toDF("doc_id", "n_bytes", "byte_sum", "n_low", "n_distinct_bytes")
+        .select(col("doc_id"), col("n_bytes"),
+          graft.functions.Num.pround(
+            col("byte_sum").cast("double") / col("n_bytes"), 4).as("mean_byte"),
+          col("n_low"), col("n_distinct_bytes"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(metadataQ, frameSampleQ, resizeQ, featuresQ)
 }
