@@ -121,6 +121,29 @@ class CorpusDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("composed ingest: junk never reaches dedup state, clean near-dups dedupe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val q = CorpusIngest.ingest(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("corpus_ingest_t1").start()
+    try {
+      // junk: under the token floor; clean: a real doc
+      input.addData(StreamDoc(1, "too short"), mkDoc(2, "zeta"))
+      q.processAllAvailable()
+      // junk near-copy (still junk), clean near-copy, fresh clean doc
+      input.addData(StreamDoc(3, "too short"), nearCopy(4, "zeta"), mkDoc(5, "eta"))
+      q.processAllAvailable()
+      val out = spark.table("corpus_ingest_t1").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // junk docs produce no verdicts at all — filtered before any state
+      assert(!out.contains(1L) && !out.contains(3L), out.toString)
+      assert(out(2L) == -1L && out(5L) == -1L, out.toString)
+      assert(out(4L) == 2L, s"clean near-dup must point at its keeper: $out")
+    } finally q.stop()
+  }
+
   test("exact streaming dedup keeps first writer per content hash") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
