@@ -68,6 +68,32 @@ class GraftFacadeSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(counter)
   }
 
+  test("ANSI SQL over registered tables matches the DataFrame catalog result") {
+    Graft.init(spark)
+    Graft.registerTables(spark, sf("sf0.001"))
+    // Q5's join tree written as plain SQL against the registered views must
+    // produce exactly the catalog DataFrame implementation's rows
+    val viaSql = spark.sql(
+      """SELECT n.n_name,
+                floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 1e2 + 0.5) / 1e2
+                  AS revenue
+         FROM customer c
+         JOIN orders o ON o.o_custkey = c.c_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              AND s.s_nationkey = c.c_nationkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         JOIN region r ON r.r_regionkey = n.n_regionkey
+         WHERE r.r_name = 'ASIA'
+           AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY n.n_name""").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaDf = graft.SparkEntry.queries("q5_region_revenue")(spark, sf("sf0.001"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaSql == viaDf, s"sql=$viaSql df=$viaDf")
+  }
+
   test("dot_product, haversine_km, rolling_hash2 and zvalue SQL functions evaluate") {
     Graft.init(spark)
     val r = spark.sql(
