@@ -21,4 +21,24 @@ object Mv {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Incremental maintenance: overwrite ONLY the partitions present in
+    * `delta`, leaving every other partition's files untouched — Spark's
+    * dynamic partition-overwrite. This is how a 100 TB day-partitioned MV
+    * absorbs a late/corrected day: the rewrite cost is the affected
+    * partitions, never the table (MvSpec proves untouched partitions keep
+    * their exact files). The session's partitionOverwriteMode is restored
+    * afterward, so callers keep their own semantics. */
+  def upsertPartitions(delta: DataFrame, path: String,
+      partitionCols: String*): Unit = {
+    val spark = delta.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try delta.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
