@@ -91,6 +91,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: TopKAgg equals local sort-take under any partitioning") {
+    import graft.functions.TopKAgg
+    import spark.implicits._
+    val gen = for {
+      key <- Gen.chooseNum(0, 5); v <- Gen.chooseNum(-1000, 1000)
+    } yield (key, v / 10.0) // duplicates likely -> exercises tie behavior
+    for (seed <- Seq(51L, 52L)) {
+      val rows = sample(gen, 400, seed)
+      val expected = rows.groupBy(_._1).map { case (k, vs) =>
+        k -> vs.map(_._2).sorted(Ordering[Double].reverse).take(5)
+      }
+      // 1 and 13 partitions: map-side partials must merge identically
+      for (parts <- Seq(1, 13)) {
+        val got = rows.toDF("k", "v").repartition(parts)
+          .groupBy(col("k"))
+          .agg(TopKAgg.top_k(col("v"), 5).as("top"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+        assert(got == expected, s"seed=$seed parts=$parts")
+      }
+    }
+  }
+
   test("property: zvalue is a bijection on 16-bit pairs and quad-monotone") {
     import graft.functions.ZValue
     val gen = for {

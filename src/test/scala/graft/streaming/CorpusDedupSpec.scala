@@ -144,6 +144,29 @@ class CorpusDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxBucket caps state growth; over-cap docs pass through as keepers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    // cap of 0: the store branch can never fire, so every doc passes as a
+    // keeper across batches — bounded state trades RECALL (missed dups),
+    // never soundness (false dup flags) and never a crash
+    val q = CorpusDedup.incrementalDedup(input.toDS(), maxBucket = 0)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("corpus_dedup_cap").start()
+    try {
+      input.addData(mkDoc(1, "theta"))
+      q.processAllAvailable()
+      input.addData(nearCopy(3, "theta")) // real near-dup, but nothing stored
+      q.processAllAvailable()
+      val out = spark.table("corpus_dedup_cap").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out(1L) == -1L)
+      assert(out(3L) == -1L,
+        s"with zero stored state nothing may be flagged: $out")
+    } finally q.stop()
+  }
+
   test("exact streaming dedup keeps first writer per content hash") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
