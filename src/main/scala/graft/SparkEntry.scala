@@ -34,7 +34,7 @@ object SparkEntry {
       operators.Geo.defs ++ operators.Analytics.defs ++
       operators.Dedup.defs ++ operators.Similarity.defs ++
       operators.TextAnalysis.defs ++ operators.Pipeline.defs ++
-      operators.Warehouse.defs ++
+      operators.Warehouse.defs ++ operators.Curation.defs ++
       multimodal.Media.defs
 
   /** Flagship: the full AIS pipeline end-to-end — synthesized NMEA sentences

@@ -30,6 +30,13 @@ object Vec {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Sequential squared L2 distance — same left-to-right fold order as
+    * DuckDB's `list_sum(list_transform(list_zip(a,b), ...))`, so distances
+    * agree with the oracle bit-for-bit before rounding. */
+  def sumSqDiff(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Cosine given precomputed norms — at scale norms are computed once per

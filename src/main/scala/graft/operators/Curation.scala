@@ -1,0 +1,264 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.{Num, Text, Vec}
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 training-data curation operators (SURVEY.md §7.6): benchmark
+  * decontamination, entity-resolution fuzzy blocking, corpus-novelty and
+  * vocabulary-coverage scoring, and product-quantization ANN.
+  *
+  * Scale design (100 TB): every pipeline here is LINEAR in the corpus — the
+  * decontaminer is a membership join against the benchmark shingle set (never
+  * a doc x doc product), the fuzzy matcher blocks on deletion-neighborhood
+  * keys (an equi-join; no quadratic edit-distance sweep), the scorers are one
+  * aggregation over the token/shingle stream, and PQ encodes against a
+  * broadcast codebook so the corpus never shuffles for encoding.
+  */
+object Curation {
+
+  // ---- benchmark decontamination -------------------------------------------
+
+  /** The held-out "benchmark" slice: one source partition plays the role of
+    * an eval set whose passages must not leak into training data. */
+  val BenchmarkSource = "src0"
+  private val decontamW = 8
+
+  /** Training docs sharing >= 1 verbatim `w`-token shingle with the benchmark
+    * docs — the n-gram decontamination every LLM training pipeline runs
+    * against its eval suites. Linear: shingle both sides once, then an
+    * equi-join on 8-byte shingle hashes; the corpus side never self-joins.
+    * At 100 TB the benchmark shingle set is the small side of the join
+    * (shuffle-hash on the fnv64 key; broadcast when the eval suite is small
+    * enough — here it is 1/20 of the corpus, so we leave the strategy to
+    * AQE rather than pinning a broadcast that would not hold at scale). */
+  def decontaminate(docs: DataFrame, benchmarkSource: String,
+      w: Int): DataFrame = {
+    val srcs = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col("source"))
+    val sh = Dedup.shingleIndexHashed(docs, "doc_id", "text", w)
+      .join(srcs, "doc_id")
+    val bench = sh.filter(col("source") === benchmarkSource)
+      .select(col("s")).distinct()
+    sh.filter(col("source") =!= benchmarkSource)
+      .join(bench, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("shared_spans"))
+  }
+
+  val decontaminateQ = QueryDef(
+    "decontaminate_benchmark",
+    "training docs sharing an 8-token span with the held-out benchmark source",
+    Some(s"""WITH toks AS (SELECT doc_id, source,
+                    string_split_regex(trim(lower(text)), '\\s+') AS t
+                  FROM documents),
+             s1 AS (SELECT DISTINCT doc_id, source,
+                      concat_ws(' ', ${(0 until decontamW).map(k => s"t[i+$k]").mkString(", ")}) AS sh
+                    FROM toks CROSS JOIN
+                      unnest(generate_series(1, len(t) - ${decontamW - 1})) AS u(i)
+                    WHERE len(t) >= $decontamW),
+             b AS (SELECT DISTINCT sh FROM s1 WHERE source = '$BenchmarkSource')
+             SELECT doc_id, count(*) AS shared_spans
+             FROM s1 JOIN b USING (sh)
+             WHERE source <> '$BenchmarkSource'
+             GROUP BY 1"""),
+    (s, dir) => decontaminate(Tables.documents(s, dir), BenchmarkSource,
+      decontamW))
+
+  // ---- entity-resolution fuzzy blocking ------------------------------------
+
+  /** Hamming-distance-1 name pairs via deletion-neighborhood blocking: each
+    * name emits `len` masked keys (one position replaced by a sentinel), and
+    * two same-length names differing in exactly one character meet on exactly
+    * one key — an EQUI-join over an 18x expansion, with zero edit-distance
+    * evaluations. The quadratic all-pairs Levenshtein sweep (which the oracle
+    * runs) is what this replaces: at 100 TB the blocked form shuffles
+    * |corpus| x len narrow rows once; the unblocked form is |corpus|² and
+    * impossible. The sentinel (chr(1)) cannot occur in the data. */
+  def hamming1Pairs(df: DataFrame, id: String, name: String): DataFrame = {
+    val masked = df.select(col(id).cast("long").as("id"), col(name).as("nm"))
+      .select(col("id"), posexplode(expr(
+        s"""transform(sequence(1, length(nm)),
+              p -> concat(substring(nm, 1, p - 1), chr(1),
+                          substring(nm, p + 1, length(nm))))"""))
+        .as(Seq("p0", "k")))
+      .select(col("id"), (col("p0") + 1).cast("long").as("pos"), col("k"))
+    masked.as("a").join(masked.as("b"),
+        col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"), col("a.pos").as("pos"))
+  }
+
+  val fuzzyPairsQ = QueryDef(
+    "fuzzy_blocked_pairs",
+    "customer-name pairs at edit distance 1 via deletion-neighborhood blocking",
+    Some("""WITH p AS (SELECT a.c_custkey AS i, b.c_custkey AS j,
+                              a.c_name AS an, b.c_name AS bn
+                       FROM customer a JOIN customer b
+                         ON a.c_custkey < b.c_custkey
+                        AND length(a.c_name) = length(b.c_name)
+                        AND levenshtein(a.c_name, b.c_name) = 1)
+            SELECT i, j, min(u.pp) AS pos
+            FROM p CROSS JOIN unnest(generate_series(1, length(an))) AS u(pp)
+            WHERE an[pp] <> bn[pp]
+            GROUP BY i, j"""),
+    (s, dir) => hamming1Pairs(Tables.customer(s, dir), "c_custkey", "c_name"))
+
+  // ---- corpus novelty / coverage scoring -----------------------------------
+
+  /** Per-doc novelty: what fraction of a doc's distinct bigrams appear
+    * nowhere else in the corpus. High novelty = unique content; near-zero =
+    * boilerplate. Two aggregations over the shingle stream (df count, then
+    * per-doc rollup) — no pair join. */
+  val noveltyQ = QueryDef(
+    "text_bigram_novelty",
+    "per-doc fraction of bigrams unique to that doc (corpus df = 1)",
+    Some(s"""WITH toks AS (SELECT doc_id,
+                    string_split_regex(trim(lower(text)), '\\s+') AS t
+                  FROM documents),
+             sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS s
+                    FROM toks CROSS JOIN
+                      unnest(generate_series(1, len(t) - 1)) AS u(i)
+                    WHERE len(t) >= 2),
+             d AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+             SELECT doc_id, count(*) AS n_bigrams,
+                    count(CASE WHEN df = 1 THEN 1 END) AS novel,
+                    ${Num.sql("CAST(count(CASE WHEN df = 1 THEN 1 END) AS DOUBLE) / count(*)", 4)} AS novelty
+             FROM sh JOIN d USING (s)
+             GROUP BY doc_id"""),
+    (s, dir) => {
+      val sh = Dedup.shingleIndex(Tables.documents(s, dir), "doc_id", "text", 2)
+      val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      sh.join(dfreq, "s")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          count(when(col("df") === 1, 1)).as("novel"))
+        .withColumn("novelty",
+          Num.pround(col("novel").cast("double") / col("n_bigrams"), 4))
+    })
+
+  /** Tokenizer-vocabulary coverage: the fraction of each doc's token
+    * OCCURRENCES covered by the top-`vocabK` corpus vocabulary — the metric
+    * that decides whether a tokenizer's vocab is big enough for a corpus.
+    * The vocab is tiny by construction (top-K of an aggregated token table),
+    * so the probe join broadcasts; the token stream aggregates in one pass. */
+  private val vocabK = 8
+  val coverageQ = QueryDef(
+    "vocab_coverage",
+    s"per-doc token coverage by the top-$vocabK corpus vocabulary",
+    Some(s"""WITH t AS (SELECT doc_id,
+                    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+                  FROM documents),
+             tok AS (SELECT doc_id, token FROM t WHERE token <> ''),
+             v AS (SELECT token FROM
+                     (SELECT token, row_number() OVER
+                        (ORDER BY count(*) DESC, token) AS r
+                      FROM tok GROUP BY token)
+                   WHERE r <= $vocabK)
+             SELECT doc_id, count(*) AS n_tokens,
+                    count(CASE WHEN token IN (SELECT token FROM v)
+                               THEN 1 END) AS covered,
+                    ${Num.sql(s"CAST(count(CASE WHEN token IN (SELECT token FROM v) THEN 1 END) AS DOUBLE) / count(*)", 4)} AS coverage
+             FROM tok GROUP BY doc_id"""),
+    (s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      val w = Window.orderBy(col("n").desc, col("token"))
+      val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .withColumn("r", row_number().over(w)).filter(col("r") <= vocabK)
+        .select(col("token"), lit(1).as("hit"))
+      tok.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("hit") === 1, 1)).as("covered"))
+        .withColumn("coverage",
+          Num.pround(col("covered").cast("double") / col("n_tokens"), 4))
+    })
+
+  // ---- product-quantization ANN --------------------------------------------
+
+  /** PQ-ADC approximate nearest neighbors — the third ANN scale path beside
+    * LSH ([[Similarity.annLsh]]) and IVF ([[Similarity.annIvf]]): vectors are
+    * encoded as M nearest-sub-centroid codes against a per-subspace codebook
+    * (deterministic every-`stride`-th sample standing in for trained
+    * k-means, as in IVF), and query distance is computed against the
+    * RECONSTRUCTION (concatenated code centroids) — mathematically the
+    * asymmetric-distance sum over subspaces, but evaluated as one
+    * left-to-right fold over 64 dims so both engines produce the identical
+    * IEEE double. Codebook broadcasts both for encoding and reconstruction;
+    * the corpus never shuffles except the M-row-per-vector code rollup.
+    * Ties (equal rounded distance) break on centroid/vector id, so codes and
+    * ranks are deterministic under any partitioning. */
+  def pqAdc(e: DataFrame, m: Int, subDim: Int, stride: Int,
+      k: Int): DataFrame = {
+    val v = e.select(col("vec_id"), Vec.toDouble(col("embedding")).as("v"))
+    val subs = v.select(col("vec_id"), explode(array((0 until m).map(i =>
+        struct(lit(i).as("m"), slice(col("v"), i * subDim + 1, subDim).as("sv"))): _*))
+      .as("e"))
+      .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
+    val cents = subs.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("c_id"), col("m"), col("sv").as("cv"))
+    // narrow-row argmin (d2, c_id) — the broadcast codebook product collapses
+    // in the map-side partial aggregate, one row per (vector, subspace) out
+    val codes = subs.join(broadcast(cents), Seq("m"))
+      .select(col("vec_id"), col("m"), col("c_id"),
+        Num.pround(Vec.sumSqDiff(col("sv"), col("cv")), 6).as("d2"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("c_id"), struct(col("d2"), col("c_id"))).as("c_id"))
+    val recon = codes.join(broadcast(cents), Seq("m", "c_id"))
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("m"), col("cv")))),
+        x => x.getField("cv"))).as("rv"))
+    val q = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))
+    recon.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        Num.pround(Vec.sumSqDiff(col("qv"), col("rv")), 6).as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** DuckDB replica of [[pqAdc]]: same deterministic codebook, same rounded
+    * per-subspace argmin, same reconstruction-distance rank. */
+  private def pqOracle(m: Int, subDim: Int, stride: Int, k: Int): String = {
+    val sq = "list_sum(list_transform(list_zip(%s, %s), " +
+      "pr -> (pr[1] - pr[2]) * (pr[1] - pr[2])))"
+    val ms = (0 until m).mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        sub AS (SELECT vec_id, m, v[m * $subDim + 1 : m * $subDim + $subDim] AS sv
+                FROM e CROSS JOIN unnest($ms) AS t(m)),
+        cents AS (SELECT vec_id AS c_id, m, sv AS cv FROM sub
+                  WHERE vec_id % $stride = 0),
+        enc AS (SELECT sub.vec_id, sub.m, c_id,
+                       row_number() OVER (PARTITION BY sub.vec_id, sub.m
+                         ORDER BY ${Num.sql(sq.format("sv", "cv"), 6)}, c_id) AS r
+                FROM sub JOIN cents USING (m)),
+        codes AS (SELECT vec_id, m, c_id FROM enc WHERE r = 1),
+        recon AS (SELECT vec_id, flatten(list(cv ORDER BY m)) AS rv
+                  FROM codes JOIN cents USING (m, c_id) GROUP BY vec_id),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+        d AS (SELECT q_id, vec_id, ${Num.sql(sq.format("qv", "rv"), 6)} AS dist
+              FROM recon CROSS JOIN q WHERE q_id <> vec_id)
+        SELECT q_id, vec_id, dist, rank FROM (
+          SELECT q_id, vec_id, dist,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY dist, vec_id) AS rank
+          FROM d) WHERE rank <= $k"""
+  }
+
+  val pqQ = QueryDef(
+    "ann_pq_adc",
+    "approximate top-10 neighbors via product-quantization ADC (4x16 codebook)",
+    Some(pqOracle(m = 4, subDim = 16, stride = 25, k = 10)),
+    (s, dir) => pqAdc(Tables.embeddings(s, dir), m = 4, subDim = 16,
+      stride = 25, k = 10))
+
+  val defs: Seq[QueryDef] =
+    Seq(decontaminateQ, fuzzyPairsQ, noveltyQ, coverageQ, pqQ)
+}

@@ -654,8 +654,27 @@ object Relational {
         Num.pround(last(col("value")).over(wu), 4).as("last_v"))
     })
 
+  /** percent_rank + cume_dist — relative-position window functions; the
+    * ORDER BY is total (balance, custkey) so both are engine-deterministic
+    * exact integer ratios. */
+  val pctRank = QueryDef(
+    "window_percent_rank",
+    "percent_rank + cume_dist of account balance within nation",
+    Some(s"""SELECT c_custkey,
+                    ${Num.sql("percent_rank() OVER w", 6)} AS pct_rank,
+                    ${Num.sql("cume_dist() OVER w", 6)} AS cdist
+             FROM customer
+             WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, dir).select(col("c_custkey"),
+        Num.pround(percent_rank().over(w), 6).as("pct_rank"),
+        Num.pround(cume_dist().over(w), 6).as("cdist"))
+    })
+
   val defs: Seq[QueryDef] = Seq(q1, q3, q4, q5, q6, q7, q10, q14, q17, q18,
     q19, semi, anti, fullOuter, except, intersect, rollup_, cube_, running,
     rankTopN, tumbling, sliding, json, approx, approxPct, unpivot_, rangeFrame,
-    lagLead, ntileBounds)
+    lagLead, ntileBounds, pctRank)
 }
