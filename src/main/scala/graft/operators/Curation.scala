@@ -254,10 +254,10 @@ object Curation {
 
   val pqQ = QueryDef(
     "ann_pq_adc",
-    "approximate top-10 neighbors via product-quantization ADC (4x16 codebook)",
-    Some(pqOracle(m = 4, subDim = 16, stride = 25, k = 10)),
-    (s, dir) => pqAdc(Tables.embeddings(s, dir), m = 4, subDim = 16,
-      stride = 25, k = 10))
+    "approximate top-10 neighbors via product-quantization ADC (16x4 codebook)",
+    Some(pqOracle(m = 16, subDim = 4, stride = 10, k = 10)),
+    (s, dir) => pqAdc(Tables.embeddings(s, dir), m = 16, subDim = 4,
+      stride = 10, k = 10))
 
   val defs: Seq[QueryDef] =
     Seq(decontaminateQ, fuzzyPairsQ, noveltyQ, coverageQ, pqQ)
