@@ -30,10 +30,17 @@ object Vec {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Sequential squared L2 distance — same left-to-right fold order as
-    * DuckDB's `list_sum(list_transform(list_zip(a,b), ...))`, so distances
-    * agree with the oracle bit-for-bit before rounding. */
+  /** Sequential squared L2 distance (native Expression — see [[SumSqDiff]]);
+    * same left-to-right fold order as DuckDB's
+    * `list_sum(list_transform(list_zip(a,b), ...))`, so distances agree with
+    * the oracle bit-for-bit before rounding. */
   def sumSqDiff(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(SumSqDiff(
+      GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+
+  /** The composable higher-order spelling of [[sumSqDiff]] — kept as the
+    * reference implementation the native expression is tested against. */
+  def sumSqDiffHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 

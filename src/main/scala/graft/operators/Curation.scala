@@ -85,7 +85,10 @@ object Curation {
               p -> concat(substring(nm, 1, p - 1), chr(1),
                           substring(nm, p + 1, length(nm))))"""))
         .as(Seq("p0", "k")))
-      .select(col("id"), (col("p0") + 1).cast("long").as("pos"), col("k"))
+      .select(col("id"), (col("p0") + 1).cast("long").as("pos"),
+        // 8-byte join key instead of the masked string (a cross-key xxhash64
+        // collision is ~|rows|²/2⁶⁵ and would surface as an oracle mismatch)
+        xxhash64(col("k")).as("k"))
     masked.as("a").join(masked.as("b"),
         col("a.k") === col("b.k") && col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"), col("a.pos").as("pos"))
@@ -129,7 +132,9 @@ object Curation {
              FROM sh JOIN d USING (s)
              GROUP BY doc_id"""),
     (s, dir) => {
-      val sh = Dedup.shingleIndex(Tables.documents(s, dir), "doc_id", "text", 2)
+      // counts only — hashed 8-byte shingle keys, never the bigram text
+      val sh = Dedup.shingleIndexHashed(Tables.documents(s, dir),
+        "doc_id", "text", 2)
       val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       sh.join(dfreq, "s")
         .groupBy(col("doc_id"))
@@ -183,8 +188,10 @@ object Curation {
   /** PQ-ADC approximate nearest neighbors — the third ANN scale path beside
     * LSH ([[Similarity.annLsh]]) and IVF ([[Similarity.annIvf]]): vectors are
     * encoded as M nearest-sub-centroid codes against a per-subspace codebook
-    * (deterministic every-`stride`-th sample standing in for trained
-    * k-means, as in IVF), and query distance is computed against the
+    * (the deterministic first-`codebookK` vectors standing in for trained
+    * k-means — FIXED size, as real PQ codebooks are: encode cost stays
+    * |corpus| x M x K at any scale, never growing with the corpus the way
+    * a strided sample would), and query distance is computed against the
     * RECONSTRUCTION (concatenated code centroids) — mathematically the
     * asymmetric-distance sum over subspaces, but evaluated as one
     * left-to-right fold over 64 dims so both engines produce the identical
@@ -192,14 +199,14 @@ object Curation {
     * the corpus never shuffles except the M-row-per-vector code rollup.
     * Ties (equal rounded distance) break on centroid/vector id, so codes and
     * ranks are deterministic under any partitioning. */
-  def pqAdc(e: DataFrame, m: Int, subDim: Int, stride: Int,
+  def pqAdc(e: DataFrame, m: Int, subDim: Int, codebookK: Int,
       k: Int): DataFrame = {
     val v = e.select(col("vec_id"), Vec.toDouble(col("embedding")).as("v"))
     val subs = v.select(col("vec_id"), explode(array((0 until m).map(i =>
         struct(lit(i).as("m"), slice(col("v"), i * subDim + 1, subDim).as("sv"))): _*))
       .as("e"))
       .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
-    val cents = subs.filter(pmod(col("vec_id"), lit(stride)) === 0)
+    val cents = subs.filter(col("vec_id") < codebookK)
       .select(col("vec_id").as("c_id"), col("m"), col("sv").as("cv"))
     // narrow-row argmin (d2, c_id) — the broadcast codebook product collapses
     // in the map-side partial aggregate, one row per (vector, subspace) out
@@ -225,7 +232,7 @@ object Curation {
 
   /** DuckDB replica of [[pqAdc]]: same deterministic codebook, same rounded
     * per-subspace argmin, same reconstruction-distance rank. */
-  private def pqOracle(m: Int, subDim: Int, stride: Int, k: Int): String = {
+  private def pqOracle(m: Int, subDim: Int, codebookK: Int, k: Int): String = {
     val sq = "list_sum(list_transform(list_zip(%s, %s), " +
       "pr -> (pr[1] - pr[2]) * (pr[1] - pr[2])))"
     val ms = (0 until m).mkString("[", ", ", "]")
@@ -234,7 +241,7 @@ object Curation {
         sub AS (SELECT vec_id, m, v[m * $subDim + 1 : m * $subDim + $subDim] AS sv
                 FROM e CROSS JOIN unnest($ms) AS t(m)),
         cents AS (SELECT vec_id AS c_id, m, sv AS cv FROM sub
-                  WHERE vec_id % $stride = 0),
+                  WHERE vec_id < $codebookK),
         enc AS (SELECT sub.vec_id, sub.m, c_id,
                        row_number() OVER (PARTITION BY sub.vec_id, sub.m
                          ORDER BY ${Num.sql(sq.format("sv", "cv"), 6)}, c_id) AS r
@@ -255,9 +262,9 @@ object Curation {
   val pqQ = QueryDef(
     "ann_pq_adc",
     "approximate top-10 neighbors via product-quantization ADC (16x4 codebook)",
-    Some(pqOracle(m = 16, subDim = 4, stride = 10, k = 10)),
+    Some(pqOracle(m = 16, subDim = 4, codebookK = 64, k = 10)),
     (s, dir) => pqAdc(Tables.embeddings(s, dir), m = 16, subDim = 4,
-      stride = 10, k = 10))
+      codebookK = 64, k = 10))
 
   val defs: Seq[QueryDef] =
     Seq(decontaminateQ, fuzzyPairsQ, noveltyQ, coverageQ, pqQ)

@@ -68,7 +68,7 @@ class CurationSpec extends SparkSpec {
       .withColumn("r", row_number().over(w)).filter(col("r") <= 10)
       .select(col("q_id"), col("vec_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val pq = Curation.pqAdc(emb, m = 16, subDim = 4, stride = 10, k = 10)
+    val pq = Curation.pqAdc(emb, m = 16, subDim = 4, codebookK = 64, k = 10)
       .select(col("q_id"), col("vec_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(pq.length == 50) // 5 queries x k=10, no fabricated/missing rows
@@ -76,6 +76,16 @@ class CurationSpec extends SparkSpec {
     // 16x4 codebook from a strided sample on near-random synthetic vectors:
     // measured 0.50 here; chance is 10/499 ~ 2%
     assert(recall >= 0.3, s"PQ recall collapsed: $recall")
+  }
+
+  test("native SumSqDiff expression matches the higher-order reference bit-for-bit") {
+    import graft.functions.Vec
+    val v = emb.select(col("vec_id"), Vec.toDouble(col("embedding")).as("v"))
+    val pairs = v.as("a").join(v.as("b"),
+        col("a.vec_id") + 1 === col("b.vec_id"))
+      .select(Vec.sumSqDiff(col("a.v"), col("b.v")).as("fast"),
+        Vec.sumSqDiffHof(col("a.v"), col("b.v")).as("ref"))
+    assert(pairs.filter(col("fast") =!= col("ref")).isEmpty)
   }
 
   test("vocab coverage + novelty are proper fractions and cover every doc") {
