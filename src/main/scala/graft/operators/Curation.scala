@@ -183,6 +183,42 @@ object Curation {
           Num.pround(col("covered").cast("double") / col("n_tokens"), 4))
     })
 
+  /** Deterministic source interleaving — the epoch-mix ordering a training
+    * loader reads: round `r` of the mix takes each source's `r`-th document
+    * before any source's `r+1`-th. The global position is NEVER computed by
+    * a single global window (a one-partition sort at 100 TB): it is the
+    * two-level scan from [[Pipeline.packSequences]] — a per-source
+    * row_number (shuffled by source), a tiny per-round count table whose
+    * prefix sum runs over max-docs-per-source rows, and an in-round rank
+    * partitioned by round. */
+  val interleaveQ = QueryDef(
+    "interleave_sources",
+    "deterministic round-robin source interleaving with global mix position",
+    Some("""WITH r AS (SELECT doc_id, source,
+                         row_number() OVER (PARTITION BY source
+                           ORDER BY doc_id) AS rn
+                       FROM documents)
+            SELECT doc_id, source,
+                   row_number() OVER (ORDER BY rn, source, doc_id) AS mix_pos
+            FROM r"""),
+    (s, dir) => {
+      val perSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val within = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .withColumn("rn", row_number().over(perSrc))
+      val counts = within.groupBy(col("rn")).agg(count(lit(1)).as("c"))
+      val wOff = Window.orderBy(col("rn"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = counts
+        .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+        .select(col("rn"), col("off"))
+      val wIn = Window.partitionBy(col("rn"))
+        .orderBy(col("source"), col("doc_id"))
+      within.join(offs, "rn")
+        .withColumn("mix_pos", col("off") + row_number().over(wIn))
+        .select(col("doc_id"), col("source"), col("mix_pos"))
+    })
+
   // ---- product-quantization ANN --------------------------------------------
 
   /** PQ-ADC approximate nearest neighbors — the third ANN scale path beside
@@ -267,5 +303,5 @@ object Curation {
       codebookK = 64, k = 10))
 
   val defs: Seq[QueryDef] =
-    Seq(decontaminateQ, fuzzyPairsQ, noveltyQ, coverageQ, pqQ)
+    Seq(decontaminateQ, fuzzyPairsQ, noveltyQ, coverageQ, interleaveQ, pqQ)
 }

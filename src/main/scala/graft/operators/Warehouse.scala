@@ -166,5 +166,37 @@ object Warehouse {
           ZValue.zvalue(col("user_id"), y).as("z"))
     })
 
-  val defs: Seq[QueryDef] = Seq(scd2, merge, markov, zorder)
+  /** ANALYZE-style column statistics — the CBO/data-skipping inputs a
+    * warehouse collects per column: row count, null count, exact NDV, min,
+    * max. One aggregation pass PER COLUMN, each scanning only that column
+    * (parquet column pruning makes the per-column pass the cheap, restartable
+    * unit — the alternative, several countDistincts in one aggregate, plans
+    * an Expand that multiplies the scanned rows by the column count). Exact
+    * NDV here; the approximate path at 100 TB is `approx_distinct_users`'s
+    * HLL sketch, one pass for all columns. */
+  val tableStats = QueryDef(
+    "table_stats",
+    "per-column ANALYZE stats (count, nulls, ndv, min, max) for lineitem measures",
+    Some(Seq("l_quantity", "l_extendedprice", "l_discount").map(c =>
+      s"""SELECT '$c' AS column_name, count($c) AS n,
+                 count(*) - count($c) AS n_null,
+                 count(DISTINCT $c) AS ndv,
+                 ${Num.sql(s"min($c)", 4)} AS min_v,
+                 ${Num.sql(s"max($c)", 4)} AS max_v
+          FROM lineitem""").mkString(" UNION ALL ")),
+    (s, dir) => {
+      val ls = Tables.lineitem(s, dir)
+      Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
+        ls.select(col(c)).agg(
+          count(col(c)).as("n"),
+          (count(lit(1)) - count(col(c))).as("n_null"),
+          countDistinct(col(c)).as("ndv"),
+          Num.pround(min(col(c)), 4).as("min_v"),
+          Num.pround(max(col(c)), 4).as("max_v"))
+          .select(lit(c).as("column_name"), col("n"), col("n_null"),
+            col("ndv"), col("min_v"), col("max_v"))
+      }.reduce(_ unionAll _)
+    })
+
+  val defs: Seq[QueryDef] = Seq(scd2, merge, markov, zorder, tableStats)
 }
