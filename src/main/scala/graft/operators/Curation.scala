@@ -244,13 +244,20 @@ object Curation {
       .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
     val cents = subs.filter(col("vec_id") < codebookK)
       .select(col("vec_id").as("c_id"), col("m"), col("sv").as("cv"))
-    // narrow-row argmin (d2, c_id) — the broadcast codebook product collapses
-    // in the map-side partial aggregate, one row per (vector, subspace) out
+    // packed-long argmin — min_by over a struct ordering falls to
+    // SortAggregate (struct is not an UnsafeRow-mutable buffer type), which
+    // sorts the |corpus|·M·K product. The rounded distance is integral at
+    // 1e6 scale by construction (floor(x*1e6+0.5) IS pround's integer), so
+    // (d2, c_id) packs losslessly into one long whose numeric order is the
+    // lexicographic order — a primitive min that stays in HashAggregate and
+    // collapses map-side. c_id < codebookK <= 1024 by contract.
     val codes = subs.join(broadcast(cents), Seq("m"))
-      .select(col("vec_id"), col("m"), col("c_id"),
-        Num.pround(Vec.sumSqDiff(col("sv"), col("cv")), 6).as("d2"))
+      .select(col("vec_id"), col("m"),
+        (floor(Vec.sumSqDiff(col("sv"), col("cv")) * 1e6 + 0.5).cast("long") *
+          1024 + col("c_id")).as("key"))
       .groupBy(col("vec_id"), col("m"))
-      .agg(min_by(col("c_id"), struct(col("d2"), col("c_id"))).as("c_id"))
+      .agg(min(col("key")).as("key"))
+      .select(col("vec_id"), col("m"), pmod(col("key"), lit(1024)).as("c_id"))
     val recon = codes.join(broadcast(cents), Seq("m", "c_id"))
       .groupBy(col("vec_id"))
       .agg(flatten(transform(
