@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.functions.Text
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** The composed streaming training-data ingest: documents stream in, junk is
@@ -45,4 +45,50 @@ object CorpusIngest {
       .select(col("doc_id"), col("text")).as[CorpusDedup.StreamDoc]
     CorpusDedup.incrementalDedup(clean, maxBucket)
   }
+
+  /** xxhash64 of every `w`-token shingle of a text column — the column-level
+    * shingle form (the batch pipelines use the typed fnv64 pass; here the
+    * hashes only have to agree between the two sides of the SAME gate, so
+    * the codegen'd builtin hash is the right choice). */
+  def shingleHashes(text: Column, w: Int): Column = {
+    val toks = Text.tokens(text)
+    when(size(toks) >= w,
+      transform(sequence(lit(1), size(toks) - (w - 1)),
+        i => xxhash64(concat_ws(" ", slice(toks, i, lit(w))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Streaming benchmark decontamination — the streaming face of the batch
+    * `decontaminate_benchmark` operator: drop any arriving document that
+    * shares a `w`-token shingle with the (static) benchmark corpus. The
+    * benchmark compresses ONCE, driver-side, into a broadcast Bloom sketch
+    * of shingle hashes (~1.2 MB per million shingles at 1% fpp — the same
+    * move as [[graft.operators.Pipeline.bloomPrune]]); every arriving doc is
+    * then a STATELESS per-row probe, so the gate adds no streaming state and
+    * no stream-side shuffle at any corpus size. Bloom false positives drop
+    * extra docs (conservative, safe for decontamination); false negatives
+    * cannot occur, so nothing contaminated leaks through. */
+  def decontaminationGate(docs: Dataset[CorpusDedup.StreamDoc],
+      benchmark: DataFrame, w: Int = 8, expectedShingles: Long = 1000000L,
+      fpp: Double = 0.01): Dataset[CorpusDedup.StreamDoc] = {
+    import docs.sparkSession.implicits._
+    val spark = docs.sparkSession
+    val benchShingles = benchmark
+      .select(explode(shingleHashes(col("text"), w)).as("s")).distinct()
+    val bf = benchShingles.stat.bloomFilter("s", expectedShingles, fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val anyHit = udf((hs: Seq[Long]) => hs.exists(bfB.value.mightContainLong))
+    docs.toDF()
+      .filter(!anyHit(shingleHashes(col("text"), w)))
+      .select(col("doc_id"), col("text")).as[CorpusDedup.StreamDoc]
+  }
+
+  /** The full composed ingest: decontaminate (stateless broadcast probe) →
+    * quality gate (stateless) → incremental near-dup dedup (stateful) —
+    * stateless stages first so the band-bucket state only ever holds clean,
+    * uncontaminated keepers. */
+  def ingestDecontaminated(docs: Dataset[CorpusDedup.StreamDoc],
+      benchmark: DataFrame, w: Int = 8,
+      maxBucket: Int = 10000): DataFrame =
+    ingest(decontaminationGate(docs, benchmark, w), maxBucket)
 }

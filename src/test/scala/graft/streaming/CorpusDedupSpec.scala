@@ -144,6 +144,36 @@ class CorpusDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontamination gate: docs sharing a benchmark span are dropped " +
+    "before any state; clean docs still dedupe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // benchmark corpus: one doc whose 8-token spans must not leak through
+    val benchText = (1 to 20).map(i => s"bench$i").mkString(" ")
+    val benchmark = Seq((100L, benchText)).toDF("doc_id", "text")
+    // contaminated: embeds benchmark tokens 5..12 (an 8-token span) in a
+    // longer clean carrier
+    val contaminated = StreamDoc(7,
+      (1 to 10).map(i => s"pre$i").mkString(" ") + " " +
+        (5 to 12).map(i => s"bench$i").mkString(" ") + " " +
+        (1 to 10).map(i => s"post$i").mkString(" "))
+    val input = MemoryStream[StreamDoc]
+    val q = CorpusIngest.ingestDecontaminated(input.toDS(), benchmark)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("corpus_ingest_decon").start()
+    try {
+      input.addData(contaminated, mkDoc(8, "iota"))
+      q.processAllAvailable()
+      input.addData(nearCopy(9, "iota"))
+      q.processAllAvailable()
+      val out = spark.table("corpus_ingest_decon").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(!out.contains(7L), s"contaminated doc leaked through: $out")
+      assert(out(8L) == -1L, out.toString)
+      assert(out(9L) == 8L, s"clean near-dup must still dedupe: $out")
+    } finally q.stop()
+  }
+
   test("maxBucket caps state growth; over-cap docs pass through as keepers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
