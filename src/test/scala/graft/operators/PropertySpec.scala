@@ -163,4 +163,28 @@ class PropertySpec extends SparkSpec {
         assert(b - a == W, s"n=$n interior [$a,$b) not full") }
     }
   }
+
+  test("property: interleave_sources is a permutation in round-robin order") {
+    val got = Curation.interleaveQ.run(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val n = got.length
+    // mix_pos is a bijection onto 1..N
+    assert(got.map(_._3).sorted.toSeq == (1L to n).toSeq)
+    // within a source, mix order follows doc order
+    got.groupBy(_._2).values.foreach { rows =>
+      val byDoc = rows.sortBy(_._1).map(_._3)
+      assert(byDoc.sorted.toSeq == byDoc.toSeq, "source order broken")
+    }
+    // round-robin: every source's r-th doc precedes every source's (r+1)-th
+    val roundOf = got.groupBy(_._2).values.flatMap { rows =>
+      rows.sortBy(_._1).zipWithIndex.map { case (t, i) => t._3 -> i }
+    }.toMap
+    val maxPosPerRound = roundOf.groupBy(_._2).map { case (r, m) => r -> m.keys.max }
+    maxPosPerRound.toSeq.sortBy(_._1).sliding(2).foreach {
+      case Seq((_, hi1), (r2, _)) =>
+        val lo2 = roundOf.filter(_._2 == r2).keys.min
+        assert(hi1 < lo2, s"round $r2 starts before prior round ends")
+      case _ =>
+    }
+  }
 }
