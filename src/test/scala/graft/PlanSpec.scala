@@ -155,6 +155,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("PQ encode argmin stays in HashAggregate (packed-long key, no sort)") {
+    val p = plan(run("ann_pq_adc"))
+    // the min_by(struct) form fell to SortAggregate over the
+    // corpus x codebook product; the packed-long min must hash-aggregate
+    assert(!p.contains("SortAggregate"), p)
+    // codebook broadcasts for encode and reconstruction; queries broadcast
+    assert("BroadcastExchange".r.findAllIn(p).length >= 3, p)
+  }
+
+  test("decontaminate joins shingle hashes — no doc x doc product, " +
+    "text never shuffles") {
+    val p = plan(run("decontaminate_benchmark"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // every exchange carries (doc_id, s[, source]) rows, never the text
+    assert(!"Exchange [^\n]*text".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("fuzzy blocking is one equi-join on hashed masked keys") {
+    val p = plan(run("fuzzy_blocked_pairs"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("levenshtein"), p) // zero edit-distance evaluations
+  }
+
   test("AQE re-plans sort-merge joins to broadcasts from runtime sizes") {
     // disable static broadcast estimation (the 100 TB situation: size
     // estimates are useless) but leave the adaptive threshold: the
