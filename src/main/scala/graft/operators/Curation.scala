@@ -219,6 +219,37 @@ object Curation {
         .select(col("doc_id"), col("source"), col("mix_pos"))
     })
 
+  /** The assembled quality-classifier feature table — the curation stage
+    * that turns the individual scorers into one training row per document:
+    * metadata + quality + repetition + novelty + vocabulary coverage. Pure
+    * composition (each input is its own catalog operator; the oracle embeds
+    * their oracles as subqueries), five hash joins all keyed on doc_id — at
+    * 100 TB the joins share one doc_id partitioning, and each scorer is the
+    * linear aggregation its own entry documents. */
+  val docFeaturesQ = QueryDef(
+    "doc_features",
+    "per-doc feature vector assembled from the quality/novelty/coverage scorers",
+    Some(s"""SELECT d.doc_id, d.lang, d.source, d.n_chars,
+                    q.n_tokens, q.stop_ratio, q.quality,
+                    r.dup_frac, r.top_share, n.novelty, v.coverage
+             FROM documents d
+             JOIN (${TextAnalysis.quality.oracle.get}) q ON d.doc_id = q.doc_id
+             JOIN (${TextAnalysis.repetition.oracle.get}) r ON d.doc_id = r.doc_id
+             JOIN (${noveltyQ.oracle.get}) n ON d.doc_id = n.doc_id
+             JOIN (${coverageQ.oracle.get}) v ON d.doc_id = v.doc_id"""),
+    (s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val q = TextAnalysis.quality.run(s, dir)
+        .select(col("doc_id"), col("n_tokens"), col("stop_ratio"), col("quality"))
+      val r = TextAnalysis.repetition.run(s, dir)
+        .select(col("doc_id"), col("dup_frac"), col("top_share"))
+      val n = noveltyQ.run(s, dir).select(col("doc_id"), col("novelty"))
+      val v = coverageQ.run(s, dir).select(col("doc_id"), col("coverage"))
+      base.join(q, "doc_id").join(r, "doc_id").join(n, "doc_id")
+        .join(v, "doc_id")
+    })
+
   // ---- product-quantization ANN --------------------------------------------
 
   /** PQ-ADC approximate nearest neighbors — the third ANN scale path beside
@@ -310,5 +341,6 @@ object Curation {
       codebookK = 64, k = 10))
 
   val defs: Seq[QueryDef] =
-    Seq(decontaminateQ, fuzzyPairsQ, noveltyQ, coverageQ, interleaveQ, pqQ)
+    Seq(decontaminateQ, fuzzyPairsQ, noveltyQ, coverageQ, interleaveQ,
+      docFeaturesQ, pqQ)
 }
