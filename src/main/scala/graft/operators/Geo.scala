@@ -113,5 +113,58 @@ object Geo {
           Num.pround(max(col("step_km")), 2).as("max_leg_km"))
     })
 
-  val defs: Seq[QueryDef] = Seq(cellDensityQ, trackDistanceQ)
+  /** Spatial radius join via grid blocking — "every position within `r` km
+    * of a port" without the position x port product: each port expands ONCE
+    * into its disk's candidate 1-degree cells (the exact spherical bounding
+    * box: dlat = r/R in degrees, dlon = asin(sin(r/R)/cos(plat)) — the
+    * parallel-arc approximation UNDER-covers because great circles dip
+    * poleward; candidate lon cells normalize mod 360 for the antimeridian),
+    * positions join the tiny broadcast cell list on their own cell key, and
+    * the exact haversine filters candidates. At 100 TB the fact side never
+    * shuffles (broadcast equi-join on (cy, cx)) and candidate work per
+    * position is the ports sharing its cell, not |ports|. The oracle runs
+    * the quadratic join, so the gate IS the proof that blocking misses
+    * nothing. */
+  private val EarthR = 6371.0088
+  val radiusKm = 800.0
+  val radiusJoinQ = QueryDef(
+    "geo_radius_join",
+    "positions within 800 km of a port: grid-blocked broadcast join + exact haversine",
+    Some(s"""WITH p AS ($positionsSql),
+             ports AS (SELECT CAST(n_nationkey AS BIGINT) AS port_id,
+                              (n_nationkey * 7 % 120) - 60 + 0.5 AS plat,
+                              (n_nationkey * 37 % 340) - 170 + 0.5 AS plon
+                       FROM nation)
+             SELECT port_id, ship, event_id,
+                    ${Num.sql(haversineSql("plat", "plon", "lat", "lon"), 4)} AS dist_km
+             FROM p CROSS JOIN ports
+             WHERE ${Num.sql(haversineSql("plat", "plon", "lat", "lon"), 4)} <= $radiusKm"""),
+    (s, dir) => {
+      val r = radiusKm
+      val ports = Tables.nation(s, dir).select(
+        col("n_nationkey").cast("long").as("port_id"),
+        ((col("n_nationkey") * 7 % 120) - 60 + 0.5).as("plat"),
+        ((col("n_nationkey") * 37 % 340) - 170 + 0.5).as("plon"))
+      val dlat = lit(math.toDegrees(r / EarthR))
+      val dlon = degrees(asin(sin(lit(r / EarthR)) / cos(radians(col("plat")))))
+      val cand = ports
+        .withColumn("cy", explode(sequence(
+          floor(col("plat") - dlat).cast("long"),
+          floor(col("plat") + dlat).cast("long"))))
+        .withColumn("cx0", explode(sequence(
+          floor(col("plon") - dlon).cast("long"),
+          floor(col("plon") + dlon).cast("long"))))
+        .withColumn("cx", pmod(col("cx0") + 180, lit(360)) - 180)
+        .select(col("port_id"), col("plat"), col("plon"), col("cy"), col("cx"))
+      positions(s, dir)
+        .withColumn("cy", floor(col("lat")).cast("long"))
+        .withColumn("cx", floor(col("lon")).cast("long"))
+        .join(broadcast(cand), Seq("cy", "cx"))
+        .withColumn("dist_km", Num.pround(
+          haversineKm(col("plat"), col("plon"), col("lat"), col("lon")), 4))
+        .filter(col("dist_km") <= r)
+        .select(col("port_id"), col("ship"), col("event_id"), col("dist_km"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(cellDensityQ, trackDistanceQ, radiusJoinQ)
 }
