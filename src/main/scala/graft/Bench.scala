@@ -57,7 +57,8 @@ object Bench {
       "q1_pricing_summary", "q5_region_revenue", "q18_large_orders",
       "ais_pipeline_decode", "session_windows", "asof_join_signup",
       "dedup_minhash_lsh", "dedup_clusters", "ann_cosine_topk",
-      "text_quality", "window_running_sum", "latest_per_key")
+      "text_quality", "window_running_sum", "latest_per_key",
+      "ann_pq_adc", "doc_features", "geo_radius_join")
     val byName = results.toMap
     val qsHead = headline.flatMap(n => byName.get(n).map(v => s"\"" + n + "\":" + fmt(v)))
       .mkString("{", ",", "}")
