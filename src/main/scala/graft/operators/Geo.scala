@@ -127,6 +127,38 @@ object Geo {
     * nothing. */
   private val EarthR = 6371.0088
   val radiusKm = 800.0
+
+  /** Expand ports (port_id, plat, plon) into their disks' candidate
+    * 1-degree cells (cy, cx) — exact spherical bounding box, antimeridian-
+    * wrapped. The output is broadcast-sized: O(|ports| · (r/111km)²). */
+  def portCells(ports: DataFrame, r: Double): DataFrame = {
+    val dlat = lit(math.toDegrees(r / EarthR))
+    val dlon = degrees(asin(sin(lit(r / EarthR)) / cos(radians(col("plat")))))
+    ports
+      .withColumn("cy", explode(sequence(
+        floor(col("plat") - dlat).cast("long"),
+        floor(col("plat") + dlat).cast("long"))))
+      .withColumn("cx0", explode(sequence(
+        floor(col("plon") - dlon).cast("long"),
+        floor(col("plon") + dlon).cast("long"))))
+      .withColumn("cx", pmod(col("cx0") + 180, lit(360)) - 180)
+      .select(col("port_id"), col("plat"), col("plon"), col("cy"), col("cx"))
+  }
+
+  /** Grid-blocked radius join: rows of `pos` (needs lat/lon columns) within
+    * `r` km of any port. Streaming-safe — `pos` may be a streaming
+    * DataFrame: the candidate-cell side is a static broadcast, so the join
+    * adds no streaming state (same shape as the Bloom decontamination
+    * gate). */
+  def withinRadius(pos: DataFrame, ports: DataFrame, r: Double): DataFrame =
+    pos
+      .withColumn("cy", floor(col("lat")).cast("long"))
+      .withColumn("cx", floor(col("lon")).cast("long"))
+      .join(broadcast(portCells(ports, r)), Seq("cy", "cx"))
+      .withColumn("dist_km", Num.pround(
+        haversineKm(col("plat"), col("plon"), col("lat"), col("lon")), 4))
+      .filter(col("dist_km") <= r)
+
   val radiusJoinQ = QueryDef(
     "geo_radius_join",
     "positions within 800 km of a port: grid-blocked broadcast join + exact haversine",
@@ -140,29 +172,11 @@ object Geo {
              FROM p CROSS JOIN ports
              WHERE ${Num.sql(haversineSql("plat", "plon", "lat", "lon"), 4)} <= $radiusKm"""),
     (s, dir) => {
-      val r = radiusKm
       val ports = Tables.nation(s, dir).select(
         col("n_nationkey").cast("long").as("port_id"),
         ((col("n_nationkey") * 7 % 120) - 60 + 0.5).as("plat"),
         ((col("n_nationkey") * 37 % 340) - 170 + 0.5).as("plon"))
-      val dlat = lit(math.toDegrees(r / EarthR))
-      val dlon = degrees(asin(sin(lit(r / EarthR)) / cos(radians(col("plat")))))
-      val cand = ports
-        .withColumn("cy", explode(sequence(
-          floor(col("plat") - dlat).cast("long"),
-          floor(col("plat") + dlat).cast("long"))))
-        .withColumn("cx0", explode(sequence(
-          floor(col("plon") - dlon).cast("long"),
-          floor(col("plon") + dlon).cast("long"))))
-        .withColumn("cx", pmod(col("cx0") + 180, lit(360)) - 180)
-        .select(col("port_id"), col("plat"), col("plon"), col("cy"), col("cx"))
-      positions(s, dir)
-        .withColumn("cy", floor(col("lat")).cast("long"))
-        .withColumn("cx", floor(col("lon")).cast("long"))
-        .join(broadcast(cand), Seq("cy", "cx"))
-        .withColumn("dist_km", Num.pround(
-          haversineKm(col("plat"), col("plon"), col("lat"), col("lon")), 4))
-        .filter(col("dist_km") <= r)
+      withinRadius(positions(s, dir), ports, radiusKm)
         .select(col("port_id"), col("ship"), col("event_id"), col("dist_km"))
     })
 

@@ -250,6 +250,28 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming port-proximity alerts: grid-blocked radius join lifts to " +
+    "a stream unchanged (static broadcast side, no state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // one port at (60.5, 4.5); alert radius 100 km
+    val ports = Seq((1L, 60.5, 4.5)).toDF("port_id", "plat", "plon")
+    val input = MemoryStream[(Long, Double, Double)]
+    val alerts = graft.operators.Geo.withinRadius(
+      input.toDF().toDF("ship", "lat", "lon"), ports, 100.0)
+    val q = alerts.writeStream.outputMode("append")
+      .format("memory").queryName("radius_alerts_t12").start()
+    try {
+      input.addData((11L, 60.4, 4.6), (12L, 59.0, 4.5), (13L, 60.9, 5.1))
+      q.processAllAvailable()
+      val got = spark.table("radius_alerts_t12").collect()
+        .map(r => r.getAs[Long]("ship") -> r.getAs[Double]("dist_km")).toMap
+      // 60.4/4.6 is ~12 km away, 60.9/5.1 ~55 km; 59.0/4.5 is ~167 km — out
+      assert(got.keySet == Set(11L, 13L), got.toString)
+      assert(got(11L) < 20 && got(13L) < 100, got.toString)
+    } finally q.stop()
+  }
+
   test("streaming weather enrichment (mapPartitions) runs per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
