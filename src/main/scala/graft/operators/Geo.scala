@@ -180,5 +180,68 @@ object Geo {
         .select(col("port_id"), col("ship"), col("event_id"), col("dist_km"))
     })
 
-  val defs: Seq[QueryDef] = Seq(cellDensityQ, trackDistanceQ, radiusJoinQ)
+  /** Ship-to-ship encounters: pairs of positions from DIFFERENT ships within
+    * 50 km and 1 hour of each other — the spatio-temporal interval self-join
+    * (collision-avoidance / rendezvous analytics). Blocked exactly once per
+    * pair with zero post-dedup: the left side keeps its (hour-bin, cell)
+    * key; the right side expands to 3 hour-bins x 3 lat-cells x its
+    * lat-dependent lon-cell range (same exact spherical bound as
+    * [[portCells]], antimeridian-wrapped) — for any qualifying pair exactly
+    * ONE expansion row matches (the bin/cell deltas are determined by the
+    * pair), so the equi-join emits each pair once. |lat| <= 70 bounds the
+    * lon expansion (a 1-degree lon cell shrinks to ~19 km at lat 80, which
+    * would blow up the candidate count — the shipping-lane band is the
+    * documented domain). At 100 TB: one shuffle of each side on the
+    * (bin, cy, cx) composite — candidate work scales with co-located
+    * traffic, never |positions|². Output is the per-pair encounter summary.
+    */
+  val encounterKm = 50.0
+  val encounterUs = 3600000000L
+  val encountersQ = QueryDef(
+    "geo_encounters",
+    "ship pairs within 50 km and 1 h: blocked spatio-temporal self-join",
+    Some(s"""WITH p AS (SELECT * FROM ($positionsSql) WHERE abs(lat) <= 70),
+             j AS (SELECT a.ship AS ship_a, b.ship AS ship_b,
+                          ${Num.sql(haversineSql("a.lat", "a.lon", "b.lat", "b.lon"), 4)} AS d
+                   FROM p a JOIN p b
+                     ON a.ship < b.ship
+                    AND abs(a.ts_us - b.ts_us) <= $encounterUs
+                    AND abs(a.lat - b.lat) <= $encounterKm / 110.5
+                    AND ${Num.sql(haversineSql("a.lat", "a.lon", "b.lat", "b.lon"), 4)}
+                          <= $encounterKm)
+             SELECT ship_a, ship_b, count(*) AS n_close,
+                    min(d) AS min_km
+             FROM j GROUP BY 1, 2"""),
+    (s, dir) => {
+      val r = encounterKm
+      val p = positions(s, dir).filter(abs(col("lat")) <= 70)
+        .withColumn("hb", floor(col("ts_us") / encounterUs).cast("long"))
+        .withColumn("cy", floor(col("lat")).cast("long"))
+        .withColumn("cx", floor(col("lon")).cast("long"))
+      val a = p.select(col("ship").as("ship_a"), col("ts_us").as("ts_a"),
+        col("lat").as("lat_a"), col("lon").as("lon_a"),
+        col("hb"), col("cy"), col("cx"))
+      val dlon = degrees(asin(sin(lit(r / EarthR)) / cos(radians(col("lat")))))
+      val b = p
+        .withColumn("hbc", explode(sequence(col("hb") - 1, col("hb") + 1)))
+        .withColumn("cyc", explode(sequence(col("cy") - 1, col("cy") + 1)))
+        .withColumn("cxc", explode(sequence(
+          floor(col("lon") - dlon).cast("long"),
+          floor(col("lon") + dlon).cast("long"))))
+        .select(col("ship").as("ship_b"), col("ts_us").as("ts_b"),
+          col("lat").as("lat_b"), col("lon").as("lon_b"),
+          col("hbc").as("hb"), col("cyc").as("cy"),
+          (pmod(col("cxc") + 180, lit(360)) - 180).as("cx"))
+      a.join(b, Seq("hb", "cy", "cx"))
+        .filter(col("ship_a") < col("ship_b") &&
+          abs(col("ts_a") - col("ts_b")) <= encounterUs)
+        .withColumn("d", Num.pround(haversineKm(
+          col("lat_a"), col("lon_a"), col("lat_b"), col("lon_b")), 4))
+        .filter(col("d") <= r)
+        .groupBy(col("ship_a"), col("ship_b"))
+        .agg(count(lit(1)).as("n_close"), min(col("d")).as("min_km"))
+    })
+
+  val defs: Seq[QueryDef] =
+    Seq(cellDensityQ, trackDistanceQ, radiusJoinQ, encountersQ)
 }
