@@ -164,6 +164,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: radius-join blocking equals brute-force haversine on " +
+    "random ports/positions (poleward bulge + antimeridian included)") {
+    import spark.implicits._
+    val r = 800.0
+    // ports within the valid band (|lat| + r/111 < 90); positions anywhere,
+    // lons spanning the antimeridian
+    val ports = sample(for {
+      lat <- Gen.chooseNum(-70.0, 70.0); lon <- Gen.chooseNum(-180.0, 180.0)
+    } yield (lat, lon), 30, 7L).zipWithIndex
+      .map { case ((la, lo), i) => (i.toLong, la, lo) }
+    val positions = sample(for {
+      lat <- Gen.chooseNum(-89.9, 89.9); lon <- Gen.chooseNum(-180.0, 179.999)
+    } yield (lat, lon), 2000, 8L).zipWithIndex
+      .map { case ((la, lo), i) => (i.toLong, la, lo) }
+    val portsDf = ports.toDF("port_id", "plat", "plon")
+    val posDf = positions.toDF("pid", "lat", "lon")
+    val blocked = Geo.withinRadius(posDf, portsDf, r)
+      .select(col("port_id"), col("pid")).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(blocked.length == blocked.distinct.length, "pair emitted twice")
+    // local brute force with the same rounded threshold
+    def hav(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+      val dlat = math.toRadians(lat2 - lat1) / 2
+      val dlon = math.toRadians(lon2 - lon1) / 2
+      val a = math.sin(dlat) * math.sin(dlat) +
+        math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+          math.sin(dlon) * math.sin(dlon)
+      2 * 6371.0088 * math.asin(math.min(math.sqrt(a), 1.0))
+    }
+    val brute = for {
+      (pid, la, lo) <- positions; (qid, pa, po) <- ports
+      if math.floor(hav(pa, po, la, lo) * 1e4 + 0.5) / 1e4 <= r
+    } yield (qid, pid)
+    assert(blocked.toSet == brute.toSet,
+      s"blocked=${blocked.length} brute=${brute.length} " +
+        s"missing=${(brute.toSet -- blocked.toSet).take(5)}")
+    assert(brute.nonEmpty)
+  }
+
   test("property: interleave_sources is a permutation in round-robin order") {
     val got = Curation.interleaveQ.run(spark, sf("sf0.001"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
