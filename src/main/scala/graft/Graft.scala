@@ -63,6 +63,7 @@ object Graft {
   def init(spark: SparkSession): Unit = {
     plans.AsOf.register(spark)
     plans.Deferred.register(spark)
+    plans.SpatialJoin.register(spark)
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
     sqlFunctions.foreach { case (name, n, build) =>

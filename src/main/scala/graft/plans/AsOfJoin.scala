@@ -198,6 +198,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => PushFilterThroughAsOf)
+    e.injectOptimizerRule(_ => BlockHaversineJoins)
     e.injectPlannerStrategy(_ => DeferredStrategy)
     graft.Graft.sqlFunctions.foreach { case (name, n, build) =>
       e.injectFunction((

@@ -1,0 +1,181 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Optimizer rule that turns a naive radius join — plain SQL
+  * `a JOIN b ON haversine_km(b.lat, b.lon, a.lat, a.lon) <= r` — into the
+  * grid-blocked equi-join [[graft.operators.Geo.withinRadius]] builds by
+  * hand: without it Catalyst has no equi-key and plans a nested-loop over
+  * the full product (quadratic; unrunnable at 100 TB). The rule encodes the
+  * domain knowledge the optimizer lacks: a haversine disk is contained in a
+  * computable set of 1-degree cells.
+  *
+  * Rewrite (semantics-preserving by construction):
+  *   - the side owning the SECOND coordinate pair gains its cell key
+  *     (floor(lat), wrapped floor(lon));
+  *   - the side owning the FIRST pair (the disk centers) explodes into its
+  *     disk's candidate cells — the exact spherical bounding box
+  *     (dlat = r/R; dlon = asin(sin(r/R)/cos(lat)), widening to the full
+  *     lon range when the disk crosses a pole), candidate lon cells wrapped
+  *     mod 360 for the antimeridian and capped at 360 values so no pair can
+  *     match twice;
+  *   - the ORIGINAL join condition is kept in full as the residual, with the
+  *     two cell equalities appended — ExtractEquiJoinKeys then plans a hash
+  *     join on the cells and the exact predicate filters candidates.
+  * Every qualifying pair meets on exactly one candidate row (the cell
+  * deltas are determined by the pair), so no dedup is needed; disqualified
+  * candidates are removed by the retained original predicate. PropertySpec
+  * pins the identical blocked-vs-brute-force guarantee for the hand-built
+  * form; SpatialRuleSpec pins rule-on == rule-off results and the absence
+  * of nested loops.
+  */
+object BlockHaversineJoins extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val EarthR = 6371.0088
+  private val Marker = "__graft_cell"
+
+  /** Peel analyzer-inserted casts (view columns are often decimal; the
+    * analyzer wraps them in Cast-to-double before the trig). */
+  private def stripCast(e: Expression): Expression = e match {
+    case Cast(c, _, _, _) => stripCast(c)
+    case _ => e
+  }
+
+  /** radians(x2 - x1) / 2 — returns the stripped (x2, x1). */
+  private def halfRad(e: Expression): Option[(Expression, Expression)] =
+    e match {
+      case Divide(ToRadians(x), Literal(2.0, DoubleType), _) =>
+        stripCast(x) match {
+          case Subtract(a, b, _) => Some((stripCast(a), stripCast(b)))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** Matches the exact tree [[graft.operators.Geo.haversineExpr]] builds
+    * (also what the registered `haversine_km` SQL function produces):
+    * 2R * asin(least(sqrt(sin²(Δφ/2) + cosφ1·cosφ2·sin²(Δλ/2)), 1)).
+    * Returns (lat1, lon1, lat2, lon2) — the FIRST pair is the disk center
+    * side that the rewrite explodes. */
+  private object HaversinePredicate {
+    def unapply(e: Expression): Option[(Expression, Expression, Expression, Expression)] =
+      e match {
+        case Multiply(Literal(c: Double, DoubleType), Asin(Least(Seq(Sqrt(
+              Add(Multiply(Sin(dlatA), Sin(dlatB), _),
+                  Multiply(Multiply(Multiply(
+                    Cos(ToRadians(la1)), Cos(ToRadians(la2)), _),
+                    Sin(dlonA), _), Sin(dlonB), _), _)),
+              Literal(1.0, DoubleType)))), _)
+            if c == 2 * EarthR && dlatA.semanticEquals(dlatB) &&
+              dlonA.semanticEquals(dlonB) =>
+          (halfRad(dlatA), halfRad(dlonA)) match {
+            case (Some((lat2, lat1)), Some((lon2, lon1)))
+                if stripCast(la1).semanticEquals(lat1) &&
+                  stripCast(la2).semanticEquals(lat2) =>
+              Some((lat1, lon1, lat2, lon2))
+            case _ => None
+          }
+        case _ => None
+      }
+  }
+
+  /** floor'd lon cell wrapped into [-180, 179]. */
+  private def wrap(cell: Expression): Expression =
+    Subtract(Pmod(Add(cell, Literal(180L)), Literal(360L)), Literal(180L))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(l, r, Inner, Some(cond), hint)
+        if !(l.output ++ r.output).exists(_.name.startsWith(Marker)) =>
+      val hit = splitConjunctivePredicates(cond).collectFirst {
+        case LessThanOrEqual(HaversinePredicate(lat1, lon1, lat2, lon2),
+            Literal(rv: Double, DoubleType)) if rv > 0 =>
+          (lat1, lon1, lat2, lon2, rv)
+      }
+      hit match {
+        case Some((lat1r, lon1r, lat2r, lon2r, rv)) =>
+          // normalize coordinates back to double (the matcher stripped the
+          // analyzer's casts; this plan is past analysis, so no coercion
+          // will be added for us)
+          def dbl(e: Expression): Expression =
+            if (e.dataType == DoubleType) e else Cast(e, DoubleType)
+          val (lat1, lon1, lat2, lon2) =
+            (dbl(lat1r), dbl(lon1r), dbl(lat2r), dbl(lon2r))
+          val c1 = lat1.references ++ lon1.references
+          val c2 = lat2.references ++ lon2.references
+          // (center side plan, point side plan, centers are the left child)
+          val sides =
+            if (c1.nonEmpty && c2.nonEmpty &&
+                c1.subsetOf(l.outputSet) && c2.subsetOf(r.outputSet))
+              Some((l, r, true))
+            else if (c1.nonEmpty && c2.nonEmpty &&
+                c1.subsetOf(r.outputSet) && c2.subsetOf(l.outputSet))
+              Some((r, l, false))
+            else None
+          sides match {
+            case Some((centers, points, centersLeft)) =>
+              val delta = rv / EarthR // angular radius
+              val dlatDeg = Literal(math.toDegrees(delta))
+              val cLat = lat1
+              val cLon = lon1
+              // lat cells of the disk
+              val latLo = Floor(Subtract(cLat, dlatDeg))
+              val latHi = Floor(Add(cLat, dlatDeg))
+              val cyAttr = AttributeReference(s"${Marker}_cy", LongType,
+                nullable = false)()
+              def seq(lo: Expression, hi: Expression): Sequence =
+                new Sequence(lo, hi, None,
+                  Some(conf.sessionLocalTimeZone))
+              val genLat = Generate(Explode(seq(latLo, latHi)),
+                Nil, outer = false, None, Seq(cyAttr), centers)
+              // lon half-width: exact disk bound, full range past a pole,
+              // capped at 360 cells so wrap can't produce duplicate cells
+              val polar = GreaterThanOrEqual(
+                Add(Abs(cLat), dlatDeg), Literal(90.0))
+              val dlonDeg = ToDegrees(Asin(Divide(Sin(Literal(delta)),
+                Cos(ToRadians(cLat)))))
+              val lonLo = If(polar, Literal(-180L),
+                Floor(Subtract(cLon, dlonDeg)))
+              val lonHi = Least(Seq(
+                If(polar, Literal(179L), Floor(Add(cLon, dlonDeg))),
+                Add(lonLo, Literal(359L))))
+              val cxRaw = AttributeReference(s"${Marker}_cx0", LongType,
+                nullable = false)()
+              val genLon = Generate(Explode(seq(lonLo, lonHi)),
+                Nil, outer = false, None, Seq(cxRaw), genLat)
+              val cxAlias = Alias(wrap(cxRaw), s"${Marker}_cx")()
+              val centersExp = Project(
+                centers.output ++ Seq(cyAttr, cxAlias), genLon)
+              // point side: its own single cell
+              val pyAlias = Alias(Floor(lat2), s"${Marker}_py")()
+              val pxAlias = Alias(wrap(Floor(lon2)), s"${Marker}_px")()
+              val pointsKeyed = Project(
+                points.output ++ Seq(pyAlias, pxAlias), points)
+              val eqs = And(
+                EqualTo(cyAttr, pyAlias.toAttribute),
+                EqualTo(cxAlias.toAttribute, pxAlias.toAttribute))
+              val (newL, newR) =
+                if (centersLeft) (centersExp, pointsKeyed)
+                else (pointsKeyed, centersExp)
+              Project(j.output,
+                Join(newL, newR, Inner, Some(And(cond, eqs)), hint))
+            case None => j
+          }
+        case _ => j
+      }
+  }
+}
+
+object SpatialJoin {
+  /** Idempotently install the rewrite (mirrors [[AsOf.register]]; also
+    * injected build-time by [[GraftExtensions]]). */
+  def register(spark: SparkSession): Unit = {
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(BlockHaversineJoins))
+      spark.experimental.extraOptimizations = opts :+ BlockHaversineJoins
+  }
+}
