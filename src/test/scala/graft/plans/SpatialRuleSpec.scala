@@ -61,6 +61,17 @@ class SpatialRuleSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("WHERE-clause form rewrites too (predicate pushed into the join first)") {
+    setup()
+    val df = spark.sql(
+      """SELECT port_id, ship FROM sr_ports q, sr_pos p
+         WHERE haversine_km(q.plat, q.plon, p.lat, p.lon) <= 800.0""")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(df.count() > 0)
+  }
+
   test("the rewrite composes with extra predicates and reversed sides") {
     setup()
     val q =
