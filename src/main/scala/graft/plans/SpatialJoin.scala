@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -15,10 +15,15 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * domain knowledge the optimizer lacks: a haversine disk is contained in a
   * computable set of 1-degree cells.
   *
+  * Applies to Inner, LeftSemi and LeftAnti joins (the latter two are what
+  * radius EXISTS / NOT EXISTS subqueries decorrelate into — "keep rows
+  * near / far from this set", the decontamination shape).
+  *
   * Rewrite (semantics-preserving by construction):
-  *   - the side owning the SECOND coordinate pair gains its cell key
-  *     (floor(lat), wrapped floor(lon));
-  *   - the side owning the FIRST pair (the disk centers) explodes into its
+  *   - the LEFT side gains its cell key (floor(lat), wrapped floor(lon)) —
+  *     left rows stay physically unique, as semi/anti existence semantics
+  *     require;
+  *   - the RIGHT side explodes into its
   *     disk's candidate cells — the exact spherical bounding box
   *     (dlat = r/R; dlon = asin(sin(r/R)/cos(lat)), widening to the full
   *     lon range when the disk crosses a pole), candidate lon cells wrapped
@@ -89,7 +94,7 @@ object BlockHaversineJoins extends Rule[LogicalPlan] with PredicateHelper {
     Subtract(Pmod(Add(cell, Literal(180L)), Literal(360L)), Literal(180L))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(l, r, Inner, Some(cond), hint)
+    case j @ Join(l, r, jt @ (Inner | LeftSemi | LeftAnti), Some(cond), hint)
         if !(l.output ++ r.output).exists(_.name.startsWith(Marker)) =>
       val hit = splitConjunctivePredicates(cond).collectFirst {
         case LessThanOrEqual(HaversinePredicate(lat1, lon1, lat2, lon2),
@@ -107,21 +112,25 @@ object BlockHaversineJoins extends Rule[LogicalPlan] with PredicateHelper {
             (dbl(lat1r), dbl(lon1r), dbl(lat2r), dbl(lon2r))
           val c1 = lat1.references ++ lon1.references
           val c2 = lat2.references ++ lon2.references
-          // (center side plan, point side plan, centers are the left child)
+          // the RIGHT child always explodes (its rows are the disk centers;
+          // the predicate is symmetric so either pair can play that role).
+          // This keeps left rows physically unique, which LeftSemi/LeftAnti
+          // require — duplicated expansion rows on the right are harmless
+          // under existence semantics and met exactly once under Inner.
           val sides =
             if (c1.nonEmpty && c2.nonEmpty &&
-                c1.subsetOf(l.outputSet) && c2.subsetOf(r.outputSet))
-              Some((l, r, true))
-            else if (c1.nonEmpty && c2.nonEmpty &&
                 c1.subsetOf(r.outputSet) && c2.subsetOf(l.outputSet))
-              Some((r, l, false))
+              Some(((lat1, lon1), (lat2, lon2)))
+            else if (c1.nonEmpty && c2.nonEmpty &&
+                c2.subsetOf(r.outputSet) && c1.subsetOf(l.outputSet))
+              Some(((lat2, lon2), (lat1, lon1)))
             else None
           sides match {
-            case Some((centers, points, centersLeft)) =>
+            case Some(((rLat, rLon), (lLat, lLon))) =>
               val delta = rv / EarthR // angular radius
               val dlatDeg = Literal(math.toDegrees(delta))
-              val cLat = lat1
-              val cLon = lon1
+              val cLat = rLat
+              val cLon = rLon
               // lat cells of the disk
               val latLo = Floor(Subtract(cLat, dlatDeg))
               val latHi = Floor(Add(cLat, dlatDeg))
@@ -131,7 +140,7 @@ object BlockHaversineJoins extends Rule[LogicalPlan] with PredicateHelper {
                 new Sequence(lo, hi, None,
                   Some(conf.sessionLocalTimeZone))
               val genLat = Generate(Explode(seq(latLo, latHi)),
-                Nil, outer = false, None, Seq(cyAttr), centers)
+                Nil, outer = false, None, Seq(cyAttr), r)
               // lon half-width: exact disk bound, full range past a pole,
               // capped at 360 cells so wrap can't produce duplicate cells
               val polar = GreaterThanOrEqual(
@@ -148,21 +157,18 @@ object BlockHaversineJoins extends Rule[LogicalPlan] with PredicateHelper {
               val genLon = Generate(Explode(seq(lonLo, lonHi)),
                 Nil, outer = false, None, Seq(cxRaw), genLat)
               val cxAlias = Alias(wrap(cxRaw), s"${Marker}_cx")()
-              val centersExp = Project(
-                centers.output ++ Seq(cyAttr, cxAlias), genLon)
-              // point side: its own single cell
-              val pyAlias = Alias(Floor(lat2), s"${Marker}_py")()
-              val pxAlias = Alias(wrap(Floor(lon2)), s"${Marker}_px")()
-              val pointsKeyed = Project(
-                points.output ++ Seq(pyAlias, pxAlias), points)
+              val rightExp = Project(
+                r.output ++ Seq(cyAttr, cxAlias), genLon)
+              // left side: its own single cell
+              val pyAlias = Alias(Floor(lLat), s"${Marker}_py")()
+              val pxAlias = Alias(wrap(Floor(lLon)), s"${Marker}_px")()
+              val leftKeyed = Project(
+                l.output ++ Seq(pyAlias, pxAlias), l)
               val eqs = And(
-                EqualTo(cyAttr, pyAlias.toAttribute),
-                EqualTo(cxAlias.toAttribute, pxAlias.toAttribute))
-              val (newL, newR) =
-                if (centersLeft) (centersExp, pointsKeyed)
-                else (pointsKeyed, centersExp)
+                EqualTo(pyAlias.toAttribute, cyAttr),
+                EqualTo(pxAlias.toAttribute, cxAlias.toAttribute))
               Project(j.output,
-                Join(newL, newR, Inner, Some(And(cond, eqs)), hint))
+                Join(leftKeyed, rightExp, jt, Some(And(cond, eqs)), hint))
             case None => j
           }
         case _ => j

@@ -72,6 +72,40 @@ class SpatialRuleSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("EXISTS / NOT EXISTS radius subqueries (semi/anti joins) rewrite " +
+    "and agree with the nested-loop plans") {
+    setup()
+    val semiSql =
+      """SELECT ship, event_id FROM sr_pos p
+         WHERE EXISTS (SELECT 1 FROM sr_ports q
+                       WHERE haversine_km(q.plat, q.plon, p.lat, p.lon) <= 800.0)"""
+    val antiSql =
+      """SELECT ship, event_id FROM sr_pos p
+         WHERE NOT EXISTS (SELECT 1 FROM sr_ports q
+                           WHERE haversine_km(q.plat, q.plon, p.lat, p.lon) <= 800.0)"""
+    val total = spark.table("sr_pos").count()
+    for (sql <- Seq(semiSql, antiSql)) {
+      val df = spark.sql(sql)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), p)
+      assert(p.contains("__graft_cell"), p)
+    }
+    val saved = spark.experimental.extraOptimizations
+    def rows(sql: String): Set[(Long, Long)] = spark.sql(sql).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val (semiOn, antiOn) = (rows(semiSql), rows(antiSql))
+    // semi + anti partition the table
+    assert(semiOn.size + antiOn.size == total && (semiOn & antiOn).isEmpty)
+    spark.experimental.extraOptimizations =
+      saved.filterNot(_ == BlockHaversineJoins)
+    try {
+      assert(rows(semiSql) == semiOn)
+      assert(rows(antiSql) == antiOn)
+      assert(semiOn.nonEmpty && antiOn.nonEmpty)
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
   test("the rewrite composes with extra predicates and reversed sides") {
     setup()
     val q =
