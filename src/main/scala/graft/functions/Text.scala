@@ -57,14 +57,16 @@ object Text {
     length(text) - length(regexp_replace(text, "[!-/:-@\\[-`{-~]", ""))
 
   /** Composite [0,1] quality score from length, token shape and stopword
-    * density. Pure linear arithmetic (no exp/log) so both engines compute
-    * bit-identical doubles before the final round. */
+    * density, UNROUNDED. Pure linear arithmetic (no exp/log) so both engines
+    * compute bit-identical doubles. */
+  def qualityRaw(nTokens: Column, meanTokenLen: Column, stopRatio: Column): Column =
+    least(nTokens.cast("double") / 200.0, lit(1.0)) * 0.5 +
+      least(meanTokenLen / 8.0, lit(1.0)) * 0.3 +
+      (lit(1.0) - least(stopRatio * 2.0, lit(1.0))) * 0.2
+
+  /** [[qualityRaw]] rounded to 4 decimals for emission. */
   def qualityScore(nTokens: Column, meanTokenLen: Column, stopRatio: Column): Column =
-    Num.pround(
-      least(nTokens.cast("double") / 200.0, lit(1.0)) * 0.5 +
-        least(meanTokenLen / 8.0, lit(1.0)) * 0.3 +
-        (lit(1.0) - least(stopRatio * 2.0, lit(1.0))) * 0.2,
-      4)
+    Num.pround(qualityRaw(nTokens, meanTokenLen, stopRatio), 4)
 
   /** Order-insensitive content fingerprint: md5 of the sorted distinct token
     * set (md5 is identical across Spark and DuckDB). */

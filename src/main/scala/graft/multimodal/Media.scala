@@ -154,5 +154,22 @@ object Media {
           col("n_low"), col("n_distinct_bytes"))
     })
 
-  val defs: Seq[QueryDef] = Seq(metadataQ, frameSampleQ, resizeQ, featuresQ)
+  /** Exact payload dedup on the binary column: group by sha-256 of the raw
+    * bytes, keep the smallest doc_id. The media twin of Dedup's md5-on-text —
+    * at 100 TB the hash is computed in the scan projection so the blobs
+    * themselves never shuffle; only (hash, id, length) moves. */
+  val dedupQ = QueryDef(
+    "media_dedup",
+    "binary payload dedup: sha-256 grouping, keep min doc_id",
+    Some("""SELECT sha256(text) AS payload_sha, min(doc_id) AS keeper_id,
+                   count(*) AS n_copies,
+                   min(octet_length(encode(text))) AS n_bytes
+            FROM documents GROUP BY 1"""),
+    (s, dir) => asMedia(s, dir)
+      .groupBy(sha2(col("payload"), 256).as("payload_sha"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"),
+        min(octet_length(col("payload"))).as("n_bytes")))
+
+  val defs: Seq[QueryDef] = Seq(metadataQ, frameSampleQ, resizeQ, featuresQ,
+    dedupQ)
 }

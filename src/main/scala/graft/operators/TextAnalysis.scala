@@ -11,8 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private def enList = Text.stopwords("en").map(w => s"'$w'").mkString(", ")
-  private def listSql(l: String) =
+  private def enList = stopSql("en")
+  private def listSql(l: String) = stopSql(l)
+
+  /** The stopword list for `l` as a SQL IN-list (shared with oracle SQL in
+    * other operator files). */
+  def stopSql(l: String): String =
     Text.stopwords(l).map(w => s"'$w'").mkString(", ")
 
   val tokenStats = QueryDef(
