@@ -266,8 +266,12 @@ object Curation {
     * the corpus never shuffles except the M-row-per-vector code rollup.
     * Ties (equal rounded distance) break on centroid/vector id, so codes and
     * ranks are deterministic under any partitioning. */
-  def pqAdc(e: DataFrame, m: Int, subDim: Int, codebookK: Int,
-      k: Int): DataFrame = {
+  /** PQ encode + reconstruct: every vector's M nearest-sub-centroid codes
+    * against the deterministic per-subspace codebook, returned as the
+    * concatenated-centroid reconstruction (vec_id, rv). Shared by [[pqAdc]]
+    * (full-corpus ADC) and [[ivfPq]] (cell-pruned ADC). */
+  def pqReconstruct(e: DataFrame, m: Int, subDim: Int,
+      codebookK: Int): DataFrame = {
     val v = e.select(col("vec_id"), Vec.toDouble(col("embedding")).as("v"))
     val subs = v.select(col("vec_id"), explode(array((0 until m).map(i =>
         struct(lit(i).as("m"), slice(col("v"), i * subDim + 1, subDim).as("sv"))): _*))
@@ -289,11 +293,17 @@ object Curation {
       .groupBy(col("vec_id"), col("m"))
       .agg(min(col("key")).as("key"))
       .select(col("vec_id"), col("m"), pmod(col("key"), lit(1024)).as("c_id"))
-    val recon = codes.join(broadcast(cents), Seq("m", "c_id"))
+    codes.join(broadcast(cents), Seq("m", "c_id"))
       .groupBy(col("vec_id"))
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("m"), col("cv")))),
         x => x.getField("cv"))).as("rv"))
+  }
+
+  def pqAdc(e: DataFrame, m: Int, subDim: Int, codebookK: Int,
+      k: Int): DataFrame = {
+    val v = e.select(col("vec_id"), Vec.toDouble(col("embedding")).as("v"))
+    val recon = pqReconstruct(e, m, subDim, codebookK)
     val q = v.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))
@@ -340,7 +350,89 @@ object Curation {
     (s, dir) => pqAdc(Tables.embeddings(s, dir), m = 16, subDim = 4,
       codebookK = 64, k = 10))
 
+  // ---- IVF + PQ: the composed billion-scale ANN layout ---------------------
+
+  /** IVF-PQ: coarse cells prune the candidate set (queries scan only their
+    * `nProbe` nearest cells), PQ-ADC distances rank the survivors — the
+    * FAISS-style index layout for billion-vector corpora. At 100 TB both
+    * codebooks broadcast, the corpus is encoded in one linear pass, and a
+    * query touches |corpus| * nProbe / nCells reconstructions instead of all
+    * of them. */
+  def ivfPq(e: DataFrame, stride: Int, nProbe: Int, m: Int, subDim: Int,
+      codebookK: Int, k: Int): DataFrame = {
+    val c = Similarity.withNorm(e)
+    val cents = Similarity.coarseCentroids(c, stride)
+    val cells = Similarity.assignCells(c, cents)
+      .select(col("vec_id"), col("c_id"))
+    val recon = pqReconstruct(e, m, subDim, codebookK)
+    val corpusIdx = cells.join(recon, Seq("vec_id"))
+    val q = Similarity.probeCells(c.filter(col("vec_id") < 5), cents,
+      "vec_id", nProbe)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("c_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))
+    corpusIdx.join(broadcast(q), Seq("c_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        Num.pround(Vec.sumSqDiff(col("qv"), col("rv")), 6).as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** DuckDB replica of [[ivfPq]]: the coarse-cell CTEs of the IVF oracle
+    * fused with the PQ-reconstruction CTEs of [[pqOracle]]. */
+  private def ivfPqOracle(stride: Int, nProbe: Int, m: Int, subDim: Int,
+      codebookK: Int, k: Int): String = {
+    val dot = Similarity.dotSql
+    val sq = "list_sum(list_transform(list_zip(%s, %s), " +
+      "pr -> (pr[1] - pr[2]) * (pr[1] - pr[2])))"
+    val ms = (0 until m).mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(${dot.format("v", "v")}) AS nrm FROM e),
+        cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
+                  WHERE vec_id % $stride = 0),
+        cellr AS (SELECT n.vec_id, c_id,
+                         row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                           ${Num.sql(dot.format("v", "cv") + " / (nrm * cn)", 6)} DESC,
+                           c_id) AS crank
+                  FROM n CROSS JOIN cents),
+        cells AS (SELECT vec_id, c_id FROM cellr WHERE crank = 1),
+        qcells AS (SELECT vec_id AS q_id, c_id FROM cellr
+                   WHERE crank <= $nProbe AND vec_id < 5),
+        sub AS (SELECT vec_id, m, v[m * $subDim + 1 : m * $subDim + $subDim] AS sv
+                FROM e CROSS JOIN unnest($ms) AS t(m)),
+        pcents AS (SELECT vec_id AS p_id, m, sv AS pv FROM sub
+                   WHERE vec_id < $codebookK),
+        enc AS (SELECT sub.vec_id, sub.m, p_id,
+                       row_number() OVER (PARTITION BY sub.vec_id, sub.m
+                         ORDER BY ${Num.sql(sq.format("sv", "pv"), 6)}, p_id) AS r
+                FROM sub JOIN pcents USING (m)),
+        codes AS (SELECT vec_id, m, p_id FROM enc WHERE r = 1),
+        recon AS (SELECT vec_id, flatten(list(pv ORDER BY m)) AS rv
+                  FROM codes JOIN pcents USING (m, p_id) GROUP BY vec_id),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+        d AS (SELECT qc.q_id, r.vec_id, ${Num.sql(sq.format("qv", "rv"), 6)} AS dist
+              FROM recon r
+              JOIN cells cl ON cl.vec_id = r.vec_id
+              JOIN qcells qc ON qc.c_id = cl.c_id
+              JOIN q ON q.q_id = qc.q_id
+              WHERE qc.q_id <> r.vec_id)
+        SELECT q_id, vec_id, dist, rank FROM (
+          SELECT q_id, vec_id, dist,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY dist, vec_id) AS rank
+          FROM d) WHERE rank <= $k"""
+  }
+
+  val ivfPqQ = QueryDef(
+    "ann_ivf_pq",
+    "IVF-PQ: 3-probe coarse cells + PQ-ADC rank (the FAISS-style composition)",
+    Some(ivfPqOracle(stride = 25, nProbe = 3, m = 16, subDim = 4,
+      codebookK = 64, k = 10)),
+    (s, dir) => ivfPq(Tables.embeddings(s, dir), stride = 25, nProbe = 3,
+      m = 16, subDim = 4, codebookK = 64, k = 10))
+
   val defs: Seq[QueryDef] =
     Seq(decontaminateQ, fuzzyPairsQ, noveltyQ, coverageQ, interleaveQ,
-      docFeaturesQ, pqQ)
+      docFeaturesQ, pqQ, ivfPqQ)
 }

@@ -107,7 +107,7 @@ object Similarity {
     * per (vector, centroid) — |C| rows instead of |C|·k. Ranking is on the
     * ROUNDED similarity with a c_id tiebreak (encoded as (csim, -c_id) so a
     * single struct-max is deterministic across engines and partitionings). */
-  private def assignCells(c: DataFrame, cents: DataFrame): DataFrame = {
+  private[operators] def assignCells(c: DataFrame, cents: DataFrame): DataFrame = {
     // aggregate over NARROW rows (vec_id, c_id, csim) — carrying the vector
     // through the partial aggregate would drag a 64-double array into its
     // buffer (SortAggregate over ~550-byte rows); instead re-attach v/nrm
@@ -121,25 +121,33 @@ object Similarity {
     c.join(best, Seq("vec_id"))
   }
 
+  /** Strided deterministic coarse centroids (vec_id % stride == 0) with
+    * precomputed norms — the IVF codebook stand-in. */
+  private[operators] def coarseCentroids(c: DataFrame, stride: Int): DataFrame =
+    c.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+
+  /** Top-`n` nearest cells per row of `df` (ranked on the ROUNDED centroid
+    * similarity + c_id tiebreak so cell assignment is deterministic across
+    * engines and partitionings). Centroids broadcast. */
+  private[operators] def probeCells(df: DataFrame, cents: DataFrame,
+      idCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("csim").desc, col("c_id"))
+    df.join(broadcast(cents), lit(true))
+      .withColumn("csim", Num.pround(
+        Vec.cosinePrenormed(Vec.dot(col("v"), col("cv")), col("nrm"), col("cn")), 6))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= n)
+      .drop("cv", "cn", "csim", "crank")
+  }
+
   def annIvf(queries: DataFrame, corpus: DataFrame, stride: Int,
       nProbe: Int, k: Int): DataFrame = {
     val c = withNorm(corpus)
-    val cents = c.filter(pmod(col("vec_id"), lit(stride)) === 0)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-    def topCells(df: DataFrame, idCol: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("csim").desc, col("c_id"))
-      // rank on the ROUNDED centroid similarity (+ c_id tiebreak) so cell
-      // assignment is deterministic across engines and partitionings
-      df.join(broadcast(cents), lit(true))
-        .withColumn("csim", Num.pround(
-          Vec.cosinePrenormed(Vec.dot(col("v"), col("cv")), col("nrm"), col("cn")), 6))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= n)
-        .drop("cv", "cn", "csim", "crank")
-    }
+    val cents = coarseCentroids(c, stride)
     val cells = assignCells(c, cents)
-    val q = topCells(withNorm(queries), "vec_id", nProbe)
+    val q = probeCells(withNorm(queries), cents, "vec_id", nProbe)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("c_id"))
     val w = Window.partitionBy(col("q_id"))
@@ -155,7 +163,7 @@ object Similarity {
 
   // ---- QueryDefs over `embeddings` -----------------------------------------
 
-  private val dotSql =
+  private[operators] val dotSql =
     "list_sum(list_transform(list_zip(%s, %s), pr -> pr[1] * pr[2]))"
 
   val pairsQ = QueryDef(
