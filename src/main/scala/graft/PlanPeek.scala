@@ -13,8 +13,8 @@ object PlanPeek {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     val dir = "/root/testdata/sf0.001"
-    for (n <- Seq("shuffle_positions", "curriculum_order", "trigram_next_token",
-        "doc_token_rarity", "contamination_report", "media_dedup")) {
+    for (n <- Seq("bm25_topk", "dedup_containment", "basket_lift",
+        "ts_gapfill", "compaction_plan", "dq_report")) {
       val df = SparkEntry.queries(n)(spark, dir)
       val s = df.queryExecution.executedPlan.toString
       println(s"=== $n")

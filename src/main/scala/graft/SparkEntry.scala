@@ -35,7 +35,7 @@ object SparkEntry {
       operators.Dedup.defs ++ operators.Similarity.defs ++
       operators.TextAnalysis.defs ++ operators.Pipeline.defs ++
       operators.Warehouse.defs ++ operators.Curation.defs ++
-      operators.LmData.defs ++
+      operators.LmData.defs ++ operators.Retrieval.defs ++
       multimodal.Media.defs
 
   /** Flagship: the full AIS pipeline end-to-end — synthesized NMEA sentences

@@ -148,5 +148,106 @@ object Analytics {
             col("n").cast("double") < col("med") * 0.5).as("is_anomaly"))
     })
 
-  val defs: Seq[QueryDef] = Seq(funnelQ, cohortQ, histogramQ, rfmQ, anomalyQ)
+  /** Market-basket co-occurrence: baskets are (user, day); lift(x,y) =
+    * P(x,y) / (P(x)·P(y)) over baskets. The self-join runs on the DISTINCT
+    * (user, day, type) table — each basket holds at most |event-type vocab|
+    * rows, so the join output is bounded by |baskets|·|vocab|² with a tiny
+    * vocab, i.e. linear in baskets at 100 TB; supports and the basket count
+    * are broadcast scalars. Lift is an exact integer ratio taken to double
+    * once, at the end. */
+  val basketQ = QueryDef(
+    "basket_lift",
+    "event-type co-occurrence lift over (user, day) baskets",
+    Some(s"""WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+                        FROM events),
+             n AS (SELECT count(*) AS nb
+                   FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events)),
+             sup AS (SELECT event_type, count(*) AS n FROM b GROUP BY 1),
+             pair AS (SELECT a.event_type AS x, b2.event_type AS y, count(*) AS n_xy
+                      FROM b a JOIN b b2
+                        ON a.user_id = b2.user_id AND a.day = b2.day
+                       AND a.event_type < b2.event_type
+                      GROUP BY 1, 2)
+             SELECT x, y, n_xy,
+                    ${Num.sql("(CAST(n_xy AS DOUBLE) * nb) / (sx.n * sy.n)", 4)} AS lift
+             FROM pair CROSS JOIN n
+             JOIN sup sx ON sx.event_type = x
+             JOIN sup sy ON sy.event_type = y"""),
+    (s, dir) => {
+      val b = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+        .distinct()
+      val nb = b.select(col("user_id"), col("day")).distinct()
+        .agg(count(lit(1)).as("nb"))
+      val sup = b.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      b.as("a")
+        .join(b.as("b2"),
+          col("a.user_id") === col("b2.user_id") &&
+            col("a.day") === col("b2.day") &&
+            col("a.event_type") < col("b2.event_type"))
+        .groupBy(col("a.event_type").as("x"), col("b2.event_type").as("y"))
+        .agg(count(lit(1)).as("n_xy"))
+        .crossJoin(broadcast(nb))
+        .join(broadcast(sup.withColumnRenamed("event_type", "sx")
+          .withColumnRenamed("n", "n_x")), col("sx") === col("x"))
+        .join(broadcast(sup.withColumnRenamed("event_type", "sy")
+          .withColumnRenamed("n", "n_y")), col("sy") === col("y"))
+        .select(col("x"), col("y"), col("n_xy"),
+          Num.pround((col("n_xy").cast("double") * col("nb")) /
+            (col("n_x") * col("n_y")), 4).as("lift"))
+    })
+
+  /** Time-series gap fill: the hourly per-type activity grid with empty
+    * slots materialized as zero-count rows and the per-type hourly mean
+    * value carried forward (the prepare-for-forecasting shape). The grid is
+    * |types| × |hours| — bounded by wall-clock time, not data volume, so the
+    * scaffold cross join and the per-type forward-fill window stay tiny at
+    * any corpus scale; the only data-sized pass is the first aggregation. */
+  val gapfillQ = QueryDef(
+    "ts_gapfill",
+    "hourly per-type grid: zero-filled counts + forward-filled mean value",
+    Some(s"""WITH e AS (SELECT event_type,
+                               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+                               value
+                        FROM events),
+             byh AS (SELECT event_type, hr, count(*) AS n_events,
+                            ${Num.sql("avg(value)", 4)} AS avg_value
+                     FROM e GROUP BY 1, 2),
+             b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM e),
+             hrs AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM b),
+             g AS (SELECT t.event_type, h.hr
+                   FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN hrs h)
+             SELECT g.event_type,
+                    CAST(floor(epoch(g.hr)) AS BIGINT) AS hour_start,
+                    coalesce(byh.n_events, 0) AS n_events,
+                    last_value(byh.avg_value IGNORE NULLS) OVER (
+                      PARTITION BY g.event_type ORDER BY g.hr
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value_ff
+             FROM g LEFT JOIN byh
+               ON byh.event_type = g.event_type AND byh.hr = g.hr"""),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
+          col("value"))
+      val byh = e.groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("n_events"),
+          Num.pround(avg(col("value")), 4).as("avg_value"))
+      val hrs = e.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("hr"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.select(col("event_type")).distinct()
+        .crossJoin(broadcast(hrs))
+        .join(byh, Seq("event_type", "hr"), "left_outer")
+        .withColumn("avg_value_ff",
+          last(col("avg_value"), ignoreNulls = true).over(w))
+        .select(col("event_type"), unix_timestamp(col("hr")).as("hour_start"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          col("avg_value_ff"))
+    })
+
+  val defs: Seq[QueryDef] =
+    Seq(funnelQ, cohortQ, histogramQ, rfmQ, anomalyQ, basketQ, gapfillQ)
 }

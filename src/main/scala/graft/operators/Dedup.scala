@@ -115,6 +115,29 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Directed containment pairs: containment(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|.
+    * The asymmetric cousin of Jaccard — it flags near-SUBSET documents (a doc
+    * wholly quoted inside a larger one scores 1.0 toward the container while
+    * the symmetric Jaccard can stay arbitrarily low), which is how
+    * sub-document plagiarism/quotation dedup is done. Same inverted-index
+    * equi-join shape as [[jaccardPairs]]; emits BOTH directions of a pair,
+    * since containment(A→B) ≠ containment(B→A). `maxDf` is the hot-shingle
+    * skew guard for the 100 TB path. */
+  def containmentPairs(df: DataFrame, id: String, text: String, n: Int,
+      threshold: Double, maxDf: Long = 0L): DataFrame = {
+    val sh = shingleIndexHashed(df, id, text, n, maxDf).cache()
+    val cnt = shingleCounts(sh)
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("c"))
+      .join(cnt.as("na"), col("i") === col("na.doc_id"))
+      .select(col("i"), col("j"),
+        Num.pround(col("c").cast("double") / col("na.n"), 4).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** MinHash signatures: numHashes column-wise mins of seeded xxhash64 over
     * the shingle set — one shuffle, partial aggregation map-side. */
   def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
@@ -334,6 +357,27 @@ object Dedup {
     Some(jaccardOracle),
     (s, dir) => jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8))
 
+  private val containN = 8
+  private val containmentOracle =
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                concat_ws(' ', ${(0 until 8).map(k => s"t[i+$k]").mkString(", ")}) AS s
+              FROM toks CROSS JOIN unnest(generate_series(1, len(t)-7)) AS u(i)
+              WHERE len(t) >= 8),
+       n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+       SELECT i, j, ${Num.sql("CAST(c AS DOUBLE) / na.n", 4)} AS containment
+       FROM p JOIN n na ON na.doc_id = i
+       WHERE ${Num.sql("CAST(c AS DOUBLE) / na.n", 4)} >= 0.9"""
+
+  val containmentQ = QueryDef(
+    "dedup_containment",
+    "near-subset doc pairs by directed 8-gram containment >= 0.9",
+    Some(containmentOracle),
+    (s, dir) => containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+      containN, 0.9))
+
   /** The pipeline's OUTPUT is oracle-exact even though LSH banding uses
     * Spark's xxhash64 (which DuckDB can't replicate): candidates are
     * exact-Jaccard-verified, so the result equals the exact all-pairs answer
@@ -519,5 +563,5 @@ object Dedup {
 
   val defs: Seq[QueryDef] =
     Seq(exactQ, jaccardQ, jaccardCappedQ, minHashQ, simHashQ, hammingQ,
-      clustersQ, spansQ)
+      clustersQ, spansQ, containmentQ)
 }

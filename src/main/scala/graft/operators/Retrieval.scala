@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.{Num, Text}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-retrieval scoring over the document corpus: BM25 ranking against a
+  * fixed keyword query. The reference serves its dashboard from plain SQL
+  * (console.py:45-51); a training-data engine additionally needs retrieval
+  * primitives for corpus inspection and quality-slicing ("find the docs most
+  * about X").
+  *
+  * Scale design (100 TB): the token stream is filtered to the query terms
+  * BEFORE any shuffle — only matching postings (|terms| × df rows) leave the
+  * scan. Document-frequency and corpus statistics are tiny aggregates joined
+  * back by broadcast, and the final top-k is a TakeOrdered (per-partition
+  * heap + single merge), never a global sort.
+  *
+  * Determinism: the idf uses the rational Robertson form
+  * (N - df + 0.5)/(df + 0.5) WITHOUT the usual log — log is not IEEE-exact
+  * across engines while +,*,/ are, and the ranking is unchanged for a fixed
+  * query (idf stays monotone decreasing in df). Per-term scores are summed
+  * in fixed query order via conditional aggregation, so parallel aggregation
+  * order cannot perturb the total.
+  */
+object Retrieval {
+
+  /** Mid-frequency terms of the synthetic corpus (FIXTURES.md §B). */
+  val QueryTerms: Seq[String] = Seq("vector", "stream", "window")
+  private val K1 = 1.2
+  private val B = 0.75
+  private val TopK = 20
+
+  /** BM25 top-k: rank `docs` against `terms`, highest score first, ties
+    * broken by doc_id. */
+  def bm25TopK(docs: DataFrame, id: String, text: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val toks = docs.select(col(id).cast("long").as("doc_id"),
+      Text.tokens(col(text)).as("toks"))
+    val dls = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = dls.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val tf = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    // one row per (term present anywhere) — broadcast side of the probe
+    val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val perTerm = tf.join(broadcast(dfs), "tok")
+      .join(dls, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        ((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          ((col("tf") * lit(K1 + 1)) /
+            (col("tf") + lit(K1) *
+              (lit(1.0) - lit(B) + (lit(B) * col("dl")) / col("avgdl")))))
+    // fixed-order summation: one conditional sum per query term (each sums
+    // exactly one row), added left-to-right in query order
+    val sums: Seq[Column] = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("tok") === t, col("s"))).as(s"s$i")
+    }
+    val total: Column = terms.indices
+      .map(i => coalesce(col(s"s$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    perTerm.groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), Num.pround(total, 4).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+  }
+
+  private def bm25OracleSql(terms: Seq[String], k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val condSums = terms
+      .map(t => s"coalesce(sum(CASE WHEN tok = '$t' THEN s END), 0)")
+      .mkString("\n                   + ")
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+                   FROM documents),
+        dls AS (SELECT doc_id, len(toks) AS dl FROM t),
+        stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dls),
+        tf AS (SELECT doc_id, tok, count(*) AS tf
+               FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+               WHERE tok IN ($inList) GROUP BY 1, 2),
+        dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        sc AS (SELECT f.doc_id, f.tok,
+                 ((stats.n - d.df + 0.5) / (d.df + 0.5)) *
+                 ((f.tf * ${K1 + 1}) /
+                  (f.tf + $K1 * (1.0 - $B + ($B * dls.dl) / stats.avgdl))) AS s
+               FROM tf f JOIN dfs d USING (tok)
+               JOIN dls ON f.doc_id = dls.doc_id CROSS JOIN stats),
+        piv AS (SELECT doc_id,
+                  $condSums AS score
+                FROM sc GROUP BY 1)
+        SELECT doc_id, ${Num.sql("score", 4)} AS score
+        FROM piv ORDER BY score DESC, doc_id LIMIT $k"""
+  }
+
+  val bm25Q = QueryDef(
+    "bm25_topk",
+    "BM25 keyword ranking (rational idf), top-20 docs for a 3-term query",
+    Some(bm25OracleSql(QueryTerms, TopK)),
+    (s, dir) => bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+      QueryTerms, TopK))
+
+  val defs: Seq[QueryDef] = Seq(bm25Q)
+}

@@ -198,5 +198,108 @@ object Warehouse {
       }.reduce(_ unionAll _)
     })
 
-  val defs: Seq[QueryDef] = Seq(scd2, merge, markov, zorder, tableStats)
+  /** OPTIMIZE-style small-file compaction plan: given a file listing
+    * (file_id, bytes) in layout order, assign files to target-sized output
+    * bins by prefix-sum bin-packing — the plan a table maintenance job hands
+    * to its rewrite stage. Reuses [[Pipeline.packSequences]]'s two-level
+    * scan, so the global prefix sum never funnels through one partition:
+    * at 100 TB of file metadata the wide table shuffles once by chunk and
+    * only per-chunk totals see a global window. The simulated listing maps
+    * o_orderkey → file_id and floor(o_totalprice) → bytes. */
+  private val compactTarget = 32000000L
+
+  def compactionPlan(files: DataFrame, target: Long): DataFrame =
+    Pipeline.packSequences(files, "file_id", "bytes", target)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("total_bytes"))
+
+  val compaction = QueryDef(
+    "compaction_plan",
+    "bin-pack a small-file listing into 32 MB output bins by global prefix sum",
+    Some(s"""WITH f AS (SELECT o_orderkey AS file_id,
+                               CAST(floor(o_totalprice) AS BIGINT) AS bytes
+                        FROM orders),
+             c AS (SELECT file_id, bytes,
+                     CAST(coalesce(sum(bytes) OVER (ORDER BY file_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS cum_before
+                   FROM f)
+             SELECT cum_before // $compactTarget AS bin,
+                    count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS total_bytes
+             FROM c GROUP BY 1"""),
+    (s, dir) => compactionPlan(
+      Tables.orders(s, dir).select(col("o_orderkey").as("file_id"),
+        floor(col("o_totalprice")).cast("long").as("bytes")),
+      compactTarget))
+
+  /** Data-quality expectation report: one row per declared check with its
+    * violation count — the CI gate a 100 TB ingest runs before publishing a
+    * partition. Single-table checks share ONE conditional-count scan per
+    * table (no per-check passes); referential checks are anti joins that AQE
+    * sizes (the dim side broadcasts when small). Range thresholds come from
+    * the generator contract (FIXTURES.md §B); the distribution guards are
+    * deliberately tight enough to fire, so the report proves it counts. */
+  val dqReport = QueryDef(
+    "dq_report",
+    "data-quality expectations: violation counts per declared check",
+    Some("""SELECT 'lineitem_qty_out_of_range' AS check_name,
+                   count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) AS n_violations
+            FROM lineitem
+            UNION ALL
+            SELECT 'lineitem_price_nonpositive',
+                   count(CASE WHEN l_extendedprice <= 0 THEN 1 END) FROM lineitem
+            UNION ALL
+            SELECT 'lineitem_discount_gt_5pct',
+                   count(CASE WHEN l_discount > 0.05 THEN 1 END) FROM lineitem
+            UNION ALL
+            SELECT 'orders_date_out_of_range',
+                   count(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01' OR
+                                   o_orderdate > TIMESTAMP '2001-12-31' THEN 1 END)
+            FROM orders
+            UNION ALL
+            SELECT 'orders_price_gt_400k',
+                   count(CASE WHEN o_totalprice > 400000 THEN 1 END) FROM orders
+            UNION ALL
+            SELECT 'orders_orphan_custkey', count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+            UNION ALL
+            SELECT 'lineitem_orphan_orderkey', count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)"""),
+    (s, dir) => {
+      def checks(df: DataFrame, cs: (String, org.apache.spark.sql.Column)*) = {
+        val aggs = cs.zipWithIndex.map { case ((_, c), i) =>
+          count(when(c, 1)).as(s"v$i")
+        }
+        val stack = cs.zipWithIndex
+          .map { case ((nm, _), i) => s"'$nm', v$i" }.mkString(", ")
+        df.agg(aggs.head, aggs.tail: _*)
+          .select(expr(
+            s"stack(${cs.size}, $stack) AS (check_name, n_violations)"))
+      }
+      def orphans(nm: String, fact: DataFrame, fk: String, dim: DataFrame,
+          pk: String) =
+        fact.join(dim, col(fk) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit(nm).as("check_name"), col("n_violations"))
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      checks(li,
+        "lineitem_qty_out_of_range" ->
+          (col("l_quantity") < 1 || col("l_quantity") > 50),
+        "lineitem_price_nonpositive" -> (col("l_extendedprice") <= 0),
+        "lineitem_discount_gt_5pct" -> (col("l_discount") > 0.05))
+        .unionAll(checks(o,
+          "orders_date_out_of_range" ->
+            (col("o_orderdate") < lit("1995-01-01").cast("timestamp") ||
+              col("o_orderdate") > lit("2001-12-31").cast("timestamp")),
+          "orders_price_gt_400k" -> (col("o_totalprice") > 400000)))
+        .unionAll(orphans("orders_orphan_custkey", o, "o_custkey",
+          Tables.customer(s, dir).select(col("c_custkey")), "c_custkey"))
+        .unionAll(orphans("lineitem_orphan_orderkey",
+          li.select(col("l_orderkey")), "l_orderkey",
+          o.select(col("o_orderkey")), "o_orderkey"))
+    })
+
+  val defs: Seq[QueryDef] =
+    Seq(scd2, merge, markov, zorder, tableStats, compaction, dqReport)
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("basket lift matches a hand-computed contingency table") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    // 4 baskets: {a,b} {a,b} {a} {b}  →  n_ab=2, n_a=3, n_b=3, N=4
+    val events = Seq(
+      (1L, ts(1), "a"), (1L, ts(1), "b"),
+      (2L, ts(1), "a"), (2L, ts(1), "b"),
+      (1L, ts(2), "a"), (2L, ts(2), "b"))
+      .toDF("user_id", "ts", "event_type")
+    // run the same plan the QueryDef builds, against the local frame
+    val b = events.select(col("user_id"), to_date(col("ts")).as("day"),
+      col("event_type")).distinct()
+    val nb = b.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("nb"))
+    val sup = b.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val pairs = b.as("a")
+      .join(b.as("b2"), col("a.user_id") === col("b2.user_id") &&
+        col("a.day") === col("b2.day") &&
+        col("a.event_type") < col("b2.event_type"))
+      .groupBy(col("a.event_type").as("x"), col("b2.event_type").as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+      .crossJoin(nb)
+      .join(sup.withColumnRenamed("event_type", "sx").withColumnRenamed("n", "n_x"),
+        col("sx") === col("x"))
+      .join(sup.withColumnRenamed("event_type", "sy").withColumnRenamed("n", "n_y"),
+        col("sy") === col("y"))
+      .select(col("x"), col("y"), col("n_xy"),
+        (col("n_xy").cast("double") * col("nb") /
+          (col("n_x") * col("n_y"))).as("lift"))
+      .collect()
+    assert(pairs.length == 1)
+    val r = pairs.head
+    assert((r.getString(0), r.getString(1), r.getLong(2)) == ("a", "b", 2L))
+    assert(r.getDouble(3) == 2.0 * 4 / (3 * 3))
+  }
+
+  test("basket lift over the fixtures emits every unordered type pair once") {
+    val rows = Analytics.basketQ.run(spark, sf("sf0.001")).collect()
+    val types = Tables.events(spark, sf("sf0.001"))
+      .select("event_type").distinct().count().toInt
+    assert(rows.length == types * (types - 1) / 2)
+    assert(rows.forall(r => r.getString(0) < r.getString(1)))
+    assert(rows.forall(_.getDouble(3) > 0.0))
+  }
+
+  test("gap fill: complete hourly grid, zeros on gaps, forward fill carries") {
+    val rows = Analytics.gapfillQ.run(spark, sf("sf0.001")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    val types = rows.map(_._1).distinct
+    val hours = rows.map(_._2).distinct.sorted
+    assert(rows.length == types.length * hours.length, "full grid")
+    assert(hours.zip(hours.tail).forall { case (a, b) => b - a == 3600 },
+      "contiguous hourly grid")
+    val gaps = rows.filter(_._3 == 0)
+    assert(gaps.nonEmpty, "fixtures contain hour gaps at sf0.001")
+    // forward fill: a zero-count row after any observation carries a value
+    types.foreach { t =>
+      val series = rows.filter(_._1 == t).sortBy(_._2)
+      var seen = false
+      var carried: Option[Double] = None
+      series.foreach { case (_, _, n, v) =>
+        if (n > 0) { seen = true; carried = v }
+        else if (seen) assert(v == carried, s"$t carries the last mean")
+        else assert(v.isEmpty, s"$t has no value before first observation")
+      }
+    }
+  }
+}

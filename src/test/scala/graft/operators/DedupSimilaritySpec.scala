@@ -23,6 +23,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("containment: a verbatim-subset doc scores 1.0 toward its container, " +
+      "and pairs match a brute-force set computation") {
+    import spark.implicits._
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val corpus = Seq(
+      1L -> base,                                   // subset of 2
+      2L -> (base + " x1 x2 x3 x4 x5 x6 x7 x8"),    // container
+      3L -> "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10")       // unrelated
+    val got = Dedup.containmentPairs(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", 8, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute force over token-8-gram sets
+    def sh(t: String) = t.split(" ").sliding(8).map(_.mkString(" ")).toSet
+    val sets = corpus.toMap.view.mapValues(sh).toMap
+    for (i <- sets.keys; j <- sets.keys if i != j) {
+      val inter = (sets(i) & sets(j)).size
+      val want = math.floor(inter.toDouble / sets(i).size * 1e4 + 0.5) / 1e4
+      if (inter > 0) assert(got((i, j)) == want, s"($i,$j)")
+      else assert(!got.contains((i, j)), s"($i,$j)")
+    }
+    assert(got((1L, 2L)) == 1.0) // full subset
+    assert(got((2L, 1L)) < 1.0)  // asymmetric: container side is diluted
+  }
+
   test("simhash: near-dup pairs sit at small hamming distance, random pairs far") {
     val fp = Dedup.simHash(docs, "doc_id", "text").cache()
     val nearPairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)

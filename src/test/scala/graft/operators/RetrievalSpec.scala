@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def rank(docs: Seq[(Long, String)], terms: Seq[String], k: Int = 10) =
+    Retrieval.bm25TopK(docs.toDF("doc_id", "text"), "doc_id", "text", terms, k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+
+  test("bm25 matches a hand-computed single-term corpus") {
+    // three docs, one query term; N=3, df=2, avgdl=(2+4+2)/3
+    val docs = Seq(1L -> "cat dog", 2L -> "cat cat fish bird", 3L -> "fish bird")
+    val got = rank(docs, Seq("cat")).toMap
+    val n = 3.0; val df = 2.0; val avgdl = 8.0 / 3.0
+    def bm25(tf: Double, dl: Double): Double = {
+      val idf = (n - df + 0.5) / (df + 0.5)
+      val s = idf * ((tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + (0.75 * dl) / avgdl)))
+      math.floor(s * 1e4 + 0.5) / 1e4
+    }
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == bm25(1, 2) && got(2L) == bm25(2, 4))
+  }
+
+  test("bm25 ranking properties: tf grows score, length normalizes it down") {
+    val docs = Seq(
+      1L -> "spark spark spark pad",   // tf=3, dl=4
+      2L -> "spark other words here",  // tf=1, dl=4
+      3L -> "spark other words here extra padding tokens making longer doc")
+    val got = rank(docs, Seq("spark"))
+    // higher tf at equal length wins; equal tf at longer length loses
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("multi-term scores are the sum of single-term scores") {
+    val docs = Seq(
+      1L -> "alpha beta gamma", 2L -> "alpha alpha delta", 3L -> "beta beta beta")
+    val both = rank(docs, Seq("alpha", "beta")).toMap
+    val a = rank(docs, Seq("alpha")).toMap
+    val b = rank(docs, Seq("beta")).toMap
+    // df of each term is identical in the joint and single-term runs (same
+    // corpus), so the joint score decomposes exactly up to the final rounding
+    docs.map(_._1).foreach { id =>
+      val want = a.getOrElse(id, 0.0) + b.getOrElse(id, 0.0)
+      assert(math.abs(both.getOrElse(id, 0.0) - want) <= 2e-4, s"doc $id")
+    }
+  }
+
+  test("top-k truncates by score with doc_id tiebreak and is a TakeOrdered") {
+    val docs = (1L to 30L).map(i => i -> (if (i % 2 == 0) "hit pad" else "miss pad"))
+    val df = Retrieval.bm25TopK(docs.toDF("doc_id", "text"), "doc_id", "text",
+      Seq("hit"), 5)
+    // equal scores everywhere → the 5 smallest even ids
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(2L, 4L, 6L, 8L, 10L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}

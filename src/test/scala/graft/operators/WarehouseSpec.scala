@@ -91,4 +91,44 @@ class WarehouseSpec extends SparkSpec {
       assert(math.abs(total - 1.0) < 1e-2, s"$cur sums to $total")
     }
   }
+
+  test("compaction plan: bins cover every file, in order, near the target size") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val files = (1L to 5000L).map(i => (i, 1000L + rng.nextInt(200000)))
+    val target = 10000000L
+    val bins = Warehouse.compactionPlan(
+        files.toDF("file_id", "bytes"), target)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(bins.map(_._2).sum == files.length, "every file assigned")
+    assert(bins.map(_._1).toSeq == bins.indices.map(_.toLong), "dense bin ids")
+    val maxFile = files.map(_._2).max
+    // a file opens in the bin where its first byte lands, so a bin overshoots
+    // by at most one file and undershoots only if the next file opened late
+    bins.dropRight(1).foreach { case (b, _, total) =>
+      assert(total < target + maxFile, s"bin $b overshoots: $total")
+      assert(total > target - maxFile, s"bin $b undershoots: $total")
+    }
+    assert(bins.map(_._3).sum == files.map(_._2).sum, "bytes conserved")
+  }
+
+  test("dq_report counts agree with directly-filtered counts") {
+    val got = Warehouse.dqReport.run(spark, sf("sf0.001")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val li = graft.sources.Tables.lineitem(spark, sf("sf0.001"))
+    val o = graft.sources.Tables.orders(spark, sf("sf0.001"))
+    assert(got("lineitem_qty_out_of_range") ==
+      li.filter(col("l_quantity") < 1 || col("l_quantity") > 50).count())
+    assert(got("lineitem_discount_gt_5pct") ==
+      li.filter(col("l_discount") > 0.05).count())
+    assert(got("orders_price_gt_400k") ==
+      o.filter(col("o_totalprice") > 400000).count())
+    // the generator's referential integrity holds — the checks prove it
+    assert(got("orders_orphan_custkey") == 0L)
+    assert(got("lineitem_orphan_orderkey") == 0L)
+    // at least one distribution guard actually fires (the report counts)
+    assert(got("lineitem_discount_gt_5pct") > 0L)
+    assert(got.size == 7)
+  }
 }
