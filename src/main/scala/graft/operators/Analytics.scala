@@ -174,9 +174,12 @@ object Analytics {
              JOIN sup sx ON sx.event_type = x
              JOIN sup sy ON sy.event_type = y"""),
     (s, dir) => {
+      // the distinct basket table feeds four consumers (both self-join sides,
+      // supports, basket count): cache it so the event scan + distinct
+      // shuffle run once
       val b = Tables.events(s, dir)
         .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
-        .distinct()
+        .distinct().cache()
       val nb = b.select(col("user_id"), col("day")).distinct()
         .agg(count(lit(1)).as("nb"))
       val sup = b.groupBy(col("event_type")).agg(count(lit(1)).as("n"))

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
-import graft.functions.{Num, Text}
+import graft.functions.Num
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -34,21 +34,35 @@ object Retrieval {
   private val TopK = 20
 
   /** BM25 top-k: rank `docs` against `terms`, highest score first, ties
-    * broken by doc_id. */
+    * broken by doc_id.
+    *
+    * One typed pass over the corpus emits a per-doc stats row (tok = null,
+    * carrying dl) plus one row per query-term occurrence — tokenizing each
+    * document exactly once (the Column spelling re-evaluates the regex split
+    * under every reference after CollapseProject; see the same note on
+    * [[Dedup.shingleIndex]]). The tiny result (docs + matching postings, not
+    * the token stream) is cached and feeds both corpus stats and tf, and dl
+    * rides along in the tf group-by so no length join is ever needed. */
   def bm25TopK(docs: DataFrame, id: String, text: String,
       terms: Seq[String], k: Int): DataFrame = {
-    val toks = docs.select(col(id).cast("long").as("doc_id"),
-      Text.tokens(col(text)).as("toks"))
-    val dls = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
-    val stats = dls.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
-    val tf = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
-      .filter(col("tok").isin(terms: _*))
-      .groupBy(col("doc_id"), col("tok"))
+    import docs.sparkSession.implicits._
+    val termSet = terms.toSet
+    val base = docs.select(col(id).cast("long").as("doc_id"), col(text).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (did, t) =>
+        val toks = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        val dl = toks.length.toLong
+        Iterator.single((did, dl, null: String)) ++
+          toks.iterator.filter(termSet).map(tok => (did, dl, tok))
+      }.toDF("doc_id", "dl", "tok").cache()
+    val stats = base.filter(col("tok").isNull)
+      .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val tf = base.filter(col("tok").isNotNull)
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     // one row per (term present anywhere) — broadcast side of the probe
     val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val perTerm = tf.join(broadcast(dfs), "tok")
-      .join(dls, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("s",
         ((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
