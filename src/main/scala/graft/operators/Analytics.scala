@@ -251,6 +251,102 @@ object Analytics {
           col("avg_value_ff"))
     })
 
+  /** Decile bucketization — the quantile feature transform ML pipelines run
+    * before discretization-sensitive models. Boundaries are the exact
+    * interpolated percentiles ROUNDED to 4 places (both engines share the
+    * (n-1)p definition and the rounding, so the bucket comparison is over
+    * identical doubles); the assignment pass is a broadcast of 9 scalars +
+    * one codegen'd comparison chain, no shuffle of the fact side. At 100 TB
+    * swap the boundary aggregate for `approx_percentile` (same plan shape,
+    * bounded memory) — exact percentiles keep the oracle bit-tight here. */
+  val bucketizeQ = QueryDef(
+    "feature_bucketize",
+    "decile-bucket the event value: exact rounded boundaries, broadcast assign",
+    Some {
+      val bexprs = (1 to 9)
+        .map(i => s"${Num.sql(s"quantile_cont(value, 0.$i)", 4)} AS b$i")
+        .mkString(",\n                        ")
+      val chain = (1 to 9)
+        .map(i => s"CASE WHEN e.value >= b.b$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT $bexprs FROM events)
+          SELECT e.event_id, $chain AS bucket
+          FROM events e CROSS JOIN b"""
+    },
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val bAggs = (1 to 9).map(i =>
+        Num.pround(expr(s"percentile(value, 0.$i)"), 4).as(s"b$i"))
+      val bounds = ev.agg(bAggs.head, bAggs.tail: _*)
+      val bucket = (1 to 9)
+        .map(i => when(col("value") >= col(s"b$i"), 1).otherwise(0))
+        .reduceLeft(_ + _)
+      ev.select(col("event_id"), col("value"))
+        .crossJoin(broadcast(bounds))
+        .select(col("event_id"), bucket.as("bucket"))
+    })
+
+  private val sessGapUs = 1800000000L
+  private val sessBinUs = 3600000000L
+
+  /** Interval-OVERLAP join: for each user session (30-min-gap windows, as in
+    * `session_windows`), how many other users had a session overlapping it in
+    * time. The join shape Spark lacks natively: blocked by exploding each
+    * interval to the hour bins it spans, equi-joining on bin, and emitting a
+    * qualifying pair exactly once — in the bin containing the LATER session
+    * start (both intervals necessarily cover that bin), so no post-join
+    * dedup. The oracle runs the quadratic theta join; the engine's candidate
+    * work scales with per-bin concurrency, never |sessions|². Same
+    * exactly-once-by-construction trick as the spatio-temporal
+    * `geo_encounters`, here in one dimension. */
+  val sessionOverlapQ = QueryDef(
+    "session_overlap_join",
+    "per-session concurrency: interval-overlap self-join via hour-bin blocking",
+    Some(s"""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+                        FROM events),
+             x AS (SELECT *, CASE WHEN lag(ts_us) OVER
+                       (PARTITION BY user_id ORDER BY ts_us) IS NULL
+                       OR ts_us - lag(ts_us) OVER
+                         (PARTITION BY user_id ORDER BY ts_us) > $sessGapUs
+                     THEN 1 ELSE 0 END AS brk FROM e),
+             g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                   FROM x),
+             s AS (SELECT user_id, min(ts_us) AS s0, max(ts_us) AS s1
+                   FROM g GROUP BY user_id, sid)
+             SELECT a.user_id, a.s0 AS session_start_us, count(*) AS n_concurrent
+             FROM s a JOIN s b
+               ON a.user_id <> b.user_id AND a.s0 <= b.s1 AND b.s0 <= a.s1
+             GROUP BY 1, 2"""),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      val sess = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .withColumn("brk",
+          when(lag(col("ts_us"), 1).over(w).isNull ||
+            col("ts_us") - lag(col("ts_us"), 1).over(w) > sessGapUs, 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts_us")).as("s0"), max(col("ts_us")).as("s1"))
+        .drop("sid")
+        .cache() // both sides of the bin-blocked self-join
+      def binned(alias: String) = sess
+        .withColumn("bin",
+          explode(expr(s"sequence(s0 div $sessBinUs, s1 div $sessBinUs)")))
+        .select(col("user_id").as(s"${alias}_u"), col("s0").as(s"${alias}0"),
+          col("s1").as(s"${alias}1"), col("bin"))
+      binned("a").join(binned("b"), "bin")
+        .filter(col("a_u") =!= col("b_u") &&
+          col("a0") <= col("b1") && col("b0") <= col("a1") &&
+          col("bin") === expr(s"greatest(a0, b0) div $sessBinUs"))
+        .groupBy(col("a_u").as("user_id"), col("a0").as("session_start_us"))
+        .agg(count(lit(1)).as("n_concurrent"))
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(funnelQ, cohortQ, histogramQ, rfmQ, anomalyQ, basketQ, gapfillQ)
+    Seq(funnelQ, cohortQ, histogramQ, rfmQ, anomalyQ, basketQ, gapfillQ,
+      bucketizeQ, sessionOverlapQ)
 }

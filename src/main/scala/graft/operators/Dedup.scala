@@ -546,6 +546,7 @@ object Dedup {
           else a.sliding(spansW).zipWithIndex.map {
             case (g, i) => (id, i + 1, fnv64(g.mkString(" "))) }
         }.toDF("doc_id", "i", "sh")
+        .cache() // feeds both the repeated-set agg and the position join
       val rep = sh.groupBy(col("sh"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2).select(col("sh"))

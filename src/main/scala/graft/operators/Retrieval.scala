@@ -117,5 +117,30 @@ object Retrieval {
     (s, dir) => bm25TopK(Tables.documents(s, dir), "doc_id", "text",
       QueryTerms, TopK))
 
-  val defs: Seq[QueryDef] = Seq(bm25Q)
+  /** Inverted-index build: the per-term posting summary (document frequency,
+    * collection frequency, first posting, peak tf) a search index's term
+    * dictionary holds. Two-level aggregation — (term, doc) partial counts,
+    * then per-term rollup — so the token stream combines map-side before the
+    * only wide shuffle; linear at any corpus size, no skew beyond natural
+    * term hotness (which the two-phase aggregate absorbs). */
+  val postingsQ = QueryDef(
+    "inverted_postings",
+    "search-index term dictionary: df / cf / first-doc / max-tf per term",
+    Some("""WITH tok AS (SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+                 FROM documents),
+            per_doc AS (SELECT term, doc_id, count(*) AS tf
+                        FROM tok GROUP BY 1, 2)
+            SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+                   min(doc_id) AS min_doc, max(tf) AS max_tf
+            FROM per_doc GROUP BY 1"""),
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("doc_id"), explode(graft.functions.Text.tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        min(col("doc_id")).as("min_doc"), max(col("tf")).as("max_tf")))
+
+  val defs: Seq[QueryDef] = Seq(bm25Q, postingsQ)
 }

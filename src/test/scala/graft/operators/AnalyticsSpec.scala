@@ -52,6 +52,65 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(3) > 0.0))
   }
 
+  test("session overlap join equals the quadratic theta join (exactly-once emission)") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val sess = Tables.events(spark, sf("sf0.001"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("brk", when(lag(col("ts_us"), 1).over(w).isNull ||
+        col("ts_us") - lag(col("ts_us"), 1).over(w) > 1800000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts_us")).as("s0"), max(col("ts_us")).as("s1"))
+    // quadratic reference: every session pair checked directly
+    val brute = sess.as("a").join(sess.as("b"),
+        col("a.user_id") =!= col("b.user_id") &&
+          col("a.s0") <= col("b.s1") && col("b.s0") <= col("a.s1"))
+      .groupBy(col("a.user_id").as("u"), col("a.s0").as("t0"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = Analytics.sessionOverlapQ.run(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == brute)
+    assert(got.nonEmpty)
+  }
+
+  test("bucketize: deciles are balanced and monotone in value") {
+    val rows = Analytics.bucketizeQ.run(spark, sf("sf0.001")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vals = Tables.events(spark, sf("sf0.001"))
+      .select(col("event_id"), col("value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    // monotone: a higher value never lands in a lower bucket
+    val byBucket = vals.groupBy { case (id, _) => rows(id) }
+    for (b <- 0 to 8 if byBucket.contains(b) && byBucket.contains(b + 1))
+      assert(byBucket(b).map(_._2).max <=
+        byBucket(b + 1).map(_._2).min + 1e-4, s"bucket $b overlaps ${b + 1}")
+    // balanced: each decile holds ~10% of rows
+    val n = vals.length
+    (0 to 9).foreach { b =>
+      val c = byBucket.get(b).map(_.length).getOrElse(0)
+      assert(math.abs(c - n / 10.0) <= n * 0.02, s"bucket $b holds $c of $n")
+    }
+  }
+
+  test("inverted postings: df/cf consistent with the raw token stream") {
+    val posts = Retrieval.postingsQ.run(spark, sf("sf0.001")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val nDocs = docs.count()
+    posts.foreach { case (t, (df, cf, maxTf)) =>
+      assert(df >= 1 && df <= nDocs, s"$t df")
+      assert(cf >= df && maxTf >= 1 && cf >= maxTf, s"$t cf/max_tf")
+    }
+    // total collection frequency == total token count
+    val totalToks = docs.select(
+      sum(size(graft.functions.Text.tokens(col("text"))))).head().getLong(0)
+    assert(posts.values.map(_._2).sum == totalToks)
+  }
+
   test("gap fill: complete hourly grid, zeros on gaps, forward fill carries") {
     val rows = Analytics.gapfillQ.run(spark, sf("sf0.001")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
