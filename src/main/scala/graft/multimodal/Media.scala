@@ -170,6 +170,55 @@ object Media {
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"),
         min(octet_length(col("payload"))).as("n_bytes")))
 
+  /** One PCM audio frame: which payload, which frame, mean square energy. */
+  case class PcmFrame(doc_id: Long, frame_idx: Long, energy: Double)
+
+  /** Audio-shaped decode: interpret the payload as big-endian unsigned
+    * 16-bit PCM (centered to signed), cut into fixed 128-sample frames, and
+    * emit per-frame mean-square energy — the framing + feature pass of an
+    * audio pipeline (a real build swaps the 2-byte decode for a codec at
+    * this seam; the framing, energy accumulation and output schema stay).
+    * Energy is sum(s²)/128 — an exact integer divided by a power of two, so
+    * the double is bit-identical in any engine with NO rounding step.
+    * Payload bytes are read once per partition and never shuffled. */
+  def pcmFrameEnergy(media: Dataset[MediaRecord],
+      frameBytes: Int): Dataset[PcmFrame] = {
+    import media.sparkSession.implicits._
+    val samplesPerFrame = frameBytes / 2
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val b = r.payload
+        (0 until b.length / frameBytes).iterator.map { f =>
+          var sum = 0L
+          var j = f * frameBytes
+          val end = j + frameBytes
+          while (j + 1 < end) {
+            val s = (((b(j) & 0xFF) << 8) | (b(j + 1) & 0xFF)) - 32768
+            sum += s.toLong * s
+            j += 2
+          }
+          PcmFrame(r.doc_id, f.toLong, sum.toDouble / samplesPerFrame)
+        }
+      }
+    }
+  }
+
+  val pcmEnergyQ = QueryDef(
+    "media_pcm_energy",
+    "PCM framing + mean-square energy per 128-sample frame (audio seam)",
+    Some("""WITH c AS (SELECT doc_id, text, length(text) AS n FROM documents),
+            fr AS (SELECT doc_id, text, i AS frame_idx
+                   FROM c CROSS JOIN unnest(generate_series(0, n // 256 - 1)) AS u(i)
+                   WHERE n >= 256),
+            sm AS (SELECT doc_id, frame_idx,
+                     (256 * ord(text[CAST(256*frame_idx + 2*j + 1 AS BIGINT)])
+                        + ord(text[CAST(256*frame_idx + 2*j + 2 AS BIGINT)])
+                        - 32768) AS s
+                   FROM fr CROSS JOIN unnest(generate_series(0, 127)) AS v(j))
+            SELECT doc_id, frame_idx, CAST(sum(s*s) AS DOUBLE)/128 AS energy
+            FROM sm GROUP BY 1, 2"""),
+    (s, dir) => pcmFrameEnergy(asMedia(s, dir), 256).toDF())
+
   val defs: Seq[QueryDef] = Seq(metadataQ, frameSampleQ, resizeQ, featuresQ,
-    dedupQ)
+    dedupQ, pcmEnergyQ)
 }

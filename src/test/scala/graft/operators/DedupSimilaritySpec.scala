@@ -120,4 +120,27 @@ class DedupSimilaritySpec extends SparkSpec {
       .select(col("doc_id"), col("n_bytes"), col("width"), col("height"))
     assert(viaStub.exceptAll(viaColumns).isEmpty && viaColumns.exceptAll(viaStub).isEmpty)
   }
+
+  test("pcm frame energy matches a direct per-doc reference computation") {
+    import graft.multimodal.Media
+    val got = Media.pcmFrameEnergy(Media.asMedia(spark, sf("sf0.001")), 256)
+      .collect().map(f => (f.doc_id, f.frame_idx) -> f.energy).toMap
+    val ref = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text")).collect().flatMap { r =>
+        val b = r.getString(1).getBytes("UTF-8")
+        (0 until b.length / 256).map { f =>
+          val sum = (0 until 128).map { j =>
+            val s = (((b(256 * f + 2 * j) & 0xFF) << 8) |
+              (b(256 * f + 2 * j + 1) & 0xFF)) - 32768
+            s.toLong * s
+          }.sum
+          (r.getLong(0), f.toLong) -> sum.toDouble / 128
+        }
+      }.toMap
+    assert(got == ref)          // bit-exact: integer sum / power-of-two
+    assert(got.nonEmpty)
+    // a frame of pure silence (payload of zero bytes) maxes the centered
+    // energy; ASCII text sits far below it
+    assert(got.values.forall(e => e > 0 && e < 32768.0 * 32768.0))
+  }
 }
