@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.Num
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge tables — the family beyond connected components
+  * ([[Dedup.dedupClusters]]'s label propagation): one damped PageRank
+  * iteration as a pure relational plan. An N-step PageRank is this plan
+  * iterated with the rank table fed back in — the driver loop stays tiny
+  * (one DataFrame per step, like the label-propagation fixpoint), while every
+  * step is a distributed join + aggregation.
+  *
+  * Scale design (100 TB of edges): one shuffle by src for out-weights, one
+  * join back to edges (same key — Catalyst reuses the partitioning), one
+  * shuffle by dst for the contribution sum; the node-count is a broadcast
+  * scalar. No adjacency is ever collected; rank mass moves as rows.
+  */
+object Graph {
+
+  /** One damped-PageRank step from the uniform distribution over a weighted
+    * edge list: pr1(v) = d/N + (1-d) * Σ_{(u,v,w)} (1/N) * w / wout(u). */
+  def pagerankStep(edges: DataFrame, damping: Double): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val contrib = edges.join(outw, "src")
+      .select(col("dst").as("node"),
+        (col("w").cast("double") / col("wout")).as("c"))
+      .groupBy(col("node")).agg(sum(col("c")).as("cs"))
+    nodes.join(contrib, Seq("node"), "left_outer")
+      .crossJoin(broadcast(nn))
+      .select(col("node"),
+        Num.pround(lit(1.0 - damping) / col("n") +
+          (lit(damping) * coalesce(col("cs"), lit(0.0))) / col("n"), 6)
+          .as("pr"))
+  }
+
+  /** The corpus bigram graph (tokens as nodes, adjacency counts as weights)
+    * ranked by one PageRank step — "which tokens attract the most transition
+    * mass", the graph view of the [[Warehouse.markov]] transition matrix. */
+  val pagerankQ = QueryDef(
+    "token_pagerank_step",
+    "one damped PageRank step over the corpus bigram transition graph",
+    Some(s"""WITH toks AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+                           FROM documents),
+             e AS (SELECT t[i] AS src, t[i+1] AS dst, count(*) AS w
+                   FROM toks CROSS JOIN unnest(generate_series(1, len(t)-1)) AS u(i)
+                   WHERE len(t) >= 2 GROUP BY 1, 2),
+             nodes AS (SELECT DISTINCT node FROM
+                         (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+             nn AS (SELECT count(*) AS n FROM nodes),
+             outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY 1),
+             contrib AS (SELECT e.dst AS node,
+                                sum(CAST(e.w AS DOUBLE) / o.wout) AS cs
+                         FROM e JOIN outw o ON e.src = o.src GROUP BY 1)
+             SELECT d.node,
+                    ${Num.sql("0.15 / nn.n + (0.85 * coalesce(s.cs, 0)) / nn.n", 6)} AS pr
+             FROM nodes d CROSS JOIN nn
+             LEFT JOIN contrib s ON s.node = d.node"""),
+    (s, dir) => {
+      import s.implicits._
+      val edges = Tables.documents(s, dir).select(col("text")).as[String]
+        .flatMap { t =>
+          val a = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          if (a.length < 2) Iterator.empty
+          else a.iterator.zip(a.iterator.drop(1))
+        }.toDF("src", "dst")
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      pagerankStep(edges, 0.85)
+    })
+
+  val defs: Seq[QueryDef] = Seq(pagerankQ)
+}

@@ -300,6 +300,74 @@ object Warehouse {
           o.select(col("o_orderkey")), "o_orderkey"))
     })
 
+  /** CDC snapshot diff: the per-key change report between the state as of a
+    * cutoff and the current state (latest event_type per user on both sides,
+    * deterministic (ts, event_id) ordering). Both latest-per-key passes and
+    * the reconciling join share the user_id partitioning — at 100 TB this is
+    * two WindowGroupLimit passes (top-1 per key pushes into the shuffle) and
+    * one co-partitioned join; no state is ever collected. `added` = key with
+    * no pre-cutoff events; append-only input means `removed` cannot occur. */
+  private val diffCutoffUs = 1705276800000000L // 2024-01-15T00:00:00Z
+
+  val snapshotDiff = QueryDef(
+    "snapshot_diff",
+    "CDC diff of latest-status state: as-of cutoff vs now, per user",
+    Some(s"""WITH e AS (SELECT user_id, event_type,
+                               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+                        FROM events),
+             old AS (SELECT user_id, event_type AS old_status FROM (
+                       SELECT *, row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts_us DESC, event_id DESC) AS rn
+                       FROM e WHERE ts_us < $diffCutoffUs) WHERE rn = 1),
+             new AS (SELECT user_id, event_type AS new_status FROM (
+                       SELECT *, row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts_us DESC, event_id DESC) AS rn
+                       FROM e) WHERE rn = 1)
+             SELECT n.user_id, o.old_status, n.new_status,
+                    CASE WHEN o.user_id IS NULL THEN 'added'
+                         WHEN o.old_status <> n.new_status THEN 'changed'
+                         ELSE 'unchanged' END AS change
+             FROM new n LEFT JOIN old o ON n.user_id = o.user_id"""),
+    (s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      def latest(df: DataFrame, as: String) = df
+        .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").desc, col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as(as))
+      val old = latest(e.filter(col("ts_us") < diffCutoffUs), "old_status")
+        .withColumnRenamed("user_id", "o_user")
+      latest(e, "new_status")
+        .join(old, col("user_id") === col("o_user"), "left_outer")
+        .select(col("user_id"), col("old_status"), col("new_status"),
+          when(col("o_user").isNull, "added")
+            .when(col("old_status") =!= col("new_status"), "changed")
+            .otherwise("unchanged").as("change"))
+    })
+
+  /** k-anonymity audit over quasi-identifier columns: how close the table is
+    * to releasable under k=5 (smallest equivalence class, classes and rows
+    * below k). One aggregation over the quasi-id grouping — the governance
+    * gate's cost is a groupBy, independent of the column count audited. */
+  val kAnonymity = QueryDef(
+    "k_anonymity_report",
+    "k-anonymity (k=5) audit of customer quasi-identifiers",
+    Some("""WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+                       FROM customer GROUP BY 1, 2)
+            SELECT count(*) AS n_classes, min(n) AS min_class,
+                   count(CASE WHEN n < 5 THEN 1 END) AS classes_below_k,
+                   CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                     AS n_rows_below_k
+            FROM g"""),
+    (s, dir) => Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_classes"), min(col("n")).as("min_class"),
+        count(when(col("n") < 5, 1)).as("classes_below_k"),
+        sum(when(col("n") < 5, col("n")).otherwise(0L)).as("n_rows_below_k")))
+
   val defs: Seq[QueryDef] =
-    Seq(scd2, merge, markov, zorder, tableStats, compaction, dqReport)
+    Seq(scd2, merge, markov, zorder, tableStats, compaction, dqReport,
+      snapshotDiff, kAnonymity)
 }
