@@ -39,6 +39,88 @@ object Graph {
           .as("pr"))
   }
 
+  /** N damped-PageRank steps as ONE statically-chained declarative plan —
+    * when the iteration count is fixed, no driver loop or Deferred wrapper is
+    * needed: each step is a join + aggregation appended to the lineage, and
+    * Catalyst's exchange reuse (plus the explicit caches on the loop-invariant
+    * edge tables) keeps the invariant side computed once. Intermediate ranks
+    * are rounded to 9 places ON BOTH ENGINES each step, so aggregation-order
+    * float noise (~1e-16 per sum) can never compound across steps into a
+    * cross-engine mismatch; the final step rounds to the reporting precision.
+    * At 100 TB, checkpoint the rank table every few steps to cut lineage
+    * depth — the plan shape per step is unchanged. */
+  def pagerankIterate(edges: DataFrame, damping: Double,
+      steps: Int): DataFrame = {
+    val e = edges.cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("wout")).cache()
+    var pr = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), (lit(1.0) / col("n")).as("pr"))
+    for (k <- 1 to steps) {
+      val contrib = e.join(outw, "src")
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          (col("pr") * (col("w").cast("double") / col("wout"))).as("x"))
+        .groupBy(col("node")).agg(sum(col("x")).as("cs"))
+      pr = nodes.join(contrib, Seq("node"), "left_outer")
+        .crossJoin(broadcast(nn))
+        .select(col("node"),
+          Num.pround(lit(1.0 - damping) / col("n") +
+            lit(damping) * coalesce(col("cs"), lit(0.0)),
+            if (k == steps) 6 else 9).as("pr"))
+    }
+    pr
+  }
+
+  private def pagerank10Oracle: String = {
+    val base =
+      s"""WITH toks AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+                        FROM documents),
+          e AS (SELECT t[i] AS src, t[i+1] AS dst, count(*) AS w
+                FROM toks CROSS JOIN unnest(generate_series(1, len(t)-1)) AS u(i)
+                WHERE len(t) >= 2 GROUP BY 1, 2),
+          nodes AS (SELECT DISTINCT node FROM
+                      (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+          nn AS (SELECT count(*) AS n FROM nodes),
+          outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY 1),
+          pr0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr
+                  FROM nodes CROSS JOIN nn)"""
+    val steps = (1 to 10).map { k =>
+      val prec = if (k == 10) 6 else 9
+      s""",
+          c$k AS (SELECT e.dst AS node,
+                         sum(p.pr * (CAST(e.w AS DOUBLE) / o.wout)) AS cs
+                  FROM e JOIN outw o ON e.src = o.src
+                  JOIN pr${k - 1} p ON p.node = e.src
+                  GROUP BY 1),
+          pr$k AS (SELECT d.node,
+                          ${Num.sql("0.15 / nn.n + 0.85 * coalesce(s.cs, 0)", prec)} AS pr
+                   FROM nodes d CROSS JOIN nn
+                   LEFT JOIN c$k s ON s.node = d.node)"""
+    }.mkString
+    base + steps + "\n          SELECT node, pr FROM pr10"
+  }
+
+  val pagerank10Q = QueryDef(
+    "token_pagerank_10",
+    "10 chained PageRank steps in one static plan (near-converged ranks)",
+    Some(pagerank10Oracle),
+    (s, dir) => pagerankIterate(bigramEdges(s, dir), 0.85, 10))
+
+  private def bigramEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("text")).as[String]
+      .flatMap { t =>
+        val a = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        if (a.length < 2) Iterator.empty
+        else a.iterator.zip(a.iterator.drop(1))
+      }.toDF("src", "dst")
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+  }
+
   /** The corpus bigram graph (tokens as nodes, adjacency counts as weights)
     * ranked by one PageRank step — "which tokens attract the most transition
     * mass", the graph view of the [[Warehouse.markov]] transition matrix. */
@@ -61,17 +143,7 @@ object Graph {
                     ${Num.sql("0.15 / nn.n + (0.85 * coalesce(s.cs, 0)) / nn.n", 6)} AS pr
              FROM nodes d CROSS JOIN nn
              LEFT JOIN contrib s ON s.node = d.node"""),
-    (s, dir) => {
-      import s.implicits._
-      val edges = Tables.documents(s, dir).select(col("text")).as[String]
-        .flatMap { t =>
-          val a = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
-          if (a.length < 2) Iterator.empty
-          else a.iterator.zip(a.iterator.drop(1))
-        }.toDF("src", "dst")
-        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-      pagerankStep(edges, 0.85)
-    })
+    (s, dir) => pagerankStep(bigramEdges(s, dir), 0.85))
 
-  val defs: Seq[QueryDef] = Seq(pagerankQ)
+  val defs: Seq[QueryDef] = Seq(pagerankQ, pagerank10Q)
 }

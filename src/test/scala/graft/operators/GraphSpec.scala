@@ -29,6 +29,34 @@ class GraphSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(1) > 0))
   }
 
+  test("10-step chained plan matches an in-memory power iteration") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(col("text")).as[String].collect()
+    val edges = docs.flatMap(_.trim.toLowerCase.split("\\s+").sliding(2)
+      .collect { case Array(a, b) => (a, b) })
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nodes = edges.keysIterator.flatMap { case (a, b) => Iterator(a, b) }.toSet
+    val n = nodes.size
+    val wout = edges.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    def rnd(x: Double, p: Int) = { val f = math.pow(10, p); math.floor(x * f + 0.5) / f }
+    var pr: Map[String, Double] = nodes.iterator.map(_ -> 1.0 / n).toMap
+    for (k <- 1 to 10) {
+      val cs = edges.toSeq.groupBy(_._1._2).view.mapValues(_.map {
+        case ((u, _), w) => pr(u) * (w.toDouble / wout(u))
+      }.sum).toMap
+      pr = nodes.iterator.map(v =>
+        v -> rnd(0.15 / n + 0.85 * cs.getOrElse(v, 0.0),
+          if (k == 10) 6 else 9)).toMap
+    }
+    val got = Graph.pagerank10Q.run(spark, sf("sf0.001")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // per-step rounding pins both computations to the same trajectory; the
+    // only slack is the final sum's last-ulp aggregation order
+    assert(got.keySet == pr.keySet)
+    got.foreach { case (v, p) => assert(math.abs(p - pr(v)) <= 1e-6, v) }
+  }
+
   test("a token attracting more transitions outranks a rare one") {
     val got = Graph.pagerankQ.run(spark, sf("sf0.001")).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
