@@ -249,6 +249,27 @@ class PlanSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("feature_bucketize never shuffles the fact side") {
+    val p = plan(run("feature_bucketize"))
+    // the only exchanges allowed are for the 9-scalar boundary aggregate
+    // (single partition) and its broadcast back; no hashpartitioning of the
+    // event rows themselves
+    assert(!p.contains("hashpartitioning(event_id"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("snapshot_diff pushes both latest-per-key top-1s below their windows") {
+    val p = plan(run("snapshot_diff"))
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("session_overlap_join is an equi hash join on the bin key") {
+    val p = plan(run("session_overlap_join"))
+    assert(p.contains("hashpartitioning(bin") ||
+      "(Broadcast|Shuffled)HashJoin|SortMergeJoin".r.findFirstIn(p).nonEmpty, p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("no catalog query degrades to a CartesianProduct") {
     // vector pair scans are deliberate *conditioned* nested-loop joins
     // (BroadcastNestedLoopJoin); a true CartesianProduct anywhere means a
