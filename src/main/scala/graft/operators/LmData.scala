@@ -225,6 +225,56 @@ object LmData {
           Num.pround(col("n_contaminated").cast("double") / col("n_docs"), 4))
     })
 
+  /** Per-doc predictability under the corpus trigram model: the mean
+    * conditional probability P(w3 | w1 w2) of the doc's trigrams — the
+    * LM-based quality filter (KenLM-perplexity shape) in pure rational
+    * arithmetic: probabilities are exact count ratios, no ln (whose libm
+    * implementations differ across engines), one rounded mean at the end.
+    * High scores flag boilerplate/duplicated text; low scores flag noise.
+    * Two aggregations over the trigram stream + one probability join that
+    * reuses the trigram grouping's partitioning — linear at any corpus
+    * size, and the model table is |distinct trigrams|, not |tokens|. */
+  val predictabilityQ = QueryDef(
+    "doc_lm_predictability",
+    "per-doc mean trigram conditional probability (LM quality filter, no ln)",
+    Some(s"""WITH toks AS (SELECT doc_id,
+                    string_split_regex(trim(lower(text)), '\\s+') AS t
+                  FROM documents),
+             tg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+                    FROM toks CROSS JOIN
+                      unnest(generate_series(1, len(t) - 2)) AS u(i)
+                    WHERE len(t) >= 3),
+             tri AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg GROUP BY 1, 2, 3),
+             bi AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c2
+                    FROM tri GROUP BY 1, 2),
+             p AS (SELECT w1, w2, w3, CAST(c3 AS DOUBLE) / c2 AS prob
+                   FROM tri JOIN bi USING (w1, w2))
+             SELECT doc_id, count(*) AS n_trigrams,
+                    ${Num.sql("sum(prob) / count(*)", 4)} AS predictability
+             FROM tg JOIN p USING (w1, w2, w3) GROUP BY 1"""),
+    (s, dir) => {
+      import s.implicits._
+      val tg = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, txt) =>
+          val a = txt.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          if (a.length < 3) Iterator.empty
+          else a.sliding(3).map(g => (id, g(0), g(1), g(2)))
+        }.toDF("doc_id", "w1", "w2", "w3")
+        .cache() // model build and scoring pass both read the stream
+      val tri = tg.groupBy(col("w1"), col("w2"), col("w3"))
+        .agg(count(lit(1)).as("c3"))
+      val bi = tri.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("c2"))
+      val p = tri.join(bi, Seq("w1", "w2"))
+        .select(col("w1"), col("w2"), col("w3"),
+          (col("c3").cast("double") / col("c2")).as("prob"))
+      tg.join(p, Seq("w1", "w2", "w3"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_trigrams"),
+          Num.pround(sum(col("prob")) / count(lit(1)), 4).as("predictability"))
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(shuffleQ, curriculumQ, trigramQ, rarityQ, contamReportQ)
+    Seq(shuffleQ, curriculumQ, trigramQ, rarityQ, contamReportQ,
+      predictabilityQ)
 }

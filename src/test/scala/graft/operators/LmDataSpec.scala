@@ -110,4 +110,24 @@ class LmDataSpec extends SparkSpec {
       .agg(sum("mass")).head().getLong(0)
     assert(got == want)
   }
+
+  test("lm predictability: repetitive text outscores unique text; probs are sane") {
+    val rows = LmData.predictabilityQ.run(spark, sf("sf0.001")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // a mean of probabilities stays in (0, 1]
+    rows.values.foreach { case (n, p) =>
+      assert(n > 0 && p > 0.0 && p <= 1.0)
+    }
+    // near-duplicate docs share most trigrams (each shared trigram's c3
+    // doubles against the same prefixes), so pair members sit above the
+    // corpus median predictability
+    val dups = Dedup.jaccardQ.run(spark, sf("sf0.001"))
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+    assert(dups.nonEmpty, "fixtures contain near-duplicate pairs")
+    val scores = rows.values.map(_._2).toSeq.sorted
+    val median = scores(scores.length / 2)
+    val dupAbove = dups.count(d => rows(d)._2 > median)
+    assert(dupAbove * 2 >= dups.length,
+      s"only $dupAbove/${dups.length} duplicate docs above median predictability")
+  }
 }
