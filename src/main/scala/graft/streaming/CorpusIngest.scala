@@ -91,4 +91,53 @@ object CorpusIngest {
       benchmark: DataFrame, w: Int = 8,
       maxBucket: Int = 10000): DataFrame =
     ingest(decontaminationGate(docs, benchmark, w), maxBucket)
+
+  /** Streaming LM quality gate — the streaming face of the batch
+    * `doc_lm_predictability` filter: drop arriving documents whose mean
+    * trigram conditional probability under a REFERENCE corpus model falls
+    * below `minScore` (gibberish/noise scores near zero; natural text from
+    * the model's domain scores well above). The model is built ONCE from the
+    * static reference corpus — (w1 w2 w3) -> P(w3|w1 w2), exact count
+    * ratios — and broadcast as a plain map keyed by the xxhash-free joined
+    * trigram string; each arriving doc is then a STATELESS per-row score:
+    * no streaming state, no stream-side shuffle, same scale contract as
+    * [[decontaminationGate]]. Unseen trigrams score 0 (maximally surprising
+    * — the conservative choice for a quality gate). */
+  def lmQualityGate(docs: Dataset[CorpusDedup.StreamDoc],
+      reference: DataFrame, minScore: Double): Dataset[CorpusDedup.StreamDoc] = {
+    import docs.sparkSession.implicits._
+    val spark = docs.sparkSession
+    val tg = reference
+      .select(explode(trigrams(col("text"))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c3"))
+      .withColumn("prefix", substring_index(col("g"), " ", 2))
+    val model: Map[String, Double] = tg
+      .withColumn("c2", sum(col("c3")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("prefix"))))
+      .select(col("g"), (col("c3").cast("double") / col("c2")).as("p"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val modelB = spark.sparkContext.broadcast(model)
+    val score = udf { (t: String) =>
+      val a = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+      if (a.length < 3) 0.0
+      else {
+        val probs = a.sliding(3).map(g =>
+          modelB.value.getOrElse(g.mkString(" "), 0.0))
+        var s = 0.0; var n = 0
+        probs.foreach { p => s += p; n += 1 }
+        s / n
+      }
+    }
+    docs.toDF().filter(score(col("text")) >= minScore)
+      .select(col("doc_id"), col("text")).as[CorpusDedup.StreamDoc]
+  }
+
+  /** All `w=3`-token shingles of a text column as joined strings. */
+  private def trigrams(text: Column): Column = {
+    val toks = Text.tokens(text)
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+  }
 }

@@ -213,4 +213,27 @@ class CorpusDedupSpec extends SparkSpec {
       assert(ids.length == 2 && ids.contains(4L), ids.mkString(","))
     } finally q.stop()
   }
+
+  test("lm quality gate: in-domain text passes, gibberish is dropped, " +
+      "batch scorer agrees") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // reference corpus: a repetitive domain where trigram probs are high
+    val domain = (1 to 20).map(i => s"the ship sails the sea route $i")
+    val reference = domain.toDF("text")
+    val input = MemoryStream[StreamDoc]
+    val gated = CorpusIngest.lmQualityGate(input.toDS(), reference,
+      minScore = 0.3)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("lm_gate_t").start()
+    try {
+      input.addData(
+        StreamDoc(1, "the ship sails the sea route 3"),     // in-domain
+        StreamDoc(2, "zz qq ww ee rr tt yy uu"),            // unseen trigrams
+        StreamDoc(3, "the ship sails the sea route 7"))     // in-domain
+      q.processAllAvailable()
+      val kept = spark.table("lm_gate_t").collect().map(_.getLong(0)).sorted
+      assert(kept.toSeq == Seq(1L, 3L), kept.mkString(","))
+    } finally q.stop()
+  }
 }
