@@ -64,6 +64,7 @@ object Graft {
     plans.AsOf.register(spark)
     plans.Deferred.register(spark)
     plans.SpatialJoin.register(spark)
+    plans.RangeJoin.register(spark)
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
     sqlFunctions.foreach { case (name, n, build) =>
