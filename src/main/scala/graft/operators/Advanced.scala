@@ -321,6 +321,33 @@ object Advanced {
         .agg(count(lit(1)).as("n_signups_1h"))
     })
 
+  /** The SAME query as [[rangeJoinQ]] written as NAIVE SQL — no hand-built
+    * bins; the [[graft.plans.BlockRangeJoins]] optimizer rule supplies the
+    * binned hash-join plan automatically. Keeping both in the gate pins that
+    * the rule-rewritten plan and the hand-built plan agree with the oracle
+    * (and RangeRuleSpec pins rule-on == rule-off row sets). */
+  val rangeJoinAutoQ = QueryDef(
+    "range_join_auto",
+    "naive-SQL trailing-window join, auto-rewritten to bins by the optimizer",
+    Some("""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, event_type FROM events)
+            SELECT a.event_id, count(*) AS n_signups_1h
+            FROM (SELECT * FROM e WHERE event_type = 'purchase') a
+            JOIN (SELECT * FROM e WHERE event_type = 'signup') b
+              ON b.ts_us >= a.ts_us - 3600000000 AND b.ts_us <= a.ts_us
+            GROUP BY 1"""),
+    (s, dir) => {
+      graft.plans.RangeJoin.register(s)
+      Tables.events(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"))
+        .createOrReplaceTempView("rja_events")
+      s.sql("""SELECT a.event_id, count(*) AS n_signups_1h
+               FROM (SELECT * FROM rja_events WHERE event_type = 'purchase') a
+               JOIN (SELECT * FROM rja_events WHERE event_type = 'signup') b
+                 ON b.ts_us >= a.ts_us - 3600000000 AND b.ts_us <= a.ts_us
+               GROUP BY 1""")
+    })
+
   /** Ordered per-key sequence assembly — the training-sequence builder:
     * collect each user's event types in (time, id) order into one string.
     * collect_list alone has no order guarantee, so the elements carry their
@@ -345,5 +372,5 @@ object Advanced {
 
   val defs: Seq[QueryDef] = Seq(asofQ, asofCustomQ, sessionQ, groupingSetsQ,
     pivotQ, scalarSubQ, unionQ, unionByNameQ, percentileQ, topkAggQ,
-    mapGroupsQ, rangeJoinQ, sequencesQ)
+    mapGroupsQ, rangeJoinQ, rangeJoinAutoQ, sequencesQ)
 }
