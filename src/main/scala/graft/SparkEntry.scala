@@ -36,7 +36,7 @@ object SparkEntry {
       operators.TextAnalysis.defs ++ operators.Pipeline.defs ++
       operators.Warehouse.defs ++ operators.Curation.defs ++
       operators.LmData.defs ++ operators.Retrieval.defs ++
-      operators.Graph.defs ++
+      operators.Graph.defs ++ operators.MlPrep.defs ++
       multimodal.Media.defs
 
   /** Flagship: the full AIS pipeline end-to-end — synthesized NMEA sentences
