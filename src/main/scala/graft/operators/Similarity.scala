@@ -356,6 +356,42 @@ object Similarity {
       .select(col("vec_id"), (col("p") + 1).as("i"),
         floor(col("x") / col("nrm") * 127).cast("int").as("q")))
 
+  /** One PCA power-iteration step for the corpus's top principal direction:
+    * from the fixed unit seed v0 = 1/sqrt(d)·(1..1), compute
+    * v1 = normalize(Σ_i (x_i·v0) x_i) — the dominant-eigenvector update
+    * (covariance-free: the d×d covariance is never materialized; the data
+    * makes two linear passes as (vec, component) rows). sqrt is IEEE
+    * correctly-rounded, so the only cross-engine slack is aggregation-order
+    * ulps, absorbed by the final rounding; further steps iterate the same
+    * plan (the [[graft.operators.Graph.pagerankIterate]] pattern, per-step
+    * rounding included). At 100 TB the shuffles are by vec_id then by
+    * component index — d rows of state, never d². */
+  val pcaStepQ = QueryDef(
+    "embedding_pca_step",
+    "one covariance-free PCA power step: top-component loadings from seed v0",
+    Some("""WITH e AS (SELECT vec_id, j, CAST(embedding[j] AS DOUBLE) AS x
+                       FROM embeddings CROSS JOIN
+                         unnest(generate_series(1, len(embedding))) AS u(j)),
+            s AS (SELECT vec_id, sum(x) / sqrt(64) AS s FROM e GROUP BY vec_id),
+            v AS (SELECT j, sum(s.s * e.x) AS vj
+                  FROM e JOIN s USING (vec_id) GROUP BY j),
+            n AS (SELECT sqrt(sum(vj * vj)) AS nrm FROM v)
+            SELECT j - 1 AS j, floor(vj / n.nrm * 1e6 + 0.5)/1e6 AS loading
+            FROM v CROSS JOIN n"""),
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "xf")))
+        .select(col("vec_id"), col("j"), col("xf").cast("double").as("x"))
+      val sc = e.groupBy(col("vec_id"))
+        .agg((sum(col("x")) / sqrt(lit(64.0))).as("s"))
+      val v = e.join(sc, "vec_id")
+        .groupBy(col("j")).agg(sum(col("s") * col("x")).as("vj"))
+      val n = v.agg(sqrt(sum(col("vj") * col("vj"))).as("nrm"))
+      v.crossJoin(broadcast(n))
+        .select(col("j").cast("long").as("j"),
+          graft.functions.Num.pround(col("vj") / col("nrm"), 6).as("loading"))
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(pairsQ, annQ, annLshQ, annIvfQ, kmeansQ, nearDupQ, quantQ)
+    Seq(pairsQ, annQ, annLshQ, annIvfQ, kmeansQ, nearDupQ, quantQ, pcaStepQ)
 }

@@ -121,6 +121,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaStub.exceptAll(viaColumns).isEmpty && viaColumns.exceptAll(viaStub).isEmpty)
   }
 
+  test("pca power step: unit-norm loadings matching an in-memory reference") {
+    val got = Similarity.pcaStepQ.run(spark, sf("sf0.001")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == 64)
+    assert(math.abs(got.values.map(v => v * v).sum - 1.0) < 1e-4, "unit norm")
+    // in-memory reference: same two-pass power update from the same seed
+    val vecs = emb.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val d = 64
+    val s = vecs.map(v => v.sum / math.sqrt(d))
+    val v1 = Array.tabulate(d)(j => vecs.indices.map(i => s(i) * vecs(i)(j)).sum)
+    val nrm = math.sqrt(v1.map(x => x * x).sum)
+    (0 until d).foreach { j =>
+      assert(math.abs(got(j.toLong) - v1(j) / nrm) < 1e-5, s"component $j")
+    }
+    // the update moved mass off the uniform seed (a real spectral direction)
+    val uniform = 1.0 / math.sqrt(d)
+    assert(got.values.exists(v => math.abs(v - uniform) > 0.01))
+  }
+
   test("pcm frame energy matches a direct per-doc reference computation") {
     import graft.multimodal.Media
     val got = Media.pcmFrameEnergy(Media.asMedia(spark, sf("sf0.001")), 256)
