@@ -45,6 +45,7 @@ object Retrieval {
     * rides along in the tf group-by so no length join is ever needed. */
   def bm25TopK(docs: DataFrame, id: String, text: String,
       terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
     import docs.sparkSession.implicits._
     val termSet = terms.toSet
     val base = docs.select(col(id).cast("long").as("doc_id"), col(text).as("t"))

@@ -203,6 +203,33 @@ class PropertySpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("property: BlockRangeJoins rewrite equals the naive plan on random data") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    graft.plans.RangeJoin.register(spark)
+    // timestamps straddling zero, several window widths, duplicates allowed
+    val gen = Gen.chooseNum(-5000L, 5000L)
+    for ((window, seed) <- Seq((700L, 31L), (1000L, 32L), (3L, 33L))) {
+      val ts = sample(gen, 120, seed)
+      ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "t").createOrReplaceTempView("prop_rng")
+      val sql =
+        s"""SELECT a.id, b.id FROM prop_rng a JOIN prop_rng b
+            ON b.t >= a.t - $window AND b.t <= a.t"""
+      val df = spark.sql(sql)
+      assert(df.queryExecution.executedPlan.toString.contains("__graft_rbin"),
+        s"window $window did not rewrite")
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val vals = ts.zipWithIndex
+      val want = (for {
+        (ta, ia) <- vals; (tb, ib) <- vals
+        if tb >= ta - window && tb <= ta
+      } yield (ia.toLong, ib.toLong)).toSet
+      assert(got == want, s"window $window: " +
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
   test("property: interleave_sources is a permutation in round-robin order") {
     val got = Curation.interleaveQ.run(spark, sf("sf0.001"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
