@@ -91,5 +91,26 @@ object Sketches {
     (s, dir) => cmsFrequency(Tables.events(s, dir), "user_id",
       depth = 4, width = 64))
 
-  val defs: Seq[QueryDef] = Seq(cmsQ)
+  /** Space-Saving heavy hitters over the event stream: users above 1/50 of
+    * total volume, via the one-pass mergeable [[graft.functions
+    * .HeavyHittersAgg]] sketch. Capacity 4096 exceeds the distinct-user
+    * count at every test SF, so the sketch runs in its EXACT regime and the
+    * gate hash-pins it against the plain GROUP BY/HAVING — at 100 TB the
+    * same plan runs with capacity ≪ |distinct| and the ε = N/capacity
+    * over-count bound, which is the point: fixed memory per partition, one
+    * scan, partial maps merged map-side like any typed Aggregator. */
+  val heavyQ = QueryDef(
+    "heavy_hitters_user",
+    "Space-Saving sketch: top-10 users by event volume (exact regime)",
+    Some("""SELECT user_id, count(*) AS est
+            FROM events GROUP BY user_id
+            ORDER BY est DESC, user_id LIMIT 10"""),
+    (s, dir) => Tables.events(s, dir)
+      .agg(graft.functions.HeavyHittersAgg
+        .heavy_hitters(col("user_id"), 4096).as("hh"))
+      .select(explode(col("hh")).as(Seq("user_id", "est")))
+      .orderBy(desc("est"), col("user_id"))
+      .limit(10))
+
+  val defs: Seq[QueryDef] = Seq(cmsQ, heavyQ)
 }

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{HeavyHittersAgg, SpaceSavingAggregator}
+import org.apache.spark.sql.functions._
+
+class SketchSpec extends SparkSpec {
+
+  test("space-saving in the approximate regime honors its guarantees on a " +
+      "skewed stream, under any partitioning") {
+    import spark.implicits._
+    // zipf-ish: key k appears ~ 6000/k times, 200 distinct keys, capacity 32
+    val stream = (1 to 200).flatMap(k => Seq.fill(6000 / k)(k.toLong))
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size
+    val capacity = 32
+    for (parts <- Seq(1, 4, 13)) {
+      val hh = stream.toDF("k").repartition(parts)
+        .agg(HeavyHittersAgg.heavy_hitters(col("k"), capacity).as("hh"))
+        .select(explode(col("hh")).as(Seq("k", "est")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(hh.size <= capacity)
+      val eps = n.toDouble / capacity
+      // every true heavy hitter above N/capacity survives
+      truth.filter(_._2 > eps).keys.foreach { k =>
+        assert(hh.contains(k), s"lost heavy hitter $k at parts=$parts")
+      }
+      // sequential SS strictly over-counts; the truncating merge of
+      // partials can also drop a key's minority-partition mass, so the
+      // merged bound is symmetric: |est - true| <= eps per layer
+      hh.foreach { case (k, est) =>
+        val t = truth.getOrElse(k, 0L)
+        if (parts == 1) assert(est >= t, s"under-count for $k sequentially")
+        assert(math.abs(est - t) <= eps * parts,
+          s"estimate $est vs true $t for $k at parts=$parts")
+      }
+    }
+  }
+
+  test("space-saving exact regime: capacity >= distinct keys reproduces counts") {
+    val agg = SpaceSavingAggregator(16)
+    val stream = Seq(1L, 2L, 1L, 3L, 1L, 2L)
+    val buf = stream.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(buf) == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+    // merge of disjoint exact partials is lossless
+    val b2 = Seq(4L, 4L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(buf, b2) == Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 2L))
+  }
+}
