@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.{Num, Text}
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation primitives — the step after `doc_features` trains a
+  * quality classifier: ranking AUC and a thresholded confusion matrix, both
+  * in exact arithmetic so the oracle pins them bit-for-bit.
+  *
+  * The evaluated "model" is the engine's own composite quality score
+  * (integer qmilli, [[Text.qualityRaw]] x 1e4 — the same score
+  * `curriculum_order` sorts by) against the is-English label; the AUC
+  * machinery is the deliverable, not the model's skill.
+  *
+  * Scale design: AUC needs a GLOBAL ranking, but the scores are bounded
+  * integers (qmilli in [0, 10000]), so ranks come from a cumulative count
+  * over the |distinct scores| table — the window runs over at most 10001
+  * rows regardless of corpus size, and midranks are exact halves (binary
+  * .5s, no float drift). The per-doc pass is one groupBy. A real-valued
+  * score would use the packSequences two-level scan instead. */
+object Eval {
+
+  /** (doc_id, label, q) — the scored corpus with the boolean label. */
+  private def scored(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), (col("lang") === "en").as("label"),
+        toks.as("toks"), Text.denseLength(col("text")).as("dense_len"))
+      .select(col("doc_id"), col("label"), size(col("toks")).as("n_tokens"),
+        (col("dense_len").cast("double") / size(col("toks"))).as("mean_len"),
+        (Text.hitCount(col("toks"), Text.stopwords("en")).cast("double") /
+          size(col("toks"))).as("stop_ratio"))
+      .select(col("doc_id"), col("label"),
+        floor(Text.qualityRaw(col("n_tokens"), col("mean_len"),
+          col("stop_ratio")) * 1e4 + 0.5).cast("long").as("q"))
+  }
+
+  private def scoredSql: String =
+    s"""WITH t AS (SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks,
+             length(regexp_replace(trim(text), '\\s+', '', 'g')) AS dense_len
+           FROM documents),
+        f AS (SELECT doc_id, lang, len(toks) AS n_tokens,
+                CAST(dense_len AS DOUBLE) / len(toks) AS mean_len,
+                CAST(len(list_filter(toks, x -> x IN (${TextAnalysis.stopSql("en")})))
+                  AS DOUBLE) / len(toks) AS stop_ratio
+              FROM t),
+        g AS (SELECT doc_id, (lang = 'en') AS label,
+                CAST(floor((least(CAST(n_tokens AS DOUBLE) / 200.0, 1.0) * 0.5 +
+                  least(mean_len / 8.0, 1.0) * 0.3 +
+                  (1.0 - least(stop_ratio * 2.0, 1.0)) * 0.2) * 1e4 + 0.5)
+                  AS BIGINT) AS q
+              FROM f)"""
+
+  /** Ranking AUC of the quality score against the is-English label, by the
+    * tie-corrected midrank (Mann-Whitney) formula. */
+  val aucQ = QueryDef(
+    "eval_auc",
+    "ranking AUC (tie-corrected midranks) of the quality score vs is-English",
+    Some(scoredSql +
+      s""", byq AS (SELECT q, count(*) AS cnt,
+                  count(CASE WHEN label THEN 1 END) AS pos
+                FROM g GROUP BY q),
+        cum AS (SELECT q, cnt, pos,
+                  CAST(coalesce(sum(cnt) OVER (ORDER BY q
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_smaller
+                FROM byq),
+        tot AS (SELECT CAST(sum(pos) AS BIGINT) AS np,
+                       CAST(sum(cnt - pos) AS BIGINT) AS nn FROM byq),
+        sr AS (SELECT sum(pos * (n_smaller + (cnt + 1) / 2.0)) AS sum_ranks
+               FROM cum)
+        SELECT tot.np AS n_pos, tot.nn AS n_neg,
+               ${Num.sql(
+                 "(sr.sum_ranks - tot.np * (tot.np + 1) / 2.0) / (tot.np * tot.nn)",
+                 6)} AS auc
+        FROM sr CROSS JOIN tot"""),
+    (s, dir) => {
+      val byq = scored(s, dir).groupBy(col("q"))
+        .agg(count(lit(1)).as("cnt"), count(when(col("label"), 1)).as("pos"))
+      // bounded window: |distinct qmilli| <= 10001 rows at any corpus size
+      val w = Window.orderBy(col("q"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = byq.withColumn("n_smaller",
+        coalesce(sum(col("cnt")).over(w), lit(0L)))
+      val tot = byq.agg(sum(col("pos")).as("np"),
+        sum(col("cnt") - col("pos")).as("nn"))
+      cum.agg(sum(col("pos") * (col("n_smaller") + (col("cnt") + 1) / 2.0))
+          .as("sum_ranks"))
+        .crossJoin(broadcast(tot))
+        .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+          Num.pround((col("sum_ranks") - col("np") * (col("np") + 1) / 2.0) /
+            (col("np") * col("nn")), 6).as("auc"))
+    })
+
+  /** Confusion matrix + precision/recall of the thresholded score (predict
+    * English when qmilli >= 5000). Exact integer cells; one conditional
+    * aggregation pass. */
+  val confusionQ = QueryDef(
+    "eval_confusion",
+    "confusion matrix and precision/recall at the qmilli >= 5000 threshold",
+    Some(scoredSql + "\n" +
+      s"""SELECT count(CASE WHEN q >= 5000 AND label THEN 1 END) AS tp,
+                 count(CASE WHEN q >= 5000 AND NOT label THEN 1 END) AS fp,
+                 count(CASE WHEN q < 5000 AND label THEN 1 END) AS fn,
+                 count(CASE WHEN q < 5000 AND NOT label THEN 1 END) AS tn,
+                 ${Num.sql(
+                   "CAST(count(CASE WHEN q >= 5000 AND label THEN 1 END) AS DOUBLE) / " +
+                   "greatest(count(CASE WHEN q >= 5000 THEN 1 END), 1)", 6)} AS precision,
+                 ${Num.sql(
+                   "CAST(count(CASE WHEN q >= 5000 AND label THEN 1 END) AS DOUBLE) / " +
+                   "greatest(count(CASE WHEN label THEN 1 END), 1)", 6)} AS recall
+         FROM g"""),
+    (s, dir) => {
+      val pred = col("q") >= 5000
+      scored(s, dir).agg(
+        count(when(pred && col("label"), 1)).as("tp"),
+        count(when(pred && !col("label"), 1)).as("fp"),
+        count(when(!pred && col("label"), 1)).as("fn"),
+        count(when(!pred && !col("label"), 1)).as("tn"),
+        Num.pround(count(when(pred && col("label"), 1)).cast("double") /
+          greatest(count(when(pred, 1)), lit(1L)), 6).as("precision"),
+        Num.pround(count(when(pred && col("label"), 1)).cast("double") /
+          greatest(count(when(col("label"), 1)), lit(1L)), 6).as("recall"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(aucQ, confusionQ)
+}
