@@ -57,11 +57,6 @@ object MlPrep {
              WHERE neg_rank <= $NegKeep"""),
     (s, dir) => {
       val np = Tables.part(s, dir).agg(count(lit(1)).as("n"))
-      val pos = Tables.orders(s, dir)
-        .join(Tables.lineitem(s, dir),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-        .distinct()
       val cand = Tables.customer(s, dir).select(col("c_custkey").as("c"))
         .crossJoin(broadcast(np))
         .select(col("c"), explode(sequence(lit(1), lit(NegK))).as("k"),
@@ -69,9 +64,20 @@ object MlPrep {
         .select(col("c"), col("k"),
           (RollingHash.rolling_hash(concat(col("c").cast("string"), lit(":"),
             col("k").cast("string"))) % col("n")).as("p"))
+      // prune the fact-scale positive set by the (tiny, NegK·|customers|)
+      // candidate set BEFORE any wide operation: the broadcast semi join
+      // replaces a full distinct of customer x part purchase pairs — the
+      // anti join then runs against only the positives that could matter
+      val pos = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .join(broadcast(cand.select(col("c"), col("p"))),
+          Seq("c", "p"), "left_semi")
+        .distinct()
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("c")).orderBy(col("k"), col("p"))
-      cand.join(pos, Seq("c", "p"), "left_anti")
+      cand.join(broadcast(pos), Seq("c", "p"), "left_anti")
         .groupBy(col("c"), col("p")).agg(min(col("k")).as("k"))
         .withColumn("neg_rank", row_number().over(w))
         .filter(col("neg_rank") <= NegKeep)
