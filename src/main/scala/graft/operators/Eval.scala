@@ -129,5 +129,36 @@ object Eval {
           greatest(count(when(col("label"), 1)), lit(1L)), 6).as("recall"))
     })
 
-  val defs: Seq[QueryDef] = Seq(aucQ, confusionQ)
+  /** Confusion matrix of the engine's own `text_langid` heuristic against
+    * the ground-truth `lang` column — an eval of a shipped function, not a
+    * synthetic model. One grouped count over the per-doc prediction; the
+    * matrix is |langs|² rows at any corpus size. */
+  val langidConfusionQ = QueryDef(
+    "eval_langid_confusion",
+    "language-ID heuristic vs ground truth: (actual, predicted) counts",
+    Some(s"""WITH t AS (SELECT doc_id, lang,
+                               string_split_regex(trim(lower(text)), '\\s+') AS toks
+                        FROM documents),
+             c AS (SELECT doc_id, lang,
+                          len(list_filter(toks, x -> x IN (${TextAnalysis.stopSql("en")}))) AS c_en,
+                          len(list_filter(toks, x -> x IN (${TextAnalysis.stopSql("de")}))) AS c_de,
+                          len(list_filter(toks, x -> x IN (${TextAnalysis.stopSql("fr")}))) AS c_fr,
+                          len(list_filter(toks, x -> x IN (${TextAnalysis.stopSql("es")}))) AS c_es
+                   FROM t),
+             p AS (SELECT lang AS actual,
+                          CASE WHEN c_en + c_de + c_fr + c_es = 0 THEN 'unknown'
+                               WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+                               WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+                               WHEN c_fr >= c_es THEN 'fr'
+                               ELSE 'es' END AS predicted
+                   FROM c)
+             SELECT actual, predicted, count(*) AS n
+             FROM p GROUP BY 1, 2"""),
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("lang").as("actual"),
+        Text.langId(Text.tokens(col("text"))).as("predicted"))
+      .groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n")))
+
+  val defs: Seq[QueryDef] = Seq(aucQ, confusionQ, langidConfusionQ)
 }

@@ -25,6 +25,23 @@ class EvalSpec extends SparkSpec {
     assert(nPos == pos.size && nNeg == neg.size)
   }
 
+  test("langid confusion matrix: totals partition the corpus, diagonal dominates 'en'") {
+    val rows = Eval.langidConfusionQ.run(spark, sf("sf0.001")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows.values.sum == Tables.documents(spark, sf("sf0.001")).count())
+    // per-actual totals match the corpus lang distribution
+    val langDist = Tables.documents(spark, sf("sf0.001"))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1._1).foreach { case (actual, m) =>
+      assert(m.values.sum == langDist(actual), actual)
+    }
+    // the heuristic must at least recognize most English documents
+    val enRow = rows.collect { case ((a, p), n) if a == "en" => (p, n) }.toMap
+    assert(enRow.getOrElse("en", 0L) * 2 > langDist("en"),
+      s"en recall too low: $enRow")
+  }
+
   test("confusion matrix cells partition the corpus; precision/recall agree") {
     val r = Eval.confusionQ.run(spark, sf("sf0.001")).head()
     val (tp, fp, fn, tn) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
