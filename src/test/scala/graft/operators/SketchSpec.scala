@@ -37,6 +37,28 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("space-saving aggregates incrementally over a stream (complete mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val q = input.toDS().toDF("k")
+      .agg(HeavyHittersAgg.heavy_hitters(col("k"), 8).as("hh"))
+      .select(explode(col("hh")).as(Seq("k", "est")))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ss_stream_t").start()
+    try {
+      input.addData(1L, 1L, 2L)
+      q.processAllAvailable()
+      input.addData(1L, 3L, 3L, 3L)
+      q.processAllAvailable()
+      val out = spark.table("ss_stream_t").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // exact regime across batches: state carries the earlier counts
+      assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 3L), out.toString)
+    } finally q.stop()
+  }
+
   test("space-saving exact regime: capacity >= distinct keys reproduces counts") {
     val agg = SpaceSavingAggregator(16)
     val stream = Seq(1L, 2L, 1L, 3L, 1L, 2L)
