@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
-import graft.functions.RollingHash
+import graft.functions.{Num, RollingHash}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -103,5 +103,69 @@ object MlPrep {
         (RollingHash.rolling_hash(concat(col("c_nationkey").cast("string"),
           lit("|"), col("c_mktsegment"))) % CrossBuckets).as("cross_bucket")))
 
-  val defs: Seq[QueryDef] = Seq(negativeSamplesQ, hashCrossQ)
+  /** One full-batch gradient-descent step of a squared-loss linear model
+    * (predict is-English from O(1)-normalized token count, mean token
+    * length, and stopword ratio — unnormalized counts put the largest
+    * Hessian eigenvalue near 3600 and lr = 0.1 would diverge; MlPrepSpec
+    * pins actual descent): w' = w - lr·(1/n)·Σ (x·w - y)·x. Squared loss rather than
+    * logistic is the deliberate determinism choice — the update is pure
+    * +,*,/ (no exp/sigmoid, whose libm variants differ across engines), so
+    * the oracle pins the step bit-tight. The distributed shape is the
+    * point: ONE aggregation pass computes the whole gradient (map-side
+    * partials over every partition), the weight vector is the only state —
+    * an N-step trainer iterates the plan like
+    * [[graft.operators.Graph.pagerankIterate]], broadcasting w each step. */
+  private val GdW0 = Seq(0.1, 0.001, 0.01, -0.5) // bias, x1, x2, x3
+  private val GdLr = 0.1
+
+  val gdStepQ = QueryDef(
+    "lr_gd_step",
+    "one exact gradient-descent step of a squared-loss linear model",
+    Some(s"""WITH t AS (SELECT doc_id, lang,
+                 string_split_regex(trim(lower(text)), '\\s+') AS toks,
+                 length(regexp_replace(trim(text), '\\s+', '', 'g')) AS dense_len
+               FROM documents),
+             f AS (SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                     CAST(len(toks) AS DOUBLE) / 200.0 AS x1,
+                     (CAST(dense_len AS DOUBLE) / len(toks)) / 8.0 AS x2,
+                     CAST(len(list_filter(toks,
+                       x -> x IN (${TextAnalysis.stopSql("en")})))
+                       AS DOUBLE) / len(toks) AS x3
+                   FROM t),
+             g AS (SELECT ((${GdW0(0)} + ${GdW0(1)} * x1) +
+                           (${GdW0(2)} * x2 + (${GdW0(3)}) * x3)) - y AS err,
+                          x1, x2, x3 FROM f),
+             s AS (SELECT count(*) AS n, sum(err) AS g0, sum(err * x1) AS g1,
+                          sum(err * x2) AS g2, sum(err * x3) AS g3 FROM g)
+             SELECT ${Num.sql(s"${GdW0(0)} - $GdLr * g0 / n", 6)} AS w0,
+                    ${Num.sql(s"${GdW0(1)} - $GdLr * g1 / n", 6)} AS w1,
+                    ${Num.sql(s"${GdW0(2)} - $GdLr * g2 / n", 6)} AS w2,
+                    ${Num.sql(s"${GdW0(3)} - $GdLr * g3 / n", 6)} AS w3
+             FROM s"""),
+    (s, dir) => {
+      import graft.functions.Text
+      val f = Tables.documents(s, dir)
+        .select(when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+          Text.tokens(col("text")).as("toks"),
+          Text.denseLength(col("text")).as("dense_len"))
+        .select(col("y"),
+          (size(col("toks")).cast("double") / 200.0).as("x1"),
+          ((col("dense_len").cast("double") / size(col("toks"))) / 8.0).as("x2"),
+          (Text.hitCount(col("toks"), Text.stopwords("en")).cast("double") /
+            size(col("toks"))).as("x3"))
+      val err = ((lit(GdW0(0)) + lit(GdW0(1)) * col("x1")) +
+        (lit(GdW0(2)) * col("x2") + lit(GdW0(3)) * col("x3"))) - col("y")
+      f.select(err.as("err"), col("x1"), col("x2"), col("x3"))
+        .agg(count(lit(1)).as("n"), sum(col("err")).as("g0"),
+          sum(col("err") * col("x1")).as("g1"),
+          sum(col("err") * col("x2")).as("g2"),
+          sum(col("err") * col("x3")).as("g3"))
+        .select(
+          Num.pround(lit(GdW0(0)) - lit(GdLr) * col("g0") / col("n"), 6).as("w0"),
+          Num.pround(lit(GdW0(1)) - lit(GdLr) * col("g1") / col("n"), 6).as("w1"),
+          Num.pround(lit(GdW0(2)) - lit(GdLr) * col("g2") / col("n"), 6).as("w2"),
+          Num.pround(lit(GdW0(3)) - lit(GdLr) * col("g3") / col("n"), 6).as("w3"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(negativeSamplesQ, hashCrossQ, gdStepQ)
 }

@@ -34,6 +34,28 @@ class MlPrepSpec extends SparkSpec {
     assert(neg.toSet == again.toSet)
   }
 
+  test("gradient step decreases the squared training loss") {
+    import graft.functions.Text
+    val r = MlPrep.gdStepQ.run(spark, sf("sf0.001")).head()
+    val w1 = (0 until 4).map(r.getDouble)
+    val w0 = Seq(0.1, 0.001, 0.01, -0.5)
+    val feats = Tables.documents(spark, sf("sf0.001"))
+      .select(when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        Text.tokens(col("text")).as("toks"),
+        Text.denseLength(col("text")).as("dense_len"))
+      .select(col("y"), (size(col("toks")).cast("double") / 200.0).as("x1"),
+        ((col("dense_len").cast("double") / size(col("toks"))) / 8.0).as("x2"),
+        (Text.hitCount(col("toks"), Text.stopwords("en")).cast("double") /
+          size(col("toks"))).as("x3"))
+      .collect().map(x => (x.getDouble(0), x.getDouble(1), x.getDouble(2), x.getDouble(3)))
+    def loss(w: Seq[Double]) = feats.map { case (y, x1, x2, x3) =>
+      val p = w(0) + w(1) * x1 + w(2) * x2 + w(3) * x3
+      (p - y) * (p - y)
+    }.sum / feats.length
+    assert(loss(w1) < loss(w0),
+      s"step did not descend: ${loss(w1)} !< ${loss(w0)}")
+  }
+
   test("hash cross buckets are stable, bounded, and functionally determined") {
     val rows = MlPrep.hashCrossQ.run(spark, sf("sf0.001"))
       .join(Tables.customer(spark, sf("sf0.001")), "c_custkey")
