@@ -348,6 +348,47 @@ object Advanced {
                GROUP BY 1""")
     })
 
+  /** 2-D skyline (Pareto front): the parts no other part beats on BOTH
+    * price (lower better) and size (higher better). The operator shape SQL
+    * lacks: the NOT-EXISTS dominance query (which the oracle runs) is
+    * quadratic, while the engine computes it as a partition-local sort-sweep
+    * (a locally-dominated point can never be globally optimal, so pruning is
+    * sound) followed by one final sweep over the few survivors — at 100 TB
+    * the data pass is linear + a per-partition sort, and only candidate
+    * skyline points (typically O(log n)) reach the final single-partition
+    * step. Points are collapsed to distinct (price, size) with multiplicity
+    * first, so duplicates cannot inflate partitions. */
+  val skylineQ = QueryDef(
+    "skyline_parts",
+    "Pareto front of parts (min price, max size) via local-sweep + reduce",
+    Some("""WITH pts AS (SELECT p_retailprice AS price, p_size AS sz,
+                                count(*) AS n_parts
+                         FROM part GROUP BY 1, 2)
+            SELECT price, sz, n_parts FROM pts a
+            WHERE NOT EXISTS (SELECT 1 FROM pts b
+              WHERE b.price <= a.price AND b.sz >= a.sz
+                AND (b.price < a.price OR b.sz > a.sz))"""),
+    (s, dir) => {
+      import s.implicits._
+      def sweep(it: Iterator[(Double, Long, Long)]) = {
+        var best = Long.MinValue
+        it.filter { case (_, sz, _) =>
+          if (sz > best) { best = sz; true } else false
+        }
+      }
+      val pts = Tables.part(s, dir)
+        .groupBy(col("p_retailprice").as("price"), col("p_size").as("sz"))
+        .agg(count(lit(1)).as("n_parts"))
+      val local = pts
+        .sortWithinPartitions(col("price").asc, col("sz").desc)
+        .as[(Double, Long, Long)]
+        .mapPartitions(sweep)
+      local.coalesce(1)
+        .sortWithinPartitions(col("_1").asc, col("_2").desc)
+        .mapPartitions(sweep)
+        .toDF("price", "sz", "n_parts")
+    })
+
   /** Ordered per-key sequence assembly — the training-sequence builder:
     * collect each user's event types in (time, id) order into one string.
     * collect_list alone has no order guarantee, so the elements carry their
@@ -372,5 +413,5 @@ object Advanced {
 
   val defs: Seq[QueryDef] = Seq(asofQ, asofCustomQ, sessionQ, groupingSetsQ,
     pivotQ, scalarSubQ, unionQ, unionByNameQ, percentileQ, topkAggQ,
-    mapGroupsQ, rangeJoinQ, rangeJoinAutoQ, sequencesQ)
+    mapGroupsQ, rangeJoinQ, rangeJoinAutoQ, sequencesQ, skylineQ)
 }

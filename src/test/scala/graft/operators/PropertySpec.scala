@@ -230,6 +230,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: sweep-based skyline equals brute-force dominance on random points") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val gen = for {
+      price <- Gen.chooseNum(1, 500).map(_ / 10.0)
+      sz <- Gen.chooseNum(1L, 40L)
+    } yield (price, sz)
+    val pts = sample(gen, 400, 41L)
+    def sweep(it: Iterator[(Double, Long, Long)]) = {
+      var best = Long.MinValue
+      it.filter { case (_, sz, _) => if (sz > best) { best = sz; true } else false }
+    }
+    val grouped = pts.toDF("price", "sz")
+      .groupBy(col("price"), col("sz")).agg(count(lit(1)).as("n"))
+    val got = grouped.repartition(7)
+      .sortWithinPartitions(col("price").asc, col("sz").desc)
+      .as[(Double, Long, Long)].mapPartitions(sweep)
+      .coalesce(1).sortWithinPartitions(col("_1").asc, col("_2").desc)
+      .mapPartitions(sweep)
+      .collect().map { case (p, s, _) => (p, s) }.toSet
+    val distinct = pts.distinct
+    val want = distinct.filter { case (p, s) =>
+      !distinct.exists { case (q, t) =>
+        q <= p && t >= s && (q < p || t > s)
+      }
+    }.toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("property: interleave_sources is a permutation in round-robin order") {
     val got = Curation.interleaveQ.run(spark, sf("sf0.001"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
