@@ -673,8 +673,45 @@ object Relational {
         Num.pround(cume_dist().over(w), 6).as("cdist"))
     })
 
+  /** Running DISTINCT-user count per event type — a windowed countDistinct,
+    * which Spark's window functions don't support natively. The standard
+    * rewrite: mark each (type, user)'s FIRST occurrence with a per-pair
+    * row_number, then a running sum of markers over the type's timeline.
+    * Two window passes; the second reuses the first's type partitioning
+    * (one exchange on event_type after the (type, user) pass). */
+  val runningDistinct = QueryDef(
+    "window_distinct_running",
+    "running distinct-user count per event type (first-occurrence markers)",
+    Some("""WITH m AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                              event_id,
+                              CASE WHEN row_number() OVER (
+                                  PARTITION BY event_type, user_id
+                                  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) = 1
+                                THEN 1 ELSE 0 END AS first_seen
+                       FROM events)
+            SELECT event_type, ts_us, event_id,
+                   CAST(sum(first_seen) OVER (PARTITION BY event_type
+                     ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS distinct_users_so_far
+            FROM m"""),
+    (s, dir) => {
+      val perPair = Window.partitionBy(col("event_type"), col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val timeline = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("user_id"))
+        .withColumn("first_seen",
+          when(row_number().over(perPair) === 1, 1).otherwise(0))
+        .select(col("event_type"), col("ts_us"), col("event_id"),
+          sum(col("first_seen")).over(timeline).as("distinct_users_so_far"))
+    })
+
   val defs: Seq[QueryDef] = Seq(q1, q3, q4, q5, q6, q7, q10, q14, q17, q18,
     q19, semi, anti, fullOuter, except, intersect, rollup_, cube_, running,
     rankTopN, tumbling, sliding, json, approx, approxPct, unpivot_, rangeFrame,
-    lagLead, ntileBounds, pctRank)
+    lagLead, ntileBounds, pctRank, runningDistinct)
 }

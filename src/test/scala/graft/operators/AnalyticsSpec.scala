@@ -111,6 +111,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(posts.values.map(_._2).sum == totalToks)
   }
 
+  test("running distinct count: monotone per type, ends at the exact distinct total") {
+    val rows = Relational.runningDistinct.run(spark, sf("sf0.001")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = Tables.events(spark, sf("sf0.001"))
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (tpe, series) =>
+      val ordered = series.sortBy(t => (t._2, t._3)).map(_._4)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => b >= a },
+        s"$tpe not monotone")
+      assert(ordered.head == 1 && ordered.last == want(tpe), tpe)
+    }
+  }
+
   test("gap fill: complete hourly grid, zeros on gaps, forward fill carries") {
     val rows = Analytics.gapfillQ.run(spark, sf("sf0.001")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
