@@ -274,7 +274,54 @@ object LmData {
           Num.pround(sum(col("prob")) / count(lit(1)), 4).as("predictability"))
     })
 
+  /** Vocabulary id-encoding — the tokenizer's final step: tokens map to
+    * their rank in the top-24 frequency vocabulary (deterministic
+    * count-desc, token-asc order), everything else to the OOV id 0; each
+    * document's first 20 positions are emitted as (doc_id, pos, token_id)
+    * rows. The vocabulary is a broadcast of 24 rows, so encoding is a
+    * scan-speed map-side join at any corpus size; 24 (< the ~31-token
+    * fixture vocabulary) deliberately exercises the OOV path. */
+  private val EncodeVocab = 24
+  private val EncodeMaxPos = 20
+
+  val vocabEncodeQ = QueryDef(
+    "vocab_encode_ids",
+    "token-id encoding of each doc's first 20 positions against a top-24 vocab",
+    Some(s"""WITH tok AS (SELECT doc_id,
+                    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+                  FROM documents),
+             vocab AS (SELECT t, row_number() OVER (ORDER BY count(*) DESC, t)
+                         AS token_id
+                       FROM tok GROUP BY t ORDER BY 2 LIMIT $EncodeVocab),
+             seq AS (SELECT doc_id, i AS pos, toks[i] AS t
+                     FROM (SELECT doc_id,
+                             string_split_regex(trim(lower(text)), '\\s+') AS toks
+                           FROM documents)
+                     CROSS JOIN unnest(generate_series(1,
+                       least(len(toks), $EncodeMaxPos))) AS u(i))
+             SELECT s.doc_id, s.pos, coalesce(v.token_id, 0) AS token_id
+             FROM seq s LEFT JOIN vocab v ON v.t = s.t"""),
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val vocab = docs
+        .select(explode(Text.tokens(col("text"))).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), col("t")).limit(EncodeVocab)
+        .select(col("t"), row_number().over(
+          Window.orderBy(desc("c"), col("t"))).cast("long").as("token_id"))
+      val seq = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, txt) =>
+          val a = txt.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          a.iterator.take(EncodeMaxPos).zipWithIndex
+            .map { case (t, i) => (id, (i + 1).toLong, t) }
+        }.toDF("doc_id", "pos", "t")
+      seq.join(broadcast(vocab), Seq("t"), "left_outer")
+        .select(col("doc_id"), col("pos"),
+          coalesce(col("token_id"), lit(0L)).as("token_id"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(shuffleQ, curriculumQ, trigramQ, rarityQ, contamReportQ,
-      predictabilityQ)
+      predictabilityQ, vocabEncodeQ)
 }

@@ -111,6 +111,33 @@ class LmDataSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("vocab encoding: ids are dense ranks, OOV is exercised, decode round-trips") {
+    val dir = sf("sf0.001")
+    val rows = LmData.vocabEncodeQ.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall { case (_, pos, id) => pos >= 1 && pos <= 20 && id >= 0 && id <= 24 })
+    assert(rows.exists(_._3 == 0L), "OOV id never used — vocab not smaller than corpus")
+    // positions are contiguous per doc: 1..min(len, 20)
+    rows.groupBy(_._1).foreach { case (d, ps) =>
+      val sorted = ps.map(_._2).sorted
+      assert(sorted.toSeq == (1L to sorted.length).toSeq, s"doc $d")
+    }
+    // round-trip: decoding in-vocab ids reproduces the original tokens
+    val vocab = graft.sources.Tables.documents(spark, dir)
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("t"))
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy { case (t, c) => (-c, t) }.take(24).map(_._1).zipWithIndex
+      .map { case (t, i) => (i + 1).toLong -> t }.toMap
+    val texts = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+")).toMap
+    rows.foreach { case (d, pos, id) =>
+      val tok = texts(d)(pos.toInt - 1)
+      if (id > 0) assert(vocab(id) == tok, s"doc $d pos $pos")
+      else assert(!vocab.values.toSet.contains(tok), s"doc $d pos $pos not OOV")
+    }
+  }
+
   test("lm predictability: repetitive text outscores unique text; probs are sane") {
     val rows = LmData.predictabilityQ.run(spark, sf("sf0.001")).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
