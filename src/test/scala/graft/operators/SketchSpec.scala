@@ -59,6 +59,26 @@ class SketchSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("HLL sketches merge: per-day partials union to the same estimate as " +
+      "one pass, within the configured error") {
+    import graft.sources.Tables
+    val ev = Tables.events(spark, sf("sf0.001"))
+    // partial sketches per day, then union — the reaggregation shape exact
+    // distinct cannot do (you cannot merge exact distinct counts)
+    val merged = ev
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .head().getLong(0)
+    val onePass = ev
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
+      .head().getLong(0)
+    val exact = ev.select("user_id").distinct().count()
+    assert(merged == onePass, "sketch union must equal the one-pass sketch")
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"estimate $merged vs exact $exact")
+  }
+
   test("space-saving exact regime: capacity >= distinct keys reproduces counts") {
     val agg = SpaceSavingAggregator(16)
     val stream = Seq(1L, 2L, 1L, 3L, 1L, 2L)
