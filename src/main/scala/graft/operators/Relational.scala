@@ -710,8 +710,35 @@ object Relational {
           sum(col("first_seen")).over(timeline).as("distinct_users_so_far"))
     })
 
+  /** Moving median — a 7-row trailing exact-percentile window per type, the
+    * robust time-series smoother (median, not mean, so single spikes don't
+    * drag the trend). Both engines share the interpolated-percentile
+    * definition; the frame order is total (ts, event_id), so the window
+    * content — and therefore the exact median — is engine-identical. One
+    * shuffle on event_type, in-partition sort, frame of constant size. */
+  val movingMedian = QueryDef(
+    "window_moving_median",
+    "7-row trailing moving median of value per event type",
+    Some(s"""SELECT event_id,
+                    ${Num.sql("""quantile_cont(value, 0.5) OVER (
+                      PARTITION BY event_type
+                      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""", 4)} AS med7
+             FROM events"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(-6, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("value"))
+        .select(col("event_id"),
+          Num.pround(expr("percentile(value, 0.5)")
+            .over(w), 4).as("med7"))
+    })
+
   val defs: Seq[QueryDef] = Seq(q1, q3, q4, q5, q6, q7, q10, q14, q17, q18,
     q19, semi, anti, fullOuter, except, intersect, rollup_, cube_, running,
     rankTopN, tumbling, sliding, json, approx, approxPct, unpivot_, rangeFrame,
-    lagLead, ntileBounds, pctRank, runningDistinct)
+    lagLead, ntileBounds, pctRank, runningDistinct, movingMedian)
 }
