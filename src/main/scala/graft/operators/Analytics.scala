@@ -346,7 +346,39 @@ object Analytics {
         .agg(count(lit(1)).as("n_concurrent"))
     })
 
+  /** Gini coefficient of per-user event volume — the standard inequality
+    * measure ("do 1% of users generate 90% of events?"). Gini needs a GLOBAL
+    * rank of users by activity; computed with [[LmData.globalRowNumber]]'s
+    * two-level scan so no stage windows over the full user table, then the
+    * rank-weighted formula G = (2·Σi·xᵢ - (n+1)·Σxᵢ) / (n·Σxᵢ) over exact
+    * BIGINT sums — one IEEE division at the end. */
+  val giniQ = QueryDef(
+    "gini_user_activity",
+    "Gini coefficient of per-user event counts (two-level global rank)",
+    Some(s"""WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+             r AS (SELECT n, row_number() OVER (ORDER BY n, user_id) AS i FROM c),
+             s AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                          CAST(sum(n) AS BIGINT) AS total_events,
+                          CAST(sum(i * n) AS BIGINT) AS wsum FROM r)
+             SELECT n_users, total_events,
+                    ${Num.sql(
+                      "(2.0 * wsum - (n_users + 1.0) * total_events) / " +
+                      "(n_users * CAST(total_events AS DOUBLE))", 6)} AS gini
+             FROM s"""),
+    (s, dir) => {
+      val counts = Tables.events(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      LmData.globalRowNumber(counts, "n", "user_id", 16L)
+        .agg(count(lit(1)).as("n_users"), sum(col("n")).as("total_events"),
+          sum(col("pos") * col("n")).as("wsum"))
+        .select(col("n_users"), col("total_events"),
+          Num.pround((lit(2.0) * col("wsum") -
+            (col("n_users") + lit(1.0)) * col("total_events")) /
+            (col("n_users") * col("total_events").cast("double")), 6)
+            .as("gini"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(funnelQ, cohortQ, histogramQ, rfmQ, anomalyQ, basketQ, gapfillQ,
-      bucketizeQ, sessionOverlapQ)
+      bucketizeQ, sessionOverlapQ, giniQ)
 }

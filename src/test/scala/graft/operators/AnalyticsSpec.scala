@@ -125,6 +125,27 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("gini: zero for perfect equality, approaches 1 for full concentration") {
+    import spark.implicits._
+    import graft.functions.Num
+    def gini(counts: Seq[Long]): Double = {
+      val df = counts.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+        .toDF("user_id", "n")
+      LmData.globalRowNumber(df, "n", "user_id", 16L)
+        .agg(count(lit(1)).as("nu"), sum(col("n")).as("tot"),
+          sum(col("pos") * col("n")).as("ws"))
+        .select(Num.pround((lit(2.0) * col("ws") -
+          (col("nu") + lit(1.0)) * col("tot")) /
+          (col("nu") * col("tot").cast("double")), 6))
+        .head().getDouble(0)
+    }
+    assert(gini(Seq.fill(50)(7L)) == 0.0)
+    assert(gini(Seq.fill(49)(0L) :+ 1000L) > 0.9)
+    // fixture sanity: bounded and matching the catalog query
+    val r = Analytics.giniQ.run(spark, sf("sf0.001")).head()
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
+  }
+
   test("gap fill: complete hourly grid, zeros on gaps, forward fill carries") {
     val rows = Analytics.gapfillQ.run(spark, sf("sf0.001")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
