@@ -378,7 +378,54 @@ object Analytics {
             .as("gini"))
     })
 
+  /** Week-over-week churn per event type: users active in week w who do NOT
+    * return for that type in week w+1 (the final week has no successor and
+    * contributes only its active count). The anti join runs on the DISTINCT
+    * (week, type, user) activity table — one row per active pair, so at
+    * 100 TB the join carries |active users| x |weeks| narrow rows, never raw
+    * events; the activity table is cached for its three consumers. */
+  val churnQ = QueryDef(
+    "churn_weekly",
+    "per-type weekly churn: active users not returning the following week",
+    Some("""WITH a AS (SELECT DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk,
+                              event_type, user_id FROM events),
+            wks AS (SELECT DISTINCT wk FROM a),
+            ch AS (SELECT a.wk, a.event_type, count(*) AS n_churned
+                   FROM a
+                   WHERE EXISTS (SELECT 1 FROM wks n WHERE n.wk = a.wk + 1)
+                     AND NOT EXISTS (SELECT 1 FROM a b WHERE b.wk = a.wk + 1
+                       AND b.user_id = a.user_id AND b.event_type = a.event_type)
+                   GROUP BY 1, 2),
+            act AS (SELECT wk, event_type, count(*) AS n_active FROM a GROUP BY 1, 2)
+            SELECT act.wk, act.event_type, act.n_active,
+                   coalesce(ch.n_churned, 0) AS n_churned
+            FROM act LEFT JOIN ch
+              ON ch.wk = act.wk AND ch.event_type = act.event_type"""),
+    (s, dir) => {
+      val a = Tables.events(s, dir)
+        .select(expr("unix_micros(ts) div 604800000000").as("wk"),
+          col("event_type"), col("user_id"))
+        .distinct().cache()
+      val wks = a.select(col("wk")).distinct()
+      val withNext = a.join(broadcast(
+          wks.select((col("wk") - 1).as("wk"))), Seq("wk"), "left_semi")
+      val nextShifted = a.select((col("wk") - 1).as("wk"),
+        col("event_type"), col("user_id"))
+      val churned = withNext
+        .join(nextShifted, Seq("wk", "event_type", "user_id"), "left_anti")
+        .groupBy(col("wk"), col("event_type"))
+        .agg(count(lit(1)).as("n_churned"))
+        .withColumnRenamed("wk", "c_wk")
+        .withColumnRenamed("event_type", "c_type")
+      a.groupBy(col("wk"), col("event_type"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(churned, col("wk") === col("c_wk") &&
+          col("event_type") === col("c_type"), "left_outer")
+        .select(col("wk"), col("event_type"), col("n_active"),
+          coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(funnelQ, cohortQ, histogramQ, rfmQ, anomalyQ, basketQ, gapfillQ,
-      bucketizeQ, sessionOverlapQ, giniQ)
+      bucketizeQ, sessionOverlapQ, giniQ, churnQ)
 }

@@ -146,6 +146,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
   }
 
+  test("churn: final week churns nobody; churned users verifiably absent next week") {
+    val rows = Analytics.churnQ.run(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val lastWk = rows.map(_._1).max
+    rows.filter(_._1 == lastWk).foreach { case (_, t, _, churned) =>
+      assert(churned == 0, s"final week must not churn ($t)")
+    }
+    assert(rows.exists(r => r._1 < lastWk && r._4 > 0), "no churn observed")
+    rows.foreach { case (_, _, active, churned) => assert(churned <= active) }
+    // cross-check one cell against a direct computation
+    val a = Tables.events(spark, sf("sf0.001"))
+      .select(expr("unix_micros(ts) div 604800000000").as("wk"),
+        col("event_type"), col("user_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val (wk, tpe, _, want) = rows.filter(r => r._1 < lastWk).maxBy(_._4)
+    val got = a.count { case (w, t, u) =>
+      w == wk && t == tpe && !a.contains((wk + 1, tpe, u))
+    }
+    assert(got.toLong == want, s"cell ($wk, $tpe)")
+  }
+
   test("gap fill: complete hourly grid, zeros on gaps, forward fill carries") {
     val rows = Analytics.gapfillQ.run(spark, sf("sf0.001")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
