@@ -425,7 +425,75 @@ object Analytics {
           coalesce(col("n_churned"), lit(0L)).as("n_churned"))
     })
 
+  /** Pearson correlation between event value and time-of-day per type,
+    * computed from the five raw moments in ONE aggregation pass — the
+    * manual formula rather than the built-in `corr`, whose accumulation
+    * algorithms (Welford vs naive) differ between engines and would break
+    * the oracle; sqrt is IEEE correctly-rounded, so the only slack is
+    * aggregation-order ulps absorbed by the rounding. Map-side partials;
+    * |types| rows of state. */
+  val corrQ = QueryDef(
+    "corr_value_hour",
+    "Pearson r of value vs hour-of-day per type, from one-pass raw moments",
+    Some(s"""WITH e AS (SELECT event_type, value AS x,
+                    CAST(epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 AS DOUBLE)
+                      / 3600000000 AS y
+                  FROM events),
+             m AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+                          sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+                          sum(y*y) AS syy, sum(x*y) AS sxy
+                   FROM e GROUP BY 1)
+             SELECT event_type,
+                    ${Num.sql(
+                      "(n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))",
+                      4)} AS r
+             FROM m"""),
+    (s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"),
+        col("value").as("x"),
+        ((unix_micros(col("ts")) % 86400000000L).cast("double") /
+          3600000000L).as("y"))
+      e.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("double").as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"))
+        .select(col("event_type"),
+          Num.pround((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("r"))
+    })
+
+  /** Pareto contribution analysis: each type's share of total value and the
+    * cumulative share in contribution order — the 80/20 report. The
+    * cumulative window runs over |types| rows (bounded by the category
+    * vocabulary, not the data); its frame order is total, so the running
+    * sum is sequential and engine-identical. */
+  val paretoQ = QueryDef(
+    "pareto_share",
+    "value contribution and cumulative share per type (80/20 analysis)",
+    Some(s"""WITH t AS (SELECT event_type, ${Num.sql("sum(value)", 2)} AS revenue
+                        FROM events GROUP BY 1),
+             tot AS (SELECT sum(revenue) AS tot FROM t)
+             SELECT event_type, revenue,
+                    ${Num.sql(
+                      """sum(revenue) OVER (ORDER BY revenue DESC, event_type
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / tot.tot""",
+                      4)} AS cum_share
+             FROM t CROSS JOIN tot"""),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(Num.pround(sum(col("value")), 2).as("revenue"))
+      val tot = t.agg(sum(col("revenue")).as("tot"))
+      val w = Window.orderBy(col("revenue").desc, col("event_type"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("revenue"),
+          Num.pround(sum(col("revenue")).over(w) / col("tot"), 4)
+            .as("cum_share"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(funnelQ, cohortQ, histogramQ, rfmQ, anomalyQ, basketQ, gapfillQ,
-      bucketizeQ, sessionOverlapQ, giniQ, churnQ)
+      bucketizeQ, sessionOverlapQ, giniQ, churnQ, corrQ, paretoQ)
 }

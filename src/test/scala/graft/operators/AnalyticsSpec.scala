@@ -167,6 +167,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toLong == want, s"cell ($wk, $tpe)")
   }
 
+  test("correlation is bounded and matches Spark's built-in corr closely") {
+    val rows = Analytics.corrQ.run(spark, sf("sf0.001")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.values.foreach(r => assert(r >= -1.0 && r <= 1.0))
+    val builtin = Tables.events(spark, sf("sf0.001"))
+      .select(col("event_type"), col("value").as("x"),
+        ((unix_micros(col("ts")) % 86400000000L).cast("double") /
+          3600000000L).as("y"))
+      .groupBy("event_type").agg(corr(col("x"), col("y")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // rows carry the 4-decimal oracle rounding; builtin is unrounded
+    rows.foreach { case (t, r) =>
+      assert(math.abs(r - builtin(t)) <= 5.001e-5, s"$t: $r vs ${builtin(t)}")
+    }
+  }
+
+  test("pareto shares are monotone and end at exactly 1") {
+    val rows = Analytics.paretoQ.run(spark, sf("sf0.001")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._3)
+    assert(rows.map(_._3).zip(rows.map(_._3).tail)
+      .forall { case (a, b) => b > a }, "cumulative share must increase")
+    assert(rows.last._3 == 1.0, s"final share ${rows.last._3}")
+    assert(rows.forall(_._2 > 0))
+  }
+
   test("gap fill: complete hourly grid, zeros on gaps, forward fill carries") {
     val rows = Analytics.gapfillQ.run(spark, sf("sf0.001")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
