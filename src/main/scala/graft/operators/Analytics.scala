@@ -493,7 +493,51 @@ object Analytics {
             .as("cum_share"))
     })
 
+  /** Robust z-score anomaly flags: daily volumes more than 3 scaled MADs
+    * from the type median (MAD = median absolute deviation, the robust
+    * spread measure — a single spike inflates a standard deviation but not
+    * the MAD). Both engines share the exact interpolated-percentile
+    * definition, so median, MAD and the flag threshold compare identical
+    * doubles. Two tiny aggregations over the days x types table plus
+    * broadcast joins back — the data-sized pass is only the first count. */
+  val madAnomalyQ = QueryDef(
+    "events_daily_mad",
+    "daily volume flagged beyond 3 scaled MADs of the per-type median",
+    Some(s"""WITH d AS (SELECT event_type,
+                               strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+                               count(*) AS n
+                        FROM events GROUP BY 1, 2),
+             m AS (SELECT event_type, quantile_cont(n, 0.5) AS med FROM d GROUP BY 1),
+             dev AS (SELECT d.event_type, d.day, d.n, m.med,
+                            abs(d.n - m.med) AS dev
+                     FROM d JOIN m ON d.event_type = m.event_type),
+             md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+                    FROM dev GROUP BY 1)
+             SELECT dev.event_type, dev.day, dev.n,
+                    ${Num.sql("dev.med", 4)} AS median_n,
+                    ${Num.sql("md.mad", 4)} AS mad_n,
+                    (dev.dev > 3 * 1.4826 * md.mad) AS is_anomaly
+             FROM dev JOIN md ON dev.event_type = md.event_type"""),
+    (s, dir) => {
+      val d = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val m = d.groupBy(col("event_type").as("m_type"))
+        .agg(expr("percentile(n, 0.5)").as("med"))
+      val dev = d.join(broadcast(m), col("event_type") === col("m_type"))
+        .select(col("event_type"), col("day"), col("n"), col("med"),
+          abs(col("n") - col("med")).as("dev"))
+      val md = dev.groupBy(col("event_type").as("d_type"))
+        .agg(expr("percentile(dev, 0.5)").as("mad"))
+      dev.join(broadcast(md), col("event_type") === col("d_type"))
+        .select(col("event_type"), col("day"), col("n"),
+          Num.pround(col("med"), 4).as("median_n"),
+          Num.pround(col("mad"), 4).as("mad_n"),
+          (col("dev") > lit(3) * lit(1.4826) * col("mad")).as("is_anomaly"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(funnelQ, cohortQ, histogramQ, rfmQ, anomalyQ, basketQ, gapfillQ,
-      bucketizeQ, sessionOverlapQ, giniQ, churnQ, corrQ, paretoQ)
+      bucketizeQ, sessionOverlapQ, giniQ, churnQ, corrQ, paretoQ, madAnomalyQ)
 }
