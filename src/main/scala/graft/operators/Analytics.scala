@@ -537,7 +537,46 @@ object Analytics {
           (col("dev") > lit(3) * lit(1.4826) * col("mad")).as("is_anomaly"))
     })
 
+  /** Conversion latency: per converted user, the gap from FIRST view to the
+    * first purchase strictly after it, summarized as exact interpolated
+    * percentiles (emitted as floored integer microseconds, so no float
+    * drift can reach the hash). Two keyed aggregations + one co-partitioned
+    * join on user_id; the percentile runs over |converted users| values. */
+  val convLatencyQ = QueryDef(
+    "conversion_latency",
+    "median/p90 microseconds from first view to first subsequent purchase",
+    Some("""WITH v AS (SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS v_us
+                       FROM events WHERE event_type = 'view' GROUP BY 1),
+            p AS (SELECT e.user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS p_us
+                  FROM events e JOIN v ON v.user_id = e.user_id
+                  WHERE e.event_type = 'purchase'
+                    AND epoch_us(CAST(e.ts AS TIMESTAMP)) > v.v_us
+                  GROUP BY 1)
+            SELECT count(*) AS n_converted,
+                   CAST(floor(quantile_cont(p.p_us - v.v_us, 0.5)) AS BIGINT)
+                     AS med_latency_us,
+                   CAST(floor(quantile_cont(p.p_us - v.v_us, 0.9)) AS BIGINT)
+                     AS p90_latency_us
+            FROM p JOIN v ON p.user_id = v.user_id"""),
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("v_us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(v, "user_id")
+        .filter(col("ts_us") > col("v_us"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("p_us"))
+      p.join(v, "user_id")
+        .select((col("p_us") - col("v_us")).as("lat"))
+        .agg(count(lit(1)).as("n_converted"),
+          floor(expr("percentile(lat, 0.5)")).cast("long").as("med_latency_us"),
+          floor(expr("percentile(lat, 0.9)")).cast("long").as("p90_latency_us"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(funnelQ, cohortQ, histogramQ, rfmQ, anomalyQ, basketQ, gapfillQ,
-      bucketizeQ, sessionOverlapQ, giniQ, churnQ, corrQ, paretoQ, madAnomalyQ)
+      bucketizeQ, sessionOverlapQ, giniQ, churnQ, corrQ, paretoQ, madAnomalyQ,
+      convLatencyQ)
 }
