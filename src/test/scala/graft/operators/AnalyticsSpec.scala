@@ -193,6 +193,15 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.forall(_._2 > 0))
   }
 
+  test("conversion latency: ordered percentiles over verifiably-positive gaps") {
+    val r = Analytics.convLatencyQ.run(spark, sf("sf0.001")).head()
+    val (n, med, p90) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(n > 0 && med > 0 && p90 >= med)
+    val viewers = Tables.events(spark, sf("sf0.001"))
+      .filter(col("event_type") === "view").select("user_id").distinct().count()
+    assert(n <= viewers, "cannot convert more users than viewed")
+  }
+
   test("gap fill: complete hourly grid, zeros on gaps, forward fill carries") {
     val rows = Analytics.gapfillQ.run(spark, sf("sf0.001")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
