@@ -367,7 +367,38 @@ object Warehouse {
         count(when(col("n") < 5, 1)).as("classes_below_k"),
         sum(when(col("n") < 5, col("n")).otherwise(0L)).as("n_rows_below_k")))
 
+  /** Year-over-year revenue growth by calendar month — the time-intelligence
+    * report shape (period-over-period comparison via a self-join on the
+    * shifted period key). The monthly aggregate is |years| x 12 rows, so the
+    * self-join is trivially broadcast at any fact-table size; growth is
+    * computed on the ROUNDED monthly revenues, so both engines divide
+    * identical doubles. First-year months have no prior and report NULL. */
+  val yoyGrowth = QueryDef(
+    "yoy_revenue_growth",
+    "monthly revenue with year-over-year growth (period-shifted self-join)",
+    Some(s"""WITH m AS (SELECT CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS yr,
+                               CAST(strftime(o_orderdate, '%m') AS BIGINT) AS mon,
+                               ${Num.sql("sum(o_totalprice)", 2)} AS revenue
+                        FROM orders GROUP BY 1, 2)
+             SELECT a.yr, a.mon, a.revenue, b.revenue AS prev_revenue,
+                    ${Num.sql("(a.revenue - b.revenue) / b.revenue", 4)} AS yoy_growth
+             FROM m a LEFT JOIN m b ON b.yr = a.yr - 1 AND b.mon = a.mon"""),
+    (s, dir) => {
+      val m = Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mon"))
+        .agg(Num.pround(sum(col("o_totalprice")), 2).as("revenue"))
+      val prev = m.select((col("yr") + 1).as("p_yr"), col("mon").as("p_mon"),
+        col("revenue").as("prev_revenue"))
+      m.join(broadcast(prev),
+          col("yr") === col("p_yr") && col("mon") === col("p_mon"),
+          "left_outer")
+        .select(col("yr"), col("mon"), col("revenue"), col("prev_revenue"),
+          Num.pround((col("revenue") - col("prev_revenue")) /
+            col("prev_revenue"), 4).as("yoy_growth"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(scd2, merge, markov, zorder, tableStats, compaction, dqReport,
-      snapshotDiff, kAnonymity)
+      snapshotDiff, kAnonymity, yoyGrowth)
 }
