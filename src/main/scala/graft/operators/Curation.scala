@@ -432,7 +432,64 @@ object Curation {
     (s, dir) => ivfPq(Tables.embeddings(s, dir), stride = 25, nProbe = 3,
       m = 16, subDim = 4, codebookK = 64, k = 10))
 
+  // ---- ANN recall report: the quality gate over every approximate path ----
+
+  /** Recall@k floor every shipped ANN path must clear against the exact
+    * brute-force baseline. The driver corpora are near-isotropic synthetic
+    * embeddings — the hardest case for bucketed ANN, where recall tracks the
+    * probed corpus fraction (measured at sf0.01: lsh 0.14, ivf 0.36, pq 0.56,
+    * ivf_pq 0.30; chance level ≈ k/n ≈ 0.005). The floor sits ~20× above
+    * chance and below the weakest working method, so it trips on structural
+    * regressions (a broken bucket assignment, a dropped probe) while
+    * corpus-regeneration jitter above the floor cannot flip the gate. */
+  val RecallFloor = 0.1
+
+  /** Micro-averaged recall@k of each ANN path vs [[Similarity.annBruteForce]]
+    * on the same query set (vec_id < 5) — (method, recall_at_k) per method.
+    * Fully in-plan (the only cross join is against the broadcast single-row
+    * exact count), so building it submits no jobs: at 100 TB this is the
+    * index-quality probe you run on a sampled query set after (re)building an
+    * index, and it costs one pass per method over the candidate buckets plus
+    * one brute-force pass over queries × corpus — bounded by the query
+    * SAMPLE, never corpus². */
+  def annRecallReport(e: DataFrame, k: Int = 10): DataFrame = {
+    val queries = e.filter(col("vec_id") < 5)
+    val exact = Similarity.annBruteForce(queries, e, k)
+      .select(col("q_id"), col("vec_id"))
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "ivf_cells" -> Similarity.annIvf(queries, e, stride = 25, nProbe = 3, k = k),
+      "ivf_pq" -> ivfPq(e, stride = 25, nProbe = 3, m = 16, subDim = 4,
+        codebookK = 64, k = k),
+      "lsh_bucketed" -> Similarity.annLsh(queries, e, numPlanes = 6, k = k,
+        dim = 64),
+      "pq_adc" -> pqAdc(e, m = 16, subDim = 4, codebookK = 64, k = k))
+    val reported = methods.map { case (nm, df) =>
+      df.select(lit(nm).as("method"), col("q_id"), col("vec_id"))
+    }.reduce(_ union _)
+    val hits = reported.join(exact, Seq("q_id", "vec_id"))
+      .groupBy(col("method")).agg(count(lit(1)).as("n_hits"))
+    val total = exact.agg(count(lit(1)).as("n_exact"))
+    hits.crossJoin(broadcast(total))
+      .select(col("method"),
+        Num.pround(col("n_hits").cast("double") / col("n_exact"), 4)
+          .as("recall_at_k"))
+  }
+
+  /** The oracled gate form: methods CLEARING the floor, as a sorted list the
+    * oracle pins literally — recall regressions surface as a missing row
+    * (hash mismatch), while run-to-run recall jitter above the floor cannot
+    * flip the result. A method with zero hits drops out naturally. */
+  val annRecallQ = QueryDef(
+    "ann_recall_report",
+    s"ANN methods with recall@10 >= $RecallFloor vs the exact baseline (index-quality gate)",
+    Some("""SELECT method FROM (VALUES ('ivf_cells'), ('ivf_pq'),
+                   ('lsh_bucketed'), ('pq_adc')) AS t(method)
+            ORDER BY method"""),
+    (s, dir) => annRecallReport(Tables.embeddings(s, dir))
+      .filter(col("recall_at_k") >= RecallFloor)
+      .select(col("method")).orderBy(col("method")))
+
   val defs: Seq[QueryDef] =
     Seq(decontaminateQ, fuzzyPairsQ, noveltyQ, coverageQ, interleaveQ,
-      docFeaturesQ, pqQ, ivfPqQ)
+      docFeaturesQ, pqQ, ivfPqQ, annRecallQ)
 }

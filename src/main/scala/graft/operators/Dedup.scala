@@ -23,6 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default hot-shingle document-frequency cap for the inverted-index pair
+    * joins. A shingle appearing in d docs yields ~d²/2 candidate pairs; at
+    * 1000 the worst single shingle costs ~500k rows — bounded and
+    * re-partitionable — while shingles that common carry no near-dup signal
+    * anyway (they're stop-phrases). */
+  val DefaultMaxDf = 1000L
+
+  /** Explicit opt-out of the [[DefaultMaxDf]] skew guard — oracle baselines
+    * only; on an uncurated corpus this re-opens the quadratic hot-key path. */
+  val Uncapped = 0L
+
   /** Exact duplicate groups: content hash → surviving id + multiplicity. */
   def exact(df: DataFrame, id: String, text: String): DataFrame =
     df.groupBy(md5(col(text)).as("text_hash"))
@@ -94,9 +105,17 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
     * Jaccard is computed on the rounded value so threshold selection is
-    * engine-stable. */
+    * engine-stable.
+    *
+    * `maxDf` defaults to [[DefaultMaxDf]]: a shingle shared by d documents
+    * contributes d² candidate rows to the pair join, so ONE hot n-gram
+    * ("all rights reserved") can turn the inverted-index join quadratic on a
+    * web corpus. The capped form is the production entry point; pass
+    * `maxDf = Uncapped` ONLY for oracle baselines on corpora known to have
+    * no hot shingles (the uncapped all-pairs answer is what the capped form
+    * is graded against). */
   def jaccardPairs(df: DataFrame, id: String, text: String, n: Int,
-      threshold: Double, maxDf: Long = 0L): DataFrame = {
+      threshold: Double, maxDf: Long = DefaultMaxDf): DataFrame = {
     // reused by the pair self-join and both count joins; hashed keys — the
     // pair join shuffles 8-byte shingle hashes, not n-gram text
     val sh = shingleIndexHashed(df, id, text, n, maxDf).cache()
@@ -351,11 +370,16 @@ object Dedup {
             FROM documents GROUP BY 1"""),
     (s, dir) => exact(Tables.documents(s, dir), "doc_id", "text"))
 
+  /** The UNCAPPED all-pairs form — kept as the ground truth the scale-safe
+    * entry points (`dedup_ngram_jaccard`, `dedup_minhash_lsh`) are graded
+    * against, and named so it can't be reached by accident: production code
+    * paths default to [[DefaultMaxDf]] and must opt out explicitly. */
   val jaccardQ = QueryDef(
-    "dedup_ngram_jaccard",
-    "near-dup pairs by exact word-3-gram Jaccard >= 0.8 (inverted index join)",
+    "dedup_ngram_jaccard_oracle_baseline",
+    "UNCAPPED near-dup pairs by exact word-3-gram Jaccard >= 0.8 (ground-truth baseline; quadratic on hot shingles — use dedup_ngram_jaccard)",
     Some(jaccardOracle),
-    (s, dir) => jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8))
+    (s, dir) => jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8,
+      maxDf = Uncapped))
 
   private val containN = 8
   private val containmentOracle =
@@ -479,11 +503,14 @@ object Dedup {
     (s, dir) => hammingPairs(
       simHash(Tables.documents(s, dir), "doc_id", "text"), maxDist = 3))
 
-  /** The skew guard exercised under the oracle: identical pipeline with hot
-    * shingles (document frequency > 50) dropped on both sides. */
+  /** The DEFAULT near-dup entry point: the skew guard exercised under the
+    * oracle — identical pipeline with hot shingles (document frequency > 50)
+    * dropped on both sides. A tighter-than-default cap so the guard path
+    * actually fires on this corpus; the uncapped ground truth lives under
+    * `dedup_ngram_jaccard_oracle_baseline`. */
   val jaccardCappedQ = QueryDef(
-    "dedup_ngram_jaccard_capped",
-    "near-dup pairs with the document-frequency skew cap applied (maxDf=50)",
+    "dedup_ngram_jaccard",
+    "near-dup pairs by word-3-gram Jaccard >= 0.8 with the document-frequency skew cap (maxDf=50) — the scale-safe default",
     Some(s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
        sh0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
               FROM toks CROSS JOIN unnest(generate_series(1, len(t)-2)) AS u(i)

@@ -25,8 +25,17 @@ object Similarity {
     e.select(col("vec_id"), Vec.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", Vec.norm(col("v")))
 
-  /** Exact top-K most similar pairs across the corpus (brute force, i<j). */
-  def topKPairs(e: DataFrame, k: Int): DataFrame = {
+  /** Exact top-K most similar pairs across the corpus — brute force, i<j,
+    * O(n²) in corpus size. This is the GROUND-TRUTH twin the bucketed paths
+    * ([[annLsh]], [[annIvf]], `Curation.pqAdc`/`ivfPq`) are graded against;
+    * it must never run on a full corpus, so reaching it requires the explicit
+    * `allowQuadratic = true` opt-in. For production pair search, generate
+    * candidates with a bucketed method and exact-rank only those. */
+  def topKPairs(e: DataFrame, k: Int,
+      allowQuadratic: Boolean = false): DataFrame = {
+    require(allowQuadratic,
+      "topKPairs is the O(n²) oracle baseline; pass allowQuadratic = true " +
+        "only on a bounded corpus, or use annLsh/annIvf candidates instead")
     val n = withNorm(e)
     n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
@@ -167,8 +176,8 @@ object Similarity {
     "list_sum(list_transform(list_zip(%s, %s), pr -> pr[1] * pr[2]))"
 
   val pairsQ = QueryDef(
-    "embedding_topk_pairs",
-    "top-20 most-similar embedding pairs by exact cosine (brute force)",
+    "embedding_topk_pairs_oracle_baseline",
+    "top-20 most-similar embedding pairs by exact cosine (O(n²) ground-truth baseline — use the ANN paths at scale)",
     Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                         FROM embeddings),
              n AS (SELECT vec_id, v, sqrt(${dotSql.format("v", "v")}) AS nrm FROM e)
@@ -176,7 +185,7 @@ object Similarity {
                     ${Num.sql(dotSql.format("a.v", "b.v") + " / (a.nrm * b.nrm)", 6)} AS cosine
              FROM n a JOIN n b ON a.vec_id < b.vec_id
              ORDER BY cosine DESC, i, j LIMIT 20"""),
-    (s, dir) => topKPairs(Tables.embeddings(s, dir), 20))
+    (s, dir) => topKPairs(Tables.embeddings(s, dir), 20, allowQuadratic = true))
 
   val annQ = QueryDef(
     "ann_cosine_topk",

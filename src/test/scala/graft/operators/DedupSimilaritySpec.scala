@@ -12,7 +12,8 @@ class DedupSimilaritySpec extends SparkSpec {
   private lazy val emb = Tables.embeddings(spark, sf("sf0.001")).cache()
 
   test("minhash+LSH finds the exact-jaccard pair set on this corpus") {
-    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8,
+        maxDf = Dedup.Uncapped)
       .select(col("i"), col("j")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.minHashDedup(docs, "doc_id", "text", 3, 32, 8, 0.8)
       .select(col("i"), col("j")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -49,7 +50,8 @@ class DedupSimilaritySpec extends SparkSpec {
 
   test("simhash: near-dup pairs sit at small hamming distance, random pairs far") {
     val fp = Dedup.simHash(docs, "doc_id", "text").cache()
-    val nearPairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+    val nearPairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8,
+      maxDf = Dedup.Uncapped)
     val joined = nearPairs
       .join(fp.select(col("doc_id").as("i"), col("simhash").as("ha")), Seq("i"))
       .join(fp.select(col("doc_id").as("j"), col("simhash").as("hb")), Seq("j"))
