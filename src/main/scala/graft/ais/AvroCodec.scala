@@ -141,4 +141,21 @@ object AvroCodec {
       .as[Array[Byte]]
       .flatMap(bytesToPosition(_))
   }
+
+  /** B7 sink shape for the info branch (compacted topic, key = mmsi —
+    * README.md:199: compaction keeps the latest destination per ship, so the
+    * key MUST be the compaction key). */
+  def shipInfoToWire(ds: Dataset[ShipInfoEvent], schemaId: Int): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.map(e => (e.mmsi, shipInfoToBytes(e, schemaId)))
+      .toDF("key", "value")
+  }
+
+  /** Source twin of [[shipInfoToWire]]. */
+  def shipInfoFromWire(df: DataFrame): Dataset[ShipInfoEvent] = {
+    import df.sparkSession.implicits._
+    df.select(col("value").cast("binary"))
+      .as[Array[Byte]]
+      .flatMap(bytesToShipInfo(_))
+  }
 }
