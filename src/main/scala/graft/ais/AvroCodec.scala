@@ -80,9 +80,14 @@ object AvroCodec {
     out.toByteArray
   }
 
+  /** None when the body does not parse against the schema — a framed but
+    * corrupt (or wrong-schema) payload quarantines like a bad frame instead
+    * of failing the micro-batch (the B1 drop contract; registry-resolved
+    * decode for evolved writer schemas lives in [[RegistryDecode]]). */
   private def readRecord(reader: GenericDatumReader[GenericRecord],
-      body: Array[Byte]): GenericRecord =
-    reader.read(null, DecoderFactory.get().binaryDecoder(body, null))
+      body: Array[Byte]): Option[GenericRecord] =
+    try Some(reader.read(null, DecoderFactory.get().binaryDecoder(body, null)))
+    catch { case scala.util.control.NonFatal(_) => None }
 
   def positionToBytes(p: PositionEvent, schemaId: Int): Array[Byte] = {
     val schema = positionSchema
@@ -97,14 +102,15 @@ object AvroCodec {
   }
 
   def bytesToPosition(bytes: Array[Byte]): Option[PositionEvent] =
-    unframe(bytes).map { case (_, body) =>
-      val r = readRecord(positionReader, body)
-      val gps = r.get("location").asInstanceOf[GenericRecord]
-      PositionEvent(
-        r.get("mmsi").toString, r.get("status").toString,
-        r.get("timestamp").asInstanceOf[Long],
-        Gps(gps.get("lat").asInstanceOf[Double], gps.get("lon").asInstanceOf[Double]),
-        r.get("speed").asInstanceOf[Double], r.get("heading").asInstanceOf[Int])
+    unframe(bytes).flatMap { case (_, body) =>
+      readRecord(positionReader, body).map { r =>
+        val gps = r.get("location").asInstanceOf[GenericRecord]
+        PositionEvent(
+          r.get("mmsi").toString, r.get("status").toString,
+          r.get("timestamp").asInstanceOf[Long],
+          Gps(gps.get("lat").asInstanceOf[Double], gps.get("lon").asInstanceOf[Double]),
+          r.get("speed").asInstanceOf[Double], r.get("heading").asInstanceOf[Int])
+      }
     }
 
   def shipInfoToBytes(e: ShipInfoEvent, schemaId: Int): Array[Byte] = {
@@ -117,11 +123,11 @@ object AvroCodec {
   }
 
   def bytesToShipInfo(bytes: Array[Byte]): Option[ShipInfoEvent] =
-    unframe(bytes).map { case (_, body) =>
-      val r = readRecord(shipInfoReader, body)
-      ShipInfoEvent(r.get("mmsi").toString, r.get("timestamp").asInstanceOf[Long],
-        r.get("shipname").toString, r.get("callsign").toString,
-        r.get("shiptype").toString, r.get("destination").toString)
+    unframe(bytes).flatMap { case (_, body) =>
+      readRecord(shipInfoReader, body).map(r =>
+        ShipInfoEvent(r.get("mmsi").toString, r.get("timestamp").asInstanceOf[Long],
+          r.get("shipname").toString, r.get("callsign").toString,
+          r.get("shiptype").toString, r.get("destination").toString))
     }
 
   /** A11+A10 sink shape: (key = mmsi, value = framed Avro) — drop-in columns
