@@ -104,19 +104,12 @@ object CorpusIngest {
     * [[decontaminationGate]]. Unseen trigrams score 0 (maximally surprising
     * — the conservative choice for a quality gate). */
   def lmQualityGate(docs: Dataset[CorpusDedup.StreamDoc],
-      reference: DataFrame, minScore: Double): Dataset[CorpusDedup.StreamDoc] = {
+      reference: DataFrame, minScore: Double,
+      maxModelSize: Int = 1 << 20): Dataset[CorpusDedup.StreamDoc] = {
     import docs.sparkSession.implicits._
     val spark = docs.sparkSession
-    val tg = reference
-      .select(explode(trigrams(col("text"))).as("g"))
-      .groupBy(col("g")).agg(count(lit(1)).as("c3"))
-      .withColumn("prefix", substring_index(col("g"), " ", 2))
-    val model: Map[String, Double] = tg
-      .withColumn("c2", sum(col("c3")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("prefix"))))
-      .select(col("g"), (col("c3").cast("double") / col("c2")).as("p"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val modelB = spark.sparkContext.broadcast(model)
+    val modelB = spark.sparkContext.broadcast(
+      trigramModel(reference, maxModelSize))
     val score = udf { (t: String) =>
       val a = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
       if (a.length < 3) 0.0
@@ -130,6 +123,33 @@ object CorpusIngest {
     }
     docs.toDF().filter(score(col("text")) >= minScore)
       .select(col("doc_id"), col("text")).as[CorpusDedup.StreamDoc]
+  }
+
+  /** The gate's trigram model, bounded to the `maxModelSize` most frequent
+    * trigrams so the driver/broadcast footprint is capped however large the
+    * reference corpus is (a web-scale reference would otherwise collect an
+    * unbounded map). Conditional probabilities are computed against the FULL
+    * corpus prefix totals BEFORE the cap, so every kept trigram's probability
+    * is identical to the uncapped model's; a dropped (rare) trigram scores 0
+    * like any unseen one. Capped scores are therefore a LOWER BOUND of
+    * uncapped scores, equal for any document whose trigrams all survive —
+    * a quality gate keys on common language, which is exactly what survives
+    * a frequency cap. Top-K selection is TakeOrdered (per-partition heap),
+    * never a global sort, with the trigram string as the deterministic
+    * tiebreak. */
+  private[streaming] def trigramModel(reference: DataFrame,
+      maxModelSize: Int): Map[String, Double] = {
+    val tg = reference
+      .select(explode(trigrams(col("text"))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c3"))
+      .withColumn("prefix", substring_index(col("g"), " ", 2))
+    tg.withColumn("c2", sum(col("c3")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("prefix"))))
+      .select(col("g"), col("c3"), (col("c3").cast("double") / col("c2")).as("p"))
+      .orderBy(col("c3").desc, col("g"))
+      .limit(maxModelSize)
+      .select(col("g"), col("p"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
   }
 
   /** All `w=3`-token shingles of a text column as joined strings. */

@@ -236,4 +236,89 @@ class CorpusDedupSpec extends SparkSpec {
       assert(kept.toSeq == Seq(1L, 3L), kept.mkString(","))
     } finally q.stop()
   }
+
+  test("lm quality gate: driver model is bounded by maxModelSize on an " +
+      "oversized reference, and common-language verdicts are unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // "web-scale" stand-in: a long tail of unique junk trigrams around a
+    // small common core — uncapped, the model would hold every unique trigram
+    val core = (1 to 50).map(i => s"the ship sails the sea route $i")
+    val tail = (1 to 2000).map(i => s"tail$i unique$i junk$i")
+    val reference = (core ++ tail).toDF("text")
+
+    val cap = 400
+    val model = CorpusIngest.trigramModel(reference, cap)
+    assert(model.size == cap) // bounded however big the reference is
+    val uncapped = CorpusIngest.trigramModel(reference, Int.MaxValue)
+    assert(uncapped.size > 2000) // the tail really was unbounded
+    // kept trigrams carry the EXACT uncapped probability (full-corpus c2)
+    model.foreach { case (g, p) => assert(uncapped(g) == p, g) }
+    // the cap keeps the most frequent trigrams — the core survives
+    assert(model.contains("the ship sails"))
+
+    val input = MemoryStream[StreamDoc]
+    val gated = CorpusIngest.lmQualityGate(input.toDS(), reference,
+      minScore = 0.3, maxModelSize = cap)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("lm_gate_capped_t").start()
+    try {
+      input.addData(
+        StreamDoc(1, "the ship sails the sea route 9"), // common language
+        StreamDoc(2, "tail77 unique77 junk77"),         // rare: capped out -> 0
+        StreamDoc(3, "zz qq ww ee rr tt yy uu"))        // never seen
+      q.processAllAvailable()
+      val kept = spark.table("lm_gate_capped_t").collect().map(_.getLong(0))
+      // same verdict as the uncapped gate gave in-domain text; rare/unseen drop
+      assert(kept.toSeq == Seq(1L), kept.mkString(","))
+    } finally q.stop()
+  }
+}
+
+/** Late-data golden test for the event-time windowed aggregation: pins
+  * exactly which windows finalize and that an event arriving behind the
+  * watermark is DROPPED — the contract that bounds state at 100 TB (an
+  * unwatermarked aggregation would hold every window forever). */
+class FleetMetricsLateDataSpec extends graft.SparkSpec {
+  import graft.ais._
+  import org.apache.spark.sql.functions.{col, unix_timestamp}
+
+  test("event older than the watermark is dropped; on-time windows finalize with exact contents") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[PositionEvent]
+    def pos(ts: Long, speed: Double) = PositionEvent("244660180",
+      "under way using engine", ts, Gps(52.0, 4.0), speed, 90)
+
+    // watermark 10 min, tumbling 5 min (the production defaults)
+    val q = AisPipeline.fleetMetrics(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fleet_late_t").start()
+    try {
+      // batch 1: window [900,1200) gets one event; ts=3600 advances the
+      // watermark to 3600-600 = 3000 once the batch commits
+      input.addData(pos(1000L, 10.0), pos(3600L, 20.0))
+      q.processAllAvailable()
+      // batch 2: ts=1000 is LATE (its window ends 1200 <= watermark 3000) —
+      // must not resurrect the window or change its aggregate; ts=3650 joins
+      // the open [3600,3900) window
+      input.addData(pos(1000L, 99.0), pos(3650L, 30.0))
+      q.processAllAvailable()
+      // batch 3: ts=8000 pushes the watermark to 7400, finalizing [900,1200)
+      // and [3600,3900); its own window [7800,8100) stays open (unemitted)
+      input.addData(pos(8000L, 40.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("fleet_late_t")
+        .select(unix_timestamp(col("window_start")).as("ws"), col("n"),
+          col("avg_speed"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1)
+      // golden contents: the late speed=99 event appears NOWHERE — [900,1200)
+      // finalizes with only its on-time event; [3600,3900) merged both
+      // on-time events across batches
+      assert(rows.toSeq == Seq((900L, 1L, 10.0), (3600L, 2L, 25.0)),
+        rows.mkString(", "))
+    } finally q.stop()
+  }
 }
