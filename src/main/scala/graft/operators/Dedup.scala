@@ -268,6 +268,48 @@ object Dedup {
       .distinct()
   }
 
+  /** [[hammingPairs]] with band-PAIR bucket keys — the geometry that holds
+    * when the corpus outgrows single-band bucket space. The sf1 rehearsal
+    * (SCALE.md "Measured") shows the failure mode it fixes: 4 fixed 15-bit
+    * bands give 2^15 buckets, so candidate pairs re-acquire an ~n²/2^15
+    * term as buckets saturate (measured 100x candidates for 10x docs).
+    * Splitting into `bands >= maxDist + 2` bands and keying on every PAIR
+    * of band values keeps exact pigeonhole recall — <= maxDist differing
+    * bits break at most maxDist bands, leaving two intact bands whose pair
+    * key matches — while the bucket space grows to 2^(2·width): for
+    * maxDist=3, 5 bands of 12 bits = 2^24 buckets, 512x more than the
+    * single-band form, at the cost of C(bands,2)=10 key rows per doc
+    * instead of 4. Same exact-recall contract, same output; choose by
+    * corpus size: n << sqrt(maxDist·2^width) single-band, else this. */
+  def hammingPairsWide(fp: DataFrame, maxDist: Int, bits: Int = 60,
+      bands: Int = 0): DataFrame = {
+    val nBands = if (bands > 0) bands else maxDist + 2
+    require(nBands >= maxDist + 2,
+      s"band-pair keys need bands >= maxDist + 2 for pigeonhole recall")
+    val width = bits / nBands
+    def bandVal(b: Int) = shiftright(col("simhash"), b * width)
+      .bitwiseAND(lit((1L << width) - 1))
+    // one row per band PAIR per doc, key = both band values packed; a
+    // single self-join on (combo, key) — same shape as hammingPairs, wider
+    // keys. Bits above width*nBands live in no band: they can only consume
+    // distance budget, never break a band, so recall is unaffected.
+    val combos = for { i <- 0 until nBands; j <- i + 1 until nBands }
+      yield (i, j)
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array(combos.map { case (i, j) =>
+        bandVal(i) * (1L << width) + bandVal(j) }: _*))
+        .as(Seq("combo", "bv")))
+      .cache()
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.combo") === col("y.combo") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        hamming(col("x.simhash"), col("y.simhash")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
   /** Near-dup PAIRS → dedup CLUSTERS: connected components of the pair
     * graph, the step that turns pairwise similarity into "keep one document
     * per duplicate group". Two physical paths behind one semantics (label =
@@ -503,6 +545,20 @@ object Dedup {
     (s, dir) => hammingPairs(
       simHash(Tables.documents(s, dir), "doc_id", "text"), maxDist = 3))
 
+  /** The wide-bucket geometry under the SAME quadratic oracle: identical
+    * answer set, 2^24 buckets instead of 2^15 — the form that stays linear
+    * past ~10^5 docs (SCALE.md sf1 rehearsal). */
+  val hammingWideQ = QueryDef(
+    "simhash_hamming_pairs_wide",
+    "hamming pairs via band-PAIR bucket keys (2^24 buckets) — the large-corpus geometry, same exact recall",
+    Some(s"""WITH fp AS ($simhashOracle)
+             SELECT a.doc_id AS i, b.doc_id AS j,
+                    bit_count(xor(a.simhash, b.simhash)) AS dist
+             FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""),
+    (s, dir) => hammingPairsWide(
+      simHash(Tables.documents(s, dir), "doc_id", "text"), maxDist = 3))
+
   /** The DEFAULT near-dup entry point: the skew guard exercised under the
     * oracle — identical pipeline with hot shingles (document frequency > 50)
     * dropped on both sides. A tighter-than-default cap so the guard path
@@ -591,5 +647,5 @@ object Dedup {
 
   val defs: Seq[QueryDef] =
     Seq(exactQ, jaccardQ, jaccardCappedQ, minHashQ, simHashQ, hammingQ,
-      clustersQ, spansQ, containmentQ)
+      hammingWideQ, clustersQ, spansQ, containmentQ)
 }

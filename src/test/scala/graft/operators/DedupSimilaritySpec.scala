@@ -48,6 +48,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got((2L, 1L)) < 1.0)  // asymmetric: container side is diluted
   }
 
+  test("wide band-pair geometry returns exactly the single-band pair set") {
+    val fp = Dedup.simHash(docs, "doc_id", "text").cache()
+    try {
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("i"), col("j"), col("dist")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val narrow = pairs(Dedup.hammingPairs(fp, maxDist = 3))
+      val wide = pairs(Dedup.hammingPairsWide(fp, maxDist = 3))
+      assert(wide == narrow) // exact recall is structural in both geometries
+      assert(narrow.nonEmpty) // the corpus actually exercises the join
+      // recall guarantee needs bands >= maxDist + 2
+      assertThrows[IllegalArgumentException](
+        Dedup.hammingPairsWide(fp, maxDist = 3, bands = 4))
+    } finally fp.unpersist()
+  }
+
   test("simhash: near-dup pairs sit at small hamming distance, random pairs far") {
     val fp = Dedup.simHash(docs, "doc_id", "text").cache()
     val nearPairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8,
