@@ -13,8 +13,9 @@ object PlanPeek {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     val dir = "/root/testdata/sf0.001"
-    for (n <- Seq("bm25_topk", "dedup_containment", "basket_lift",
-        "ts_gapfill", "compaction_plan", "dq_report")) {
+    for (n <- Seq("simhash_hamming_pairs_wide", "ann_recall_report",
+        "dedup_ngram_jaccard", "bm25_topk", "dedup_containment",
+        "basket_lift", "ts_gapfill", "compaction_plan", "dq_report")) {
       val df = SparkEntry.queries(n)(spark, dir)
       val s = df.queryExecution.executedPlan.toString
       println(s"=== $n")
