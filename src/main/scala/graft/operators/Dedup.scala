@@ -645,7 +645,61 @@ object Dedup {
         .select(col("doc_id"), col("span_start"), col("span_end"))
     })
 
+  /** Recall floor for [[dedupRecallReport]]. The LSH and capped paths are
+    * structurally complete on corpora without pathological shingle skew
+    * (recall 1.0 here, differentially proven in DedupSimilaritySpec); the
+    * simhash path detects by a DIFFERENT similarity (fingerprint hamming,
+    * not set Jaccard), so its recall of Jaccard-0.8 pairs reflects measure
+    * agreement, not a bug (measured 1.0 at sf0.001/sf0.01 — planted
+    * near-dups differ by whole tokens, which moves few fingerprint bits).
+    * The floor sits where only a structural break (dropped band, broken
+    * signature) can cross it. */
+  val DedupRecallFloor = 0.5
+
+  /** Micro-averaged recall of each scale-safe near-dup path against the
+    * uncapped exact-Jaccard ground truth ([[jaccardQ]]'s pair set) — the
+    * dedup twin of `Curation.annRecallReport`: after any re-tune of
+    * bands/rows/caps, one query says whether the production paths still
+    * find the pairs the quadratic baseline defines. Runs each method once
+    * over its own candidate structure; the only cross join is against the
+    * broadcast single-row exact count. */
+  def dedupRecallReport(docs: DataFrame): DataFrame = {
+    val exact = jaccardPairs(docs, "doc_id", "text", 3, 0.8,
+      maxDf = Uncapped).select(col("i"), col("j"))
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "minhash_lsh" -> minHashDedup(docs, "doc_id", "text", 3, 32, 8, 0.8)
+        .select(col("i"), col("j")),
+      "jaccard_capped" -> jaccardPairs(docs, "doc_id", "text", 3, 0.8,
+        maxDf = 50).select(col("i"), col("j")),
+      "simhash_d3" -> hammingPairsWide(
+        simHash(docs, "doc_id", "text"), maxDist = 3)
+        .select(col("i"), col("j")))
+    val reported = methods.map { case (nm, df) =>
+      df.select(lit(nm).as("method"), col("i"), col("j"))
+    }.reduce(_ union _)
+    val hits = reported.join(exact, Seq("i", "j"))
+      .groupBy(col("method")).agg(count(lit(1)).as("n_hits"))
+    val total = exact.agg(count(lit(1)).as("n_exact"))
+    hits.crossJoin(broadcast(total))
+      .select(col("method"),
+        Num.pround(
+          col("n_hits").cast("double") / col("n_exact"), 4).as("recall"))
+  }
+
+  /** Oracled gate form: methods clearing [[DedupRecallFloor]], pinned as a
+    * literal sorted list — a structural recall collapse surfaces as a
+    * missing row / hash mismatch. */
+  val dedupRecallQ = QueryDef(
+    "dedup_recall_report",
+    s"near-dup paths with recall >= $DedupRecallFloor vs the uncapped exact-Jaccard ground truth",
+    Some("""SELECT method FROM (VALUES ('jaccard_capped'), ('minhash_lsh'),
+                   ('simhash_d3')) AS t(method)
+            ORDER BY method"""),
+    (s, dir) => dedupRecallReport(Tables.documents(s, dir))
+      .filter(col("recall") >= DedupRecallFloor)
+      .select(col("method")).orderBy(col("method")))
+
   val defs: Seq[QueryDef] =
     Seq(exactQ, jaccardQ, jaccardCappedQ, minHashQ, simHashQ, hammingQ,
-      hammingWideQ, clustersQ, spansQ, containmentQ)
+      hammingWideQ, clustersQ, spansQ, containmentQ, dedupRecallQ)
 }

@@ -64,6 +64,19 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally fp.unpersist()
   }
 
+  test("dedup_recall_report: all three scale paths clear the floor; LSH and capped are complete") {
+    val report = Dedup.dedupRecallReport(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(report.keySet == Set("minhash_lsh", "jaccard_capped", "simhash_d3"))
+    report.foreach { case (m, r) =>
+      assert(r >= Dedup.DedupRecallFloor, s"$m recall collapsed: $r")
+    }
+    // structural completeness, not just floor-clearing: banding and the df
+    // cap provably drop nothing on this corpus (differential tests above)
+    assert(report("minhash_lsh") == 1.0)
+    assert(report("jaccard_capped") == 1.0)
+  }
+
   test("simhash: near-dup pairs sit at small hamming distance, random pairs far") {
     val fp = Dedup.simHash(docs, "doc_id", "text").cache()
     val nearPairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8,
