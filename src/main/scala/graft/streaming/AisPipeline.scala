@@ -174,6 +174,72 @@ object AisPipeline {
         OutputMode.Update())
   }
 
+  /** Real-time ship-to-ship proximity alerts: the STREAMING twin of the
+    * batch `geo_encounters` operator (operators/Geo.scala) — pairs of
+    * positions from different ships within `radiusKm` and `timeRange` of
+    * each other, emitted as the reports arrive.
+    *
+    * Spark's stream-stream inner join needs an equi-key plus an event-time
+    * range, and that is exactly the batch blocking scheme: the left side
+    * keeps its 1-degree (cy, cx) cell; the right side expands to its 3
+    * lat-cells x lat-dependent lon-cell range (the exact spherical bound,
+    * antimeridian-wrapped — same math as Geo.portCells). For any qualifying
+    * pair exactly ONE expansion row matches, so the join emits each
+    * encounter once with no post-dedup — the property the batch operator
+    * proves against its quadratic oracle carries over unchanged.
+    *
+    * State is bounded twice over: watermarks on BOTH sides let Spark drop
+    * join state older than `watermark` + `timeRange`, and the |lat| <= 70
+    * domain bound caps the lon expansion (shipping-lane band, as in batch).
+    * At deploy scale the join shuffles on the cell key, so hot cells
+    * partition the work and a quiet ocean costs nothing. Append-mode sink.
+    */
+  def encounterAlerts(pos: Dataset[PositionEvent], radiusKm: Double = 50.0,
+      timeRange: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val earthR = 6371.0
+    val base = pos.toDF()
+      .filter(abs(col("location.lat")) <= 70)
+      .select(col("mmsi"), col("location.lat").as("lat"),
+        col("location.lon").as("lon"), col("speed"),
+        to_timestamp(from_unixtime(col("timestamp"))).as("ts"))
+    val a = base
+      .select(col("mmsi").as("mmsi_a"), col("lat").as("lat_a"),
+        col("lon").as("lon_a"), col("speed").as("speed_a"),
+        col("ts").as("ts_a"),
+        floor(col("lat")).cast("long").as("cy"),
+        floor(col("lon")).cast("long").as("cx"))
+      .withWatermark("ts_a", watermark)
+    val dlon = degrees(asin(sin(lit(radiusKm / earthR)) / cos(radians(col("lat")))))
+    val b = base
+      .withColumn("cyc", explode(sequence(
+        floor(col("lat")).cast("long") - 1, floor(col("lat")).cast("long") + 1)))
+      .withColumn("cxc", explode(sequence(
+        floor(col("lon") - dlon).cast("long"),
+        floor(col("lon") + dlon).cast("long"))))
+      .select(col("mmsi").as("mmsi_b"), col("lat").as("lat_b"),
+        col("lon").as("lon_b"), col("ts").as("ts_b"),
+        col("cyc").as("cy"),
+        (pmod(col("cxc") + 180, lit(360)) - 180).as("cx"))
+      .withWatermark("ts_b", watermark)
+    // the pair-ordering/distance checks are post-join filters, though the
+    // optimizer folds them back into the join condition; the state manager
+    // scans every `<` conjunct as a potential state-watermark source, logs
+    // and SKIPS the non-time ones (mmsi_a < mmsi_b surfaces as a benign
+    // "Cannot evaluate" log line), and derives cleanup from the ts-range
+    // conjuncts — EncounterAlertsSpec proves eviction actually happens
+    a.as("a").join(b.as("b"),
+        col("a.cy") === col("b.cy") && col("a.cx") === col("b.cx") &&
+          col("b.ts_b") >= col("a.ts_a") - expr(s"INTERVAL $timeRange") &&
+          col("b.ts_b") <= col("a.ts_a") + expr(s"INTERVAL $timeRange"))
+      .filter(col("mmsi_a") < col("mmsi_b"))
+      .withColumn("dist_km", graft.operators.Geo.haversineKm(
+        col("lat_a"), col("lon_a"), col("lat_b"), col("lon_b")))
+      .filter(col("dist_km") <= radiusKm)
+      .select(col("mmsi_a"), col("mmsi_b"), col("ts_a"), col("ts_b"),
+        col("dist_km"), col("lat_a"), col("lon_a"))
+  }
+
   /** Batch replay of the full pipeline: NMEA text file(s) → the two tables.
     * Same transforms as streaming (they're stateless) — used by entry() and
     * golden tests. */

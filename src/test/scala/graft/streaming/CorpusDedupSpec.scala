@@ -275,6 +275,84 @@ class CorpusDedupSpec extends SparkSpec {
   }
 }
 
+/** Streaming encounter alerts: the stream-stream self-join twin of batch
+  * geo_encounters — near pairs alert exactly once, far ships never, and the
+  * cell-expansion blocking emits no duplicates across cell boundaries. */
+class EncounterAlertsSpec extends graft.SparkSpec {
+  import graft.ais._
+  import org.apache.spark.sql.functions.col
+
+  test("close pairs alert exactly once (including across a cell boundary); far ships do not") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[PositionEvent]
+    def pos(mmsi: String, lat: Double, lon: Double, ts: Long) =
+      PositionEvent(mmsi, "under way using engine", ts, Gps(lat, lon), 10.0, 90)
+
+    val q = AisPipeline.encounterAlerts(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enc_alerts_t").start()
+    try {
+      input.addData(
+        pos("A1", 10.2, 20.2, 1000L),   // same cell as B1, ~15.6 km
+        pos("B1", 10.3, 20.3, 2000L),
+        pos("C1", -5.0, 100.0, 1500L),  // alone in its ocean
+        pos("D1", 10.95, 20.05, 3000L), // cell (10,20)...
+        pos("E1", 11.05, 20.10, 3100L)) // ...cell (11,20), ~11.6 km apart
+      q.processAllAvailable()
+      val alerts = spark.table("enc_alerts_t")
+        .select(col("mmsi_a"), col("mmsi_b"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      // each qualifying pair exactly ONCE — the one-matching-expansion-row
+      // property carries over from the batch operator — and C1 nowhere
+      assert(alerts.sorted == Seq(("A1", "B1"), ("D1", "E1")), alerts)
+    } finally q.stop()
+  }
+
+  test("join state is evicted once the watermark passes (bounded-state proof)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[PositionEvent]
+    def pos(mmsi: String, ts: Long) = PositionEvent(mmsi,
+      "under way using engine", ts, Gps(10.2, 20.2), 10.0, 90)
+    val q = AisPipeline.encounterAlerts(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enc_alerts_state_t").start()
+    try {
+      input.addData((1 to 20).map(i => pos(s"S$i", 1000L + i)): _*)
+      q.processAllAvailable()
+      val before = q.lastProgress.stateOperators.head.numRowsTotal
+      // an event far past watermark(2h) + range(1h): old state evictable;
+      // two batches so the advanced watermark is applied to the state store
+      input.addData(pos("Z1", 1000L + 5 * 3600L))
+      q.processAllAvailable()
+      input.addData(pos("Z2", 1000L + 5 * 3600L + 10))
+      q.processAllAvailable()
+      val after = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(before >= 20, s"expected the 20-ship batch in state, got $before")
+      assert(after < before,
+        s"watermark did not evict join state: before=$before after=$after")
+    } finally q.stop()
+  }
+
+  test("pairs outside the time range do not alert") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[PositionEvent]
+    def pos(mmsi: String, ts: Long) = PositionEvent(mmsi,
+      "under way using engine", ts, Gps(10.2, 20.2), 10.0, 90)
+    val q = AisPipeline.encounterAlerts(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enc_alerts_t2").start()
+    try {
+      // co-located but 2h apart > the 1h range
+      input.addData(pos("A2", 1000L), pos("B2", 1000L + 7200L))
+      q.processAllAvailable()
+      assert(spark.table("enc_alerts_t2").isEmpty)
+    } finally q.stop()
+  }
+}
+
 /** Late-data golden test for the event-time windowed aggregation: pins
   * exactly which windows finalize and that an event arriving behind the
   * watermark is DROPPED — the contract that bounds state at 100 TB (an
