@@ -335,6 +335,33 @@ class EncounterAlertsSpec extends graft.SparkSpec {
     } finally q.stop()
   }
 
+  test("withinRadius runs on a streaming feed unchanged (stateless broadcast side)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the static candidate side: one port at (10.5, 20.5)
+    val ports = Seq((1L, 10.5, 20.5)).toDF("port_id", "plat", "plon")
+    val input = MemoryStream[PositionEvent]
+    val pos = input.toDF()
+      .select(col("mmsi").as("ship"), col("location.lat").as("lat"),
+        col("location.lon").as("lon"))
+    val q = graft.operators.Geo.withinRadius(pos, ports, r = 100.0)
+      .select(col("ship"), col("port_id"), col("dist_km"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("port_radius_t").start()
+    try {
+      input.addData(
+        PositionEvent("NEAR1", "at anchor", 1000L, Gps(10.6, 20.6), 1.0, 0),
+        PositionEvent("FAR1", "at anchor", 1001L, Gps(-40.0, 120.0), 1.0, 0))
+      q.processAllAvailable()
+      val got = spark.table("port_radius_t").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == Seq(("NEAR1", 1L)), got)
+      // the port-approach stream holds NO state: the candidate side is a
+      // static broadcast, so the plan has no stateful operator at all
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("pairs outside the time range do not alert") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
