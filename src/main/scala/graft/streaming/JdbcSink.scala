@@ -63,9 +63,20 @@ object JdbcSink {
   def deleteSql(table: String): String =
     s"DELETE FROM $table WHERE $BatchCol = ? AND $PartCol = ?"
 
-  /** Land one micro-batch idempotently: per partition, delete the
-    * (batch, partition) slice a previous attempt may have written, then
-    * insert this attempt's rows in one transaction. Runs on executors. */
+  def deleteBatchSql(table: String): String =
+    s"DELETE FROM $table WHERE $BatchCol = ?"
+
+  /** Land one micro-batch idempotently, against BOTH replay shapes:
+    *
+    *   - batch redelivery (driver restart): the whole-batch delete below
+    *     clears every row a previous delivery attempt wrote — necessary
+    *     because a redelivered batch may RE-PLAN with a different partition
+    *     count, so per-partition slices of the old attempt would not all be
+    *     covered by the new attempt's (batch, part) deletes;
+    *   - task retry within this attempt: each partition deletes its own
+    *     (batch, partition) slice before inserting, so a retried task
+    *     converges instead of duplicating.
+    */
   def upsertBatch(batch: DataFrame, batchId: Long, ep: Endpoint,
       cf: ConnectionFactory): Unit = {
     val cols = batch.columns.toSeq
@@ -73,6 +84,14 @@ object JdbcSink {
       s"$BatchCol/$PartCol are sink-owned lineage columns")
     val ins = insertSql(ep.table, cols)
     val del = deleteSql(ep.table)
+    // driver-side: clear any previous delivery attempt of this batch
+    val conn0 = cf.connect()
+    try {
+      conn0.setAutoCommit(false)
+      val d0 = conn0.prepareStatement(deleteBatchSql(ep.table))
+      d0.setLong(1, batchId); d0.executeUpdate(); d0.close()
+      conn0.commit()
+    } finally conn0.close()
     val width = cols.length
     val bs = ep.batchSize
     batch.foreachPartition { (rows: Iterator[Row]) =>

@@ -32,6 +32,8 @@ object FakeJdbc {
     """(?is)INSERT INTO (\S+) \(([^)]*)\) VALUES.*""".r
   private val DeleteRe =
     """(?is)DELETE FROM (\S+) WHERE (\S+) = \? AND (\S+) = \?""".r
+  private val DeleteBatchRe =
+    """(?is)DELETE FROM (\S+) WHERE (\S+) = \?""".r
 
   /** One connection's pending effects, applied on commit. */
   private final class Pending {
@@ -71,6 +73,10 @@ object FakeJdbc {
                   pending += table -> ((rs: Vector[Map[String, Any]]) =>
                     rs.filterNot(r =>
                       r(c1).toString == v1.toString && r(c2).toString == v2.toString))
+                case DeleteBatchRe(table, c1) =>
+                  val v1 = params(1)
+                  pending += table -> ((rs: Vector[Map[String, Any]]) =>
+                    rs.filterNot(r => r(c1).toString == v1.toString))
                 case other => sys.error(s"unexpected update sql: $other")
               }
               Integer.valueOf(0)

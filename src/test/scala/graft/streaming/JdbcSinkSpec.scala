@@ -46,6 +46,23 @@ class JdbcSinkSpec extends SparkSpec {
       .count(_(JdbcSink.BatchCol).toString == "1") == 3)
   }
 
+  test("redelivery with a DIFFERENT partition count still converges") {
+    import spark.implicits._
+    FakeJdbc.clear()
+    val ds = somePositions(7).toDS()
+    // attempt 1 plans 4 partitions; the redelivered attempt re-plans to 2 —
+    // partition ids shift, so per-slice deletes alone would strand attempt-1
+    // rows in slices the new attempt never writes
+    JdbcSink.upsertBatch(JdbcSink.positionsLanding(ds.repartition(4)),
+      0L, ep, FakeJdbc.Factory)
+    JdbcSink.upsertBatch(JdbcSink.positionsLanding(ds.repartition(2)),
+      0L, ep, FakeJdbc.Factory)
+    val rows = FakeJdbc.rows("ship_pos_and_wx")
+    assert(rows.size == 7, s"stranded or duplicated rows: ${rows.size}")
+    assert(rows.map(_("mmsi").toString).sorted ==
+      (1 to 7).map(i => s"mmsi$i").sorted)
+  }
+
   test("landing projections match the ClickHouse DDL column sets") {
     import spark.implicits._
     val pos = JdbcSink.positionsLanding(somePositions(1).toDS())
