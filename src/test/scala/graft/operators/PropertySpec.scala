@@ -12,6 +12,39 @@ class PropertySpec extends SparkSpec {
   private def sample[A](gen: Gen[A], n: Int, seed: Long): Seq[A] =
     Gen.listOfN(n, gen).pureApply(Gen.Parameters.default, Seed(seed))
 
+  test("property: hammingPairs and hammingPairsWide both find EXACTLY the " +
+      "brute-force pair set on random fingerprints with planted near pairs") {
+    import spark.implicits._
+    val maxDist = 3
+    // random 60-bit fingerprints...
+    val bases = sample(Gen.chooseNum(0L, (1L << 60) - 1), 120, 77L).distinct
+    // ...plus planted near pairs: flip 0..maxDist random bit positions
+    val flips = sample(for {
+      base <- Gen.chooseNum(0, bases.length - 1)
+      k <- Gen.chooseNum(0, maxDist)
+      bits <- Gen.listOfN(k, Gen.chooseNum(0, 59))
+    } yield (base, bits), 60, 99L)
+    val planted = flips.map { case (bi, bits) =>
+      bits.foldLeft(bases(bi))((f, b) => f ^ (1L << b))
+    }
+    val all = (bases ++ planted).distinct.zipWithIndex
+      .map { case (f, i) => (i.toLong, f) }
+    val brute = (for {
+      (i, fa) <- all; (j, fb) <- all if i < j
+      d = java.lang.Long.bitCount(fa ^ fb) if d <= maxDist
+    } yield (i, j, d)).toSet
+    assert(brute.nonEmpty) // the planted pairs actually materialized
+    val fp = all.toDF("doc_id", "simhash").cache()
+    try {
+      def run(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // pigeonhole recall is STRUCTURAL: both geometries must equal brute
+      // force exactly — no probabilistic slack
+      assert(run(Dedup.hammingPairs(fp, maxDist)) == brute)
+      assert(run(Dedup.hammingPairsWide(fp, maxDist)) == brute)
+    } finally fp.unpersist()
+  }
+
   test("property: encode->decode round-trips valid positions to wire precision") {
     import graft.ais.{AisDecoder, Nmea, NmeaEncoder}
     val gen = for {
