@@ -662,8 +662,18 @@ object Dedup {
     * bands/rows/caps, one query says whether the production paths still
     * find the pairs the quadratic baseline defines. Runs each method once
     * over its own candidate structure; the only cross join is against the
-    * broadcast single-row exact count. */
-  def dedupRecallReport(docs: DataFrame): DataFrame = {
+    * broadcast single-row exact count.
+    *
+    * `sampleMod` > 1 gates on a deterministic 1/sampleMod hash sample of the
+    * corpus — the 100 TB form, since the gate's ground truth is the
+    * quadratic baseline and must never see a full web-scale corpus. Both
+    * the ground truth and every method run on the SAME restricted corpus,
+    * so within-sample recall is an unbiased estimate of corpus recall
+    * (pairs straddling the sample boundary are excluded from both sides
+    * identically). */
+  def dedupRecallReport(docs0: DataFrame, sampleMod: Long = 1L): DataFrame = {
+    val docs = if (sampleMod <= 1L) docs0
+      else docs0.filter(pmod(xxhash64(col("doc_id")), lit(sampleMod)) === 0)
     val exact = jaccardPairs(docs, "doc_id", "text", 3, 0.8,
       maxDf = Uncapped).select(col("i"), col("j"))
     val methods: Seq[(String, DataFrame)] = Seq(

@@ -75,6 +75,13 @@ class DedupSimilaritySpec extends SparkSpec {
     // cap provably drop nothing on this corpus (differential tests above)
     assert(report("minhash_lsh") == 1.0)
     assert(report("jaccard_capped") == 1.0)
+
+    // the sampled (100 TB) form restricts ground truth and methods to the
+    // SAME hash sample, so complete methods stay complete on the sample
+    val sampled = Dedup.dedupRecallReport(docs, sampleMod = 2L).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    sampled.get("minhash_lsh").foreach(r => assert(r == 1.0, s"sampled lsh $r"))
+    sampled.get("jaccard_capped").foreach(r => assert(r == 1.0))
   }
 
   test("simhash: near-dup pairs sit at small hamming distance, random pairs far") {
