@@ -11,20 +11,27 @@ import org.apache.spark.sql.streaming.Trigger
   *   socket  — consume the live NMEA feed (the reference's TCP source,
   *             config-template.ini:5-6): `runMain graft.App socket <host> <port> <outDir>`
   *   replay  — replay NMEA text files: `runMain graft.App replay <inPath> <outDir>`
+  *   kafka   — the reference's deploy topology (README.md:195-202): raw NMEA
+  *             lines from a topic → decode → the two Confluent-framed Avro
+  *             topics (positions + compacted info, key = mmsi):
+  *             `App kafka <bootstrap> <rawTopic> <checkpointRoot>`.
+  *             Needs the spark-sql-kafka connector jar on the classpath
+  *             (deploy-time; see README "Deploying").
   *
-  * Both run the same checkpointed pipeline: decode → position/info branches →
-  * parquet append sinks (the MV analog), then weather-enrich the position
-  * sink. Weather uses the HTTP client when WEATHER_API_KEY is set (the
-  * reference's WeatherAPI.com dependency, lib/weather.py), else the
-  * deterministic fixture client.
+  * All modes run the same checkpointed decode pipeline. socket/replay land in
+  * parquet append sinks (the MV analog) and weather-enrich the position sink;
+  * weather uses the HTTP client when WEATHER_API_KEY is set (the reference's
+  * WeatherAPI.com dependency, lib/weather.py), else the deterministic
+  * fixture client.
   */
 object App {
   private val usage =
-    "usage: App socket <host> <port> <outDir> | App replay <inPath> <outDir>"
+    "usage: App socket <host> <port> <outDir> | App replay <inPath> <outDir> " +
+      "| App kafka <bootstrap> <rawTopic> <checkpointRoot>"
 
   def main(args: Array[String]): Unit = {
-    // per-mode arity: socket needs 4 args, replay 3
-    require(args.headOption.contains("socket") && args.length >= 4 ||
+    // per-mode arity: socket/kafka need 4 args, replay 3
+    require(Seq("socket", "kafka").exists(args.headOption.contains) && args.length >= 4 ||
       args.headOption.contains("replay") && args.length >= 3, usage)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
@@ -36,6 +43,19 @@ object App {
     val spark = (if (sys.props.contains("spark.master")) builder
       else builder.master(s"local[$cpus]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (args(0) == "kafka") {
+      // deploy topology: raw topic in, the two wire topics out; the
+      // enrichment/serving consumers follow those topics (ClickHouse via
+      // JdbcSink, or the reference's Kafka-engine tables directly)
+      val raw = graft.streaming.KafkaWire.sourceReader(spark,
+        graft.streaming.KafkaWire.Endpoint(args(1), args(2))).load()
+      val (posW, infoW) = graft.streaming.KafkaWire.pipelineWriters(
+        raw, bootstrap = args(1), checkpointRoot = args(3))
+      posW.start(); infoW.start()
+      spark.streams.awaitAnyTermination()
+      return
+    }
 
     val (raw, outDir) = args(0) match {
       case "socket" =>
