@@ -10,7 +10,7 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * The composable form — `aggregate(zip_with(a, b, _*_), 0.0, _+_)` —
   * allocates a 64-element intermediate array per evaluation; on an all-pairs
   * similarity join that is one allocation per *pair* (2M allocations at
-  * sf0.1, measured 15s for embedding_topk_pairs). This expression loops over
+  * sf0.1, measured 15s for embedding_topk_pairs_oracle_baseline). This expression loops over
   * the two ArrayData buffers directly inside generated code: no intermediate,
   * no boxing — the pair join drops to the cost of the multiplies.
   *
