@@ -94,6 +94,31 @@ object ScaleRehearsal {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // embeddings: 10 cluster directions + per-vector hash noise (matches the
+    // driver corpus's shape: 64-dim float, 10 labels, near-isotropic within
+    // cluster); every 50th vector is a near-copy of its predecessor — the
+    // planted near-neighbor structure recall is measured against
+    val nVecs = 2000L * mult
+    val dim = 64
+    spark.range(nVecs)
+      .map { id0 =>
+        val id: Long = id0
+        val label = math.floorMod(id, 10).toInt
+        val baseId: Long = if (id % 50 == 49) id - 1 else id
+        val r = lcg(baseId * 31 + 7)
+        val noise = r.take(dim).map(x =>
+          (math.floorMod(x, 2001) - 1000) / 1000.0f).toArray
+        val v = Array.tabulate(dim) { d =>
+          val center = if (d % 10 == math.floorMod(baseId, 10)) 2.0f else 0.0f
+          val jitter = if (id % 50 == 49 && d == 0) 0.01f else 0.0f
+          center + noise(d) + jitter
+        }
+        (id, v, label)
+      }
+      .toDF("vec_id", "embedding", "label")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
   }
 
   // ---- candidate counters (same keys as the operators, count-only) ----
@@ -226,6 +251,23 @@ object ScaleRehearsal {
         println(f"""SCALE {"mult":"x$m","query":"$q","rows":$rows,""" +
           f""""sec":$sec%.2f,"candidates":${cand.getOrElse(q, -1L)}}""")
       }
+      // ANN family: runtime of each path + recall@10 vs the exact baseline
+      // on the same corpus — the scaling claim here is linear runtime with
+      // STABLE recall (the planted near-neighbor structure is scale-free)
+      Seq("ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_cells",
+        "ann_pq_adc", "ann_ivf_pq").foreach { q =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        println(f"""ANN {"mult":"x$m","query":"$q","sec":$sec%.2f}""")
+      }
+      val recall = graft.operators.Curation.annRecallReport(
+        graft.sources.Tables.embeddings(spark, dir)).collect()
+        .map(r => s""""${r.getString(0)}":${r.getDouble(1)}""").sorted
+        .mkString("{", ",", "}")
+      spark.catalog.clearCache()
+      println(s"""ANNRECALL {"mult":"x$m","recall":$recall}""")
     }
     spark.stop()
   }
