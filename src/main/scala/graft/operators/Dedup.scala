@@ -115,10 +115,17 @@ object Dedup {
     * no hot shingles (the uncapped all-pairs answer is what the capped form
     * is graded against). */
   def jaccardPairs(df: DataFrame, id: String, text: String, n: Int,
-      threshold: Double, maxDf: Long = DefaultMaxDf): DataFrame = {
-    // reused by the pair self-join and both count joins; hashed keys — the
-    // pair join shuffles 8-byte shingle hashes, not n-gram text
-    val sh = shingleIndexHashed(df, id, text, n, maxDf).cache()
+      threshold: Double, maxDf: Long = DefaultMaxDf): DataFrame =
+    // cached: reused by the pair self-join and both count joins; hashed
+    // keys — the pair join shuffles 8-byte shingle hashes, not n-gram text
+    jaccardFromIndex(shingleIndexHashed(df, id, text, n, maxDf).cache(),
+      threshold)
+
+  /** The Jaccard pair pipeline over a PREBUILT (doc_id, s) shingle index —
+    * lets callers that need several cap variants of the same corpus (e.g.
+    * [[dedupRecallReport]]) shingle once and derive, instead of re-scanning
+    * the corpus per variant. Caller owns caching of `sh`. */
+  private def jaccardFromIndex(sh: DataFrame, threshold: Double): DataFrame = {
     val cnt = shingleCounts(sh)
     val pairs = sh.as("a")
       .join(sh.as("b"),
@@ -674,13 +681,19 @@ object Dedup {
   def dedupRecallReport(docs0: DataFrame, sampleMod: Long = 1L): DataFrame = {
     val docs = if (sampleMod <= 1L) docs0
       else docs0.filter(pmod(xxhash64(col("doc_id")), lit(sampleMod)) === 0)
-    val exact = jaccardPairs(docs, "doc_id", "text", 3, 0.8,
-      maxDf = Uncapped).select(col("i"), col("j"))
+    // one shingle pass serves both the uncapped ground truth and the capped
+    // method — the cap is an anti-join DERIVED from the base index, so the
+    // corpus is scanned once, not once per variant
+    val base = shingleIndexHashed(docs, "doc_id", "text", 3, Uncapped).cache()
+    val hot = base.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 50).select(col("s"))
+    val capped = base.join(broadcast(hot), Seq("s"), "left_anti").cache()
+    val exact = jaccardFromIndex(base, 0.8).select(col("i"), col("j"))
     val methods: Seq[(String, DataFrame)] = Seq(
       "minhash_lsh" -> minHashDedup(docs, "doc_id", "text", 3, 32, 8, 0.8)
         .select(col("i"), col("j")),
-      "jaccard_capped" -> jaccardPairs(docs, "doc_id", "text", 3, 0.8,
-        maxDf = 50).select(col("i"), col("j")),
+      "jaccard_capped" -> jaccardFromIndex(capped, 0.8)
+        .select(col("i"), col("j")),
       "simhash_d3" -> hammingPairsWide(
         simHash(docs, "doc_id", "text"), maxDist = 3)
         .select(col("i"), col("j")))
