@@ -160,5 +160,102 @@ object Eval {
       .groupBy(col("actual"), col("predicted"))
       .agg(count(lit(1)).as("n")))
 
-  val defs: Seq[QueryDef] = Seq(aucQ, confusionQ, langidConfusionQ)
+  // ---- ranking metrics over the ANN surface --------------------------------
+
+  /** DCG discount table in exact integer micros: d(r) = round(1e6/log2(r+1)),
+    * r = 1..10, plus its prefix sums (the ideal-DCG numerators). Precomputed
+    * once here and inlined as LITERALS into both the Spark plan and the
+    * DuckDB oracle (the hyperplane-inlining pattern of Similarity.lshOracle),
+    * so neither engine evaluates a transcendental at query time: DCG and
+    * IDCG are exact integer sums, and the one final division is the same
+    * IEEE op on both sides. */
+  private val discMicros: Seq[Long] = (1 to 10).map(r =>
+    math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong)
+  private val idealPrefix: Seq[Long] = discMicros.scanLeft(0L)(_ + _).tail
+
+  /** NDCG@10 / MRR@10 / hit counts for the exact ANN ranking, judged by
+    * label agreement (a neighbor is "relevant" iff it carries the query's
+    * `label`) — the standard offline eval of a retrieval index against a
+    * labeled corpus, here eating the engine's own `ann_cosine_topk` ranking.
+    *
+    * Scale design: the ranking pass is [[Similarity.annBruteForce]] (queries
+    * broadcast, corpus scanned once — swap in annLsh/annIvf candidates for a
+    * web-scale corpus; the metric code is ranking-agnostic). Everything
+    * after the ranking is |Q|x10 rows, and the ideal-DCG side needs only the
+    * per-label corpus totals (|labels| rows, broadcast) — no second corpus
+    * pass, no window wider than the top-10 list. */
+  val rankMetricsQ = QueryDef(
+    "eval_ndcg_mrr",
+    "per-query NDCG@10, reciprocal rank and hit counts of the exact cosine " +
+      "top-10, relevance = label match",
+    Some(s"""WITH e AS (SELECT vec_id, label,
+                               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                        FROM embeddings),
+             n AS (SELECT vec_id, label, v,
+                          sqrt(${Similarity.dotSql.format("v", "v")}) AS nrm FROM e),
+             sims AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+                             (c.label = q.label) AS rel,
+                             ${Num.sql(Similarity.dotSql.format("q.v", "c.v") +
+                               " / (q.nrm * c.nrm)", 6)} AS cosine
+                      FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+             ranked AS (SELECT q_id, rel, rank FROM (
+                          SELECT q_id, rel,
+                                 row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+                          FROM sims) WHERE rank <= 10),
+             per AS (SELECT q_id,
+                            CAST(count(CASE WHEN rel THEN 1 END) AS BIGINT) AS n_rel_10,
+                            CAST(coalesce(sum(CASE WHEN rel THEN
+                              ([${discMicros.mkString(", ")}])[rank] END), 0)
+                              AS BIGINT) AS dcg_u,
+                            CAST(coalesce(min(CASE WHEN rel THEN rank END), 0)
+                              AS BIGINT) AS first_rel_rank
+                     FROM ranked GROUP BY 1),
+             tot AS (SELECT a.vec_id AS q_id, CAST(count(*) AS BIGINT) AS n_rel_total
+                     FROM e a JOIN e b ON b.label = a.label AND b.vec_id <> a.vec_id
+                     WHERE a.vec_id < 5 GROUP BY 1)
+             SELECT per.q_id, n_rel_10, coalesce(n_rel_total, 0) AS n_rel_total,
+                    first_rel_rank,
+                    CASE WHEN first_rel_rank > 0
+                         THEN ${Num.sql("1.0 / first_rel_rank", 6)}
+                         ELSE 0.0 END AS rr_10,
+                    ${Num.sql(
+                      "CAST(dcg_u AS DOUBLE) / (CASE WHEN coalesce(n_rel_total, 0) > 0 " +
+                      s"THEN ([${idealPrefix.mkString(", ")}])[least(10, n_rel_total)] " +
+                      "ELSE 1 END)", 6)} AS ndcg_10
+             FROM per LEFT JOIN tot ON tot.q_id = per.q_id"""),
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val lab = e.select(col("vec_id"), col("label"))
+      val ranked = Similarity.annBruteForce(e.filter(col("vec_id") < 5), e, 10)
+      val rel = ranked
+        .join(lab, Seq("vec_id")) // neighbor's label
+        .join(broadcast(lab.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"))), Seq("q_id"))
+        .select(col("q_id"), col("rank"),
+          (col("label") === col("q_label")).as("rel"))
+      val per = rel.groupBy(col("q_id")).agg(
+        sum(when(col("rel"), 1L).otherwise(0L)).as("n_rel_10"),
+        sum(when(col("rel"), element_at(typedLit(discMicros), col("rank")))
+          .otherwise(0L)).as("dcg_u"),
+        coalesce(min(when(col("rel"), col("rank"))), lit(0))
+          .cast("long").as("first_rel_rank"))
+      val qtot = lab.filter(col("vec_id") < 5)
+        .join(broadcast(lab.groupBy(col("label"))
+          .agg(count(lit(1)).as("n_label"))), Seq("label"))
+        .select(col("vec_id").as("q_id"), (col("n_label") - 1L).as("n_rel_total"))
+      per.join(broadcast(qtot), Seq("q_id"))
+        .select(col("q_id"), col("n_rel_10"), col("n_rel_total"),
+          col("first_rel_rank"),
+          when(col("first_rel_rank") > 0,
+            Num.pround(lit(1.0) / col("first_rel_rank"), 6))
+            .otherwise(lit(0.0)).as("rr_10"),
+          Num.pround(col("dcg_u").cast("double") /
+            when(col("n_rel_total") > 0,
+              element_at(typedLit(idealPrefix),
+                least(lit(10L), col("n_rel_total")).cast("int")))
+              .otherwise(lit(1L)), 6).as("ndcg_10"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(aucQ, confusionQ, langidConfusionQ, rankMetricsQ)
 }

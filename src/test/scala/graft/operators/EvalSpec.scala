@@ -42,6 +42,44 @@ class EvalSpec extends SparkSpec {
       s"en recall too low: $enRow")
   }
 
+  test("ndcg/mrr metrics match an independent driver-side reference") {
+    val rows = Eval.rankMetricsQ.run(spark, sf("sf0.001")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // independent reference: collect the corpus, rank and score locally
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+      .collect().map { r =>
+        (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2))
+      }
+    def rnd6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val disc = (1 to 10).map(r =>
+      math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong)
+    for (qId <- 0L to 4L) {
+      val (_, qv, qLabel) = e.find(_._1 == qId).get
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      val top = e.filter(_._1 != qId).map { case (id, v, l) =>
+        val cos = rnd6(v.zip(qv).map(p => p._1 * p._2).sum /
+          (qn * math.sqrt(v.map(x => x * x).sum)))
+        (id, cos, l == qLabel)
+      }.sortBy { case (id, cos, _) => (-cos, id) }.take(10)
+      val nRel10 = top.count(_._3).toLong
+      val dcgU = top.zipWithIndex.collect {
+        case ((_, _, true), i) => disc(i) }.sum
+      val first = top.zipWithIndex.collectFirst {
+        case ((_, _, true), i) => i + 1L }.getOrElse(0L)
+      val nRelTotal = e.count(x => x._1 != qId && x._3 == qLabel).toLong
+      val idcgU = disc.take(math.min(10L, nRelTotal).toInt).sum
+      val got = rows(qId)
+      assert(got.getLong(1) == nRel10, s"q$qId n_rel_10")
+      assert(got.getLong(2) == nRelTotal, s"q$qId n_rel_total")
+      assert(got.getLong(3) == first, s"q$qId first_rel_rank")
+      assert(got.getDouble(4) ==
+        (if (first > 0) rnd6(1.0 / first) else 0.0), s"q$qId rr_10")
+      assert(got.getDouble(5) ==
+        rnd6(dcgU.toDouble / math.max(idcgU, 1L)), s"q$qId ndcg_10")
+    }
+  }
+
   test("confusion matrix cells partition the corpus; precision/recall agree") {
     val r = Eval.confusionQ.run(spark, sf("sf0.001")).head()
     val (tp, fp, fn, tn) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
