@@ -13,7 +13,8 @@ object PlanPeek {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     val dir = "/root/testdata/sf0.001"
-    for (n <- Seq("simhash_hamming_pairs_wide", "ann_recall_report",
+    for (n <- Seq("dedup_paragraphs", "semdedup_verdicts", "dsir_weights",
+        "simhash_hamming_pairs_wide", "ann_recall_report",
         "dedup_ngram_jaccard", "bm25_topk", "dedup_containment",
         "basket_lift", "ts_gapfill", "compaction_plan", "dq_report")) {
       val df = SparkEntry.queries(n)(spark, dir)

@@ -489,7 +489,97 @@ object Curation {
       .filter(col("recall_at_k") >= RecallFloor)
       .select(col("method")).orderBy(col("method")))
 
+  // ---- DSIR importance weights ---------------------------------------------
+
+  /** Hash-bucket count for DSIR's bigram features: the first two md5 hex
+    * chars — 256 buckets, identical across engines (the same
+    * cross-engine-md5 trick as `TextAnalysis.trainValSplit`). */
+  private val DsirBuckets = 256
+
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): each document is scored by how much more
+    * likely its hashed-bigram profile is under a TARGET distribution (here:
+    * the `targetLang` slice of the corpus) than under the raw corpus
+    * distribution, with add-one smoothing over the [[DsirBuckets]] hash
+    * buckets. The weight is the log-likelihood ratio
+    * Σ_grams log(p_target(bucket)/p_raw(bucket)) — the score a sampler
+    * exponentiates to resample raw data toward the target domain.
+    *
+    * Determinism: the per-BUCKET log-ratio is quantized to integer
+    * micro-nats BEFORE the per-document sum, so document scores aggregate in
+    * exact BIGINT arithmetic under any partitioning (the same
+    * quantize-then-integer-sum pattern as [[Eval]]'s NDCG gain table);
+    * the only floating-point step is one `ln` per bucket, 256 total.
+    *
+    * Scale (100 TB): bigram rows shuffle once into per-(doc, bucket) counts;
+    * the 256-row profile aggregates from those counts and BROADCASTS back,
+    * so scoring is a map-side join + one groupBy(doc_id). No pair joins, no
+    * driver-side model — the profile is itself a DataFrame. */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en"): DataFrame = {
+    import docs.sparkSession.implicits._
+    val b = lit(DsirBuckets)
+    val bg = docs.select(col("doc_id").cast("long").as("doc_id"),
+        col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, lg, t) =>
+        val toks = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        if (toks.length < 2) Iterator.empty
+        else toks.sliding(2).map(g => (id, lg, g.mkString(" ")))
+      }.toDF("doc_id", "lang", "s")
+      .withColumn("bucket", substring(md5(col("s")), 1, 2))
+    // cached: feeds both the 256-bucket profile and the final scoring join —
+    // without it the bigram flatMap runs twice over the corpus
+    val perDoc = bg.groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("cnt")).cache()
+    val prof = perDoc.groupBy(col("bucket")).agg(
+      sum(col("cnt")).as("raw_b"),
+      sum(when(col("lang") === targetLang, col("cnt")).otherwise(0L))
+        .as("tgt_b"))
+    val tot = prof.agg(sum(col("raw_b")).as("raw_tot"),
+      sum(col("tgt_b")).as("tgt_tot"))
+    val lr = prof.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        floor(log(
+          ((col("tgt_b") + 1).cast("double") * (col("raw_tot") + b).cast("double")) /
+            ((col("raw_b") + 1).cast("double") * (col("tgt_tot") + b).cast("double")))
+          * 1e6 + 0.5).cast("long").as("lr_micro"))
+    perDoc.join(broadcast(lr), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt") * col("lr_micro")).as("weight_micro"))
+  }
+
+  val dsirQ = QueryDef(
+    "dsir_weights",
+    "DSIR importance weights: per-doc hashed-bigram log-likelihood ratio (target lang='en' vs raw corpus) in integer micro-nats",
+    Some(s"""WITH toks AS (SELECT doc_id, lang,
+                        string_split_regex(trim(lower(text)), '\\s+') AS t
+                        FROM documents),
+       bg AS (SELECT doc_id, lang,
+                     substring(md5(t[i] || ' ' || t[i+1]), 1, 2) AS bucket
+              FROM toks CROSS JOIN unnest(generate_series(1, len(t)-1)) AS u(i)
+              WHERE len(t) >= 2),
+       pd AS (SELECT doc_id, lang, bucket, count(*) AS cnt FROM bg
+              GROUP BY 1, 2, 3),
+       prof AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS raw_b,
+                       CAST(sum(CASE WHEN lang = 'en' THEN cnt ELSE 0 END)
+                            AS BIGINT) AS tgt_b
+                FROM pd GROUP BY 1),
+       tot AS (SELECT CAST(sum(raw_b) AS BIGINT) AS raw_tot,
+                      CAST(sum(tgt_b) AS BIGINT) AS tgt_tot FROM prof),
+       lr AS (SELECT bucket,
+                     CAST(floor(ln(
+                       (CAST(tgt_b + 1 AS DOUBLE) * CAST(raw_tot + $DsirBuckets AS DOUBLE)) /
+                       (CAST(raw_b + 1 AS DOUBLE) * CAST(tgt_tot + $DsirBuckets AS DOUBLE)))
+                       * 1e6 + 0.5) AS BIGINT) AS lr_micro
+              FROM prof CROSS JOIN tot)
+       SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+              CAST(sum(cnt * lr_micro) AS BIGINT) AS weight_micro
+       FROM pd JOIN lr USING (bucket)
+       GROUP BY doc_id"""),
+    (s, dir) => dsirWeights(Tables.documents(s, dir)))
+
   val defs: Seq[QueryDef] =
     Seq(decontaminateQ, fuzzyPairsQ, noveltyQ, coverageQ, interleaveQ,
-      docFeaturesQ, pqQ, ivfPqQ, annRecallQ)
+      docFeaturesQ, pqQ, ivfPqQ, annRecallQ, dsirQ)
 }

@@ -652,6 +652,72 @@ object Dedup {
         .select(col("doc_id"), col("span_start"), col("span_end"))
     })
 
+  /** Default paragraph granularity for [[paragraphDedup]] — long enough that
+    * a repeated segment is boilerplate (not a common phrase), short enough
+    * that one pass of planted duplication still lands inside a single
+    * paragraph window. */
+  val ParaTokens = 16
+
+  /** Paragraph-granularity corpus dedup with document REWRITE (the CCNet
+    * shape, ref. lib/ has no counterpart — §7.6 north star): each document's
+    * token stream is segmented into fixed [[ParaTokens]]-token paragraphs,
+    * each distinct paragraph keeps only its globally FIRST occurrence
+    * (earliest (doc_id, position) wins), and every document is reassembled
+    * from its surviving paragraphs in order. Unlike doc-level dedup this
+    * strips boilerplate shared across DIFFERENT documents while keeping
+    * their unique remainder; unlike [[repeatedSpans]] it rewrites the corpus
+    * rather than reporting span locations.
+    *
+    * Scale (100 TB): rows are (paragraph, position) — linear in the corpus —
+    * and the plan is two hash shuffles: by paragraph md5 for the
+    * first-occurrence window, then by doc_id for reassembly. No pair join
+    * anywhere. When duplicates are known rare, the full-text window shuffle
+    * can be narrowed to a min-struct groupBy over the 16-byte hash plus a
+    * winner equi-join, at the cost of a second pass over the chunk stream. */
+  def paragraphDedup(df: DataFrame, id: String, text: String,
+      paraTokens: Int = ParaTokens): DataFrame = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ch = df.select(col(id).cast("long").as("doc_id"), col(text).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (docId, t) =>
+        val toks = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        toks.grouped(paraTokens).zipWithIndex.map {
+          case (g, i) => (docId, i.toLong, g.mkString(" ")) }
+      }.toDF("doc_id", "chunk_idx", "chunk")
+    val w = Window.partitionBy(md5(col("chunk")))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    ch.withColumn("kept", row_number().over(w) === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+            when(col("kept"), struct(col("chunk_idx"), col("chunk"))))),
+          s => s.getField("chunk")), " ").as("kept_text"))
+  }
+
+  /** Oracled under DuckDB's own chunking/window spelling: identical
+    * paragraph boundaries, first-writer rule, and reassembled text. */
+  val paragraphsQ = QueryDef(
+    "dedup_paragraphs",
+    s"paragraph-level dedup with doc rewrite: first global occurrence of each $ParaTokens-token paragraph survives",
+    Some(s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                        FROM documents),
+       ch AS (SELECT doc_id, i AS chunk_idx,
+                     array_to_string(t[(i*$ParaTokens+1):(i*$ParaTokens+$ParaTokens)], ' ') AS chunk
+              FROM toks CROSS JOIN
+                unnest(generate_series(0, (len(t)+${ParaTokens - 1})//$ParaTokens - 1)) AS u(i)),
+       k AS (SELECT doc_id, chunk_idx, chunk,
+                    row_number() OVER (PARTITION BY md5(chunk)
+                      ORDER BY doc_id, chunk_idx) = 1 AS kept
+             FROM ch)
+       SELECT doc_id, count(*) AS n_paras,
+              CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              coalesce(string_agg(CASE WHEN kept THEN chunk END, ' '
+                ORDER BY chunk_idx), '') AS kept_text
+       FROM k GROUP BY doc_id"""),
+    (s, dir) => paragraphDedup(Tables.documents(s, dir), "doc_id", "text"))
+
   /** Recall floor for [[dedupRecallReport]]. The LSH and capped paths are
     * structurally complete on corpora without pathological shingle skew
     * (recall 1.0 here, differentially proven in DedupSimilaritySpec); the
@@ -724,5 +790,6 @@ object Dedup {
 
   val defs: Seq[QueryDef] =
     Seq(exactQ, jaccardQ, jaccardCappedQ, minHashQ, simHashQ, hammingQ,
-      hammingWideQ, clustersQ, spansQ, containmentQ, dedupRecallQ)
+      hammingWideQ, clustersQ, spansQ, containmentQ, dedupRecallQ,
+      paragraphsQ)
 }

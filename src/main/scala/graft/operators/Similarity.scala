@@ -401,6 +401,70 @@ object Similarity {
           graft.functions.Num.pround(col("vj") / col("nrm"), 6).as("loading"))
     })
 
+  /** SemDeDup (Abbas et al. 2023's cluster-then-dedup shape): coarse-cluster
+    * the embedding corpus (the same deterministic strided codebook + rounded
+    * argmax assignment as [[annIvf]]), then run the cosine >= tau duplicate
+    * scan only WITHIN each cell — the all-pairs product never happens.
+    * Verdict per vector: kept unless an earlier (lower-id) vector in the
+    * SAME cell sits within tau; dropped vectors carry their earliest
+    * witness. Cross-cell near-dups are the method's documented recall trade
+    * (that is SemDeDup's own approximation); [[nearDupQ]] is the exact twin
+    * this blocking is graded against in SimilaritySpec.
+    *
+    * Scale (100 TB): centroids broadcast, the corpus shuffles once by cell,
+    * candidate work is Σ|cell|² — bounded by codebook granularity, so
+    * oversized cells are re-clustered (finer stride) rather than scanned;
+    * the verdict join is a per-cell equi-join, never global. */
+  def semDedup(e: DataFrame, stride: Int, tau: Double): DataFrame = {
+    val c = withNorm(e)
+    // cached: feeds both sides of the pair scan AND the verdict base —
+    // without it the broadcast-assign subtree runs three times
+    val cells = assignCells(c, coarseCentroids(c, stride)).cache()
+    val a = cells.select(col("c_id"), col("vec_id").as("i"),
+      col("v").as("vi"), col("nrm").as("ni"))
+    val b = cells.select(col("c_id"), col("vec_id").as("j"),
+      col("v").as("vj"), col("nrm").as("nj"))
+    val dropped = a.join(b, "c_id").filter(col("i") < col("j"))
+      .select(col("j"),
+        Num.pround(Vec.cosinePrenormed(Vec.dot(col("vi"), col("vj")),
+          col("ni"), col("nj")), 6).as("cosine"), col("i"))
+      .filter(col("cosine") >= tau)
+      .groupBy(col("j")).agg(min(col("i")).as("dup_of"))
+    cells.select(col("vec_id"), col("c_id"))
+      .join(dropped, col("vec_id") === col("j"), "left")
+      .select(col("vec_id"), col("c_id"),
+        col("dup_of").isNull.as("kept"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+  }
+
+  private val semDedupTau = 0.35
+
+  val semDedupQ = QueryDef(
+    "semdedup_verdicts",
+    s"SemDeDup: per-vector keep/drop verdicts from the within-cell cosine >= $semDedupTau scan",
+    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                        FROM embeddings),
+             n AS (SELECT vec_id, v, sqrt(${dotSql.format("v", "v")}) AS nrm FROM e),
+             cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
+                       WHERE vec_id % 25 = 0),
+             cellr AS (SELECT vec_id, v, nrm, c_id,
+                              row_number() OVER (PARTITION BY vec_id ORDER BY
+                                ${Num.sql(dotSql.format("v", "cv") + " / (nrm * cn)", 6)} DESC,
+                                c_id) AS crank
+                       FROM n CROSS JOIN cents),
+             cells AS (SELECT vec_id, v, nrm, c_id FROM cellr WHERE crank = 1),
+             drp AS (SELECT b.vec_id AS j, min(a.vec_id) AS dup_of
+                     FROM cells a JOIN cells b
+                       ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+                     WHERE ${Num.sql(dotSql.format("a.v", "b.v") + " / (a.nrm * b.nrm)", 6)} >= $semDedupTau
+                     GROUP BY b.vec_id)
+             SELECT c.vec_id, c.c_id, drp.dup_of IS NULL AS kept,
+                    coalesce(drp.dup_of, -1) AS dup_of
+             FROM cells c LEFT JOIN drp ON drp.j = c.vec_id"""),
+    (s, dir) => semDedup(Tables.embeddings(s, dir), stride = 25,
+      tau = semDedupTau))
+
   val defs: Seq[QueryDef] =
-    Seq(pairsQ, annQ, annLshQ, annIvfQ, kmeansQ, nearDupQ, quantQ, pcaStepQ)
+    Seq(pairsQ, annQ, annLshQ, annIvfQ, kmeansQ, nearDupQ, quantQ, pcaStepQ,
+      semDedupQ)
 }

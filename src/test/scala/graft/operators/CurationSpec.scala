@@ -137,4 +137,38 @@ class CurationSpec extends SparkSpec {
     // novelty only covers docs with >= 2 tokens (bigrams exist)
     assert(nov.count() == docs.count())
   }
+
+  test("dsirWeights: zero when target == raw, and discriminates toward the " +
+      "target domain on disjoint vocabularies") {
+    import spark.implicits._
+    // every doc is the target language -> p_target == p_raw -> weight 0
+    val uniform = Seq((1L, "en", "a b a b a"), (2L, "en", "c d c d c"))
+      .toDF("doc_id", "lang", "text")
+    val u = Curation.dsirWeights(uniform).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(u == Map(1L -> 0L, 2L -> 0L))
+    // disjoint vocab: the doc whose bigrams dominate the 'en' slice must
+    // outscore the doc whose bigrams only appear in the raw distribution
+    val mixed = Seq(
+      (1L, "en", "a b a b a b a b"),
+      (2L, "xx", "c d c d c d c d"),
+      (3L, "xx", "a b a b c d c d"))   // half target-ish, half not
+    val m = Curation.dsirWeights(mixed.toDF("doc_id", "lang", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m(1L)._1 == 7 && m(2L)._1 == 7 && m(3L)._1 == 7) // bigram counts
+    // ordering is the contract; absolute sign is not meaningful at this size
+    // (add-one smoothing over 256 buckets dominates single-digit counts)
+    assert(m(1L)._2 > m(3L)._2 && m(3L)._2 > m(2L)._2)
+    // real corpus: weights exist for every doc and are not all equal
+    val real = Curation.dsirWeights(docs).cache()
+    try {
+      assert(real.count() == docs.count())
+      assert(real.select(col("weight_micro")).distinct().count() > 1)
+      // en docs average above non-en docs: the score points at the target
+      val byLang = real.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang") === "en").agg(avg(col("weight_micro")))
+        .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+      assert(byLang(true) > byLang(false))
+    } finally real.unpersist()
+  }
 }

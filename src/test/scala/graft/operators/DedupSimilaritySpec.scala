@@ -201,4 +201,69 @@ class DedupSimilaritySpec extends SparkSpec {
     // energy; ASCII text sits far below it
     assert(got.values.forall(e => e > 0 && e < 32768.0 * 32768.0))
   }
+
+  test("paragraphDedup: first global occurrence survives, later copies are " +
+      "rewritten out, unique docs round-trip verbatim") {
+    import spark.implicits._
+    val pA = (1 to 16).map(i => s"a$i").mkString(" ")   // one full paragraph
+    val pB = (1 to 16).map(i => s"b$i").mkString(" ")
+    val pC = (1 to 16).map(i => s"c$i").mkString(" ")
+    val corpus = Seq(
+      1L -> s"$pA $pB",      // doc 1 owns A and B
+      2L -> s"$pB $pC",      // B is a later copy -> rewritten to just C
+      3L -> pC)              // C first occurs in doc 2 -> doc 3 empties
+    val got = Dedup.paragraphDedup(corpus.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((2L, 2L, s"$pA $pB")))
+    assert(got(2L) == ((2L, 1L, pC)))
+    assert(got(3L) == ((1L, 0L, "")))
+    // real corpus invariants: kept paragraphs == distinct paragraph count,
+    // and a doc's rewrite is a subsequence of its own token stream
+    val real = Dedup.paragraphDedup(docs, "doc_id", "text").cache()
+    try {
+      val kept = real.agg(sum(col("n_kept"))).head.getLong(0)
+      val total = real.agg(sum(col("n_paras"))).head.getLong(0)
+      assert(kept < total)                  // the corpus has repeated paragraphs
+      val distinctParas = docs.select(col("doc_id"), col("text")).collect()
+        .flatMap { r =>
+          r.getString(1).trim.toLowerCase.split("\\s+").grouped(16)
+            .map(_.mkString(" "))
+        }.distinct.length
+      assert(kept == distinctParas)         // exactly one survivor per paragraph
+    } finally real.unpersist()
+  }
+
+  test("semDedup verdicts match a per-cell brute force; dup_of is the " +
+      "earliest same-cell witness") {
+    val verdicts = Similarity.semDedup(emb, stride = 25, tau = 0.35)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getLong(3)))).toMap
+    assert(verdicts.values.exists(!_._2))   // the corpus actually drops some
+    // brute-force reference: same assignment rule (rounded argmax, id tie)
+    val vecs = emb.collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      r.getLong(0) -> v
+    }.sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val c = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      math.floor(c * 1e6 + 0.5) / 1e6
+    }
+    val cents = vecs.filter(_._1 % 25 == 0)
+    val cellOf = vecs.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (cos(v, cv), -cid) }.zip(cents.map(_._1))
+        .maxBy(_._1)._2
+    }.toMap
+    val byId = vecs.toMap
+    vecs.foreach { case (id, v) =>
+      val (cell, kept, dupOf) = verdicts(id)
+      assert(cell == cellOf(id), s"cell of $id")
+      val witnesses = vecs.collect { case (j, w)
+        if j < id && cellOf(j) == cell && cos(byId(id), w) >= 0.35 => j }
+      if (witnesses.isEmpty) assert(kept && dupOf == -1L, s"vec $id")
+      else assert(!kept && dupOf == witnesses.min, s"vec $id")
+    }
+  }
 }
