@@ -515,10 +515,11 @@ object Curation {
     * the 256-row profile aggregates from those counts and BROADCASTS back,
     * so scoring is a map-side join + one groupBy(doc_id). No pair joins, no
     * driver-side model — the profile is itself a DataFrame. */
-  def dsirWeights(docs: DataFrame, targetLang: String = "en"): DataFrame = {
+  /** Per-(doc, lang, bucket) bigram counts — the shared base of the profile
+    * and the scoring join. */
+  private def dsirPerDoc(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val b = lit(DsirBuckets)
-    val bg = docs.select(col("doc_id").cast("long").as("doc_id"),
+    docs.select(col("doc_id").cast("long").as("doc_id"),
         col("lang"), col("text"))
       .as[(Long, String, String)]
       .flatMap { case (id, lg, t) =>
@@ -527,22 +528,39 @@ object Curation {
         else toks.sliding(2).map(g => (id, lg, g.mkString(" ")))
       }.toDF("doc_id", "lang", "s")
       .withColumn("bucket", substring(md5(col("s")), 1, 2))
-    // cached: feeds both the 256-bucket profile and the final scoring join —
-    // without it the bigram flatMap runs twice over the corpus
-    val perDoc = bg.groupBy(col("doc_id"), col("lang"), col("bucket"))
-      .agg(count(lit(1)).as("cnt")).cache()
+      .groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The 256-row (bucket, lr_micro) profile from per-doc bucket counts. */
+  private def dsirProfileOf(perDoc: DataFrame,
+      targetLang: String): DataFrame = {
+    val b = lit(DsirBuckets)
     val prof = perDoc.groupBy(col("bucket")).agg(
       sum(col("cnt")).as("raw_b"),
       sum(when(col("lang") === targetLang, col("cnt")).otherwise(0L))
         .as("tgt_b"))
     val tot = prof.agg(sum(col("raw_b")).as("raw_tot"),
       sum(col("tgt_b")).as("tgt_tot"))
-    val lr = prof.crossJoin(broadcast(tot))
+    prof.crossJoin(broadcast(tot))
       .select(col("bucket"),
         floor(log(
           ((col("tgt_b") + 1).cast("double") * (col("raw_tot") + b).cast("double")) /
             ((col("raw_b") + 1).cast("double") * (col("tgt_tot") + b).cast("double")))
           * 1e6 + 0.5).cast("long").as("lr_micro"))
+  }
+
+  /** The trained DSIR model on its own: (bucket, lr_micro), 256 rows —
+    * what a streaming gate broadcasts ([[graft.streaming.CorpusIngest
+    * .dsirGate]]) and what a resampling job persists between corpus drops. */
+  def dsirProfile(docs: DataFrame, targetLang: String = "en"): DataFrame =
+    dsirProfileOf(dsirPerDoc(docs), targetLang)
+
+  def dsirWeights(docs: DataFrame, targetLang: String = "en"): DataFrame = {
+    // cached: feeds both the 256-bucket profile and the final scoring join —
+    // without it the bigram flatMap runs twice over the corpus
+    val perDoc = dsirPerDoc(docs).cache()
+    val lr = dsirProfileOf(perDoc, targetLang)
     perDoc.join(broadcast(lr), "bucket")
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_bigrams"),

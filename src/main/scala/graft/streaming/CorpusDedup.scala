@@ -142,4 +142,57 @@ object CorpusDedup {
     docs.toDF()
       .withColumn("text_hash", md5(col("text")))
       .dropDuplicates("text_hash")
+
+  case class ParaProbe(para_hash: Long, doc_id: Long, chunk_idx: Long,
+      chunk: String, n_paras: Long)
+  case class ParaVerdict(doc_id: Long, chunk_idx: Long, chunk: String,
+      n_paras: Long, kept: Boolean)
+
+  /** Streaming paragraph-granularity dedup with document REWRITE — the
+    * continuous form of [[graft.operators.Dedup.paragraphDedup]]: each
+    * arriving document's token stream is chunked into fixed
+    * `paraTokens`-token paragraphs; a paragraph is kept only the FIRST time
+    * its hash is ever seen on the stream (intra-batch ties resolve to the
+    * earliest (doc_id, position), matching the batch window's order), and
+    * each doc's row carries its surviving text reassembled in order.
+    * Output schema matches the batch operator exactly:
+    * (doc_id, n_paras, n_kept, kept_text). Run in Update mode (the
+    * per-doc reassembly is an aggregation after the stateful stage).
+    *
+    * Scale: state is ONE BOOLEAN per distinct paragraph, keyed by an 8-byte
+    * fnv64 hash (the same narrow-state move as [[incrementalDedup]]'s band
+    * buckets — paragraph text never enters state), sharded across executors
+    * by hash; for unbounded streams TTL the keys by event time
+    * (GroupStateTimeout) once dedup only needs a rolling horizon. */
+  def paragraphDedupStream(docs: Dataset[StreamDoc],
+      paraTokens: Int = graft.operators.Dedup.ParaTokens): DataFrame = {
+    import docs.sparkSession.implicits._
+    val probes = docs.flatMap { d =>
+      val toks = d.text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+      val chunks = toks.grouped(paraTokens).map(_.mkString(" ")).toArray
+      chunks.iterator.zipWithIndex.map { case (c, i) =>
+        ParaProbe(fnv64(c), d.doc_id, i.toLong, c, chunks.length.toLong)
+      }
+    }
+    val verdicts = probes
+      .groupByKey(_.para_hash)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[ParaProbe], state: GroupState[Boolean]) =>
+          var seen = state.getOption.getOrElse(false)
+          val out = rows.toSeq.sortBy(p => (p.doc_id, p.chunk_idx)).map { p =>
+            val kept = !seen
+            seen = true
+            ParaVerdict(p.doc_id, p.chunk_idx, p.chunk, p.n_paras, kept)
+          }
+          state.update(seen)
+          out.iterator
+      }
+    verdicts.toDF()
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_paras")).as("n_paras"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+            when(col("kept"), struct(col("chunk_idx"), col("chunk"))))),
+          s => s.getField("chunk")), " ").as("kept_text"))
+  }
 }

@@ -125,6 +125,41 @@ object CorpusIngest {
       .select(col("doc_id"), col("text")).as[CorpusDedup.StreamDoc]
   }
 
+  /** Streaming DSIR gate — the streaming face of the batch `dsir_weights`
+    * operator: score each arriving document's hashed-bigram profile against
+    * a TRAINED target-vs-raw log-likelihood model
+    * ([[graft.operators.Curation.dsirProfile]]) and keep docs scoring at
+    * least `minWeightMicro` micro-nats — continuous importance-based
+    * selection toward a target domain. The model is 256 (bucket, lr_micro)
+    * entries BY CONSTRUCTION (bounded however large the reference corpus),
+    * broadcast once; each doc is a stateless per-row score — no streaming
+    * state, no stream-side shuffle, same scale contract as
+    * [[decontaminationGate]]. Scoring arithmetic is identical to the batch
+    * operator (same md5-prefix bucketing, same integer micro-nat sum), so a
+    * doc's stream score equals its batch `weight_micro` exactly. */
+  def dsirGate(docs: Dataset[CorpusDedup.StreamDoc],
+      profile: Map[String, Long], minWeightMicro: Long): DataFrame = {
+    val spark = docs.sparkSession
+    val profB = spark.sparkContext.broadcast(profile)
+    val weight = udf { (t: String) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val toks = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+      var w = 0L
+      if (toks.length >= 2) {
+        toks.sliding(2).foreach { g =>
+          val d = md.digest(g.mkString(" ").getBytes("UTF-8"))
+          val bucket = f"${d(0) & 0xff}%02x"
+          w += profB.value.getOrElse(bucket, 0L)
+          md.reset()
+        }
+      }
+      w
+    }
+    docs.toDF()
+      .withColumn("weight_micro", weight(col("text")))
+      .filter(col("weight_micro") >= minWeightMicro)
+  }
+
   /** The gate's trigram model, bounded to the `maxModelSize` most frequent
     * trigrams so the driver/broadcast footprint is capped however large the
     * reference corpus is (a web-scale reference would otherwise collect an

@@ -427,3 +427,98 @@ class FleetMetricsLateDataSpec extends graft.SparkSpec {
     } finally q.stop()
   }
 }
+
+class CorpusRewriteSpec extends graft.SparkSpec {
+  import graft.streaming.CorpusDedup.StreamDoc
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import org.apache.spark.sql.functions.col
+
+  test("paragraph stream: a paragraph kept in batch 1 suppresses its copy " +
+      "in batch 2; the copy's doc rewrites to its unique remainder") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pA = (1 to 16).map(i => s"a$i").mkString(" ")
+    val pB = (1 to 16).map(i => s"b$i").mkString(" ")
+    val pC = (1 to 16).map(i => s"c$i").mkString(" ")
+    val input = MemoryStream[StreamDoc]
+    val q = CorpusDedup.paragraphDedupStream(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("para_dedup_t1").start()
+    try {
+      input.addData(StreamDoc(1, s"$pA $pB"))
+      q.processAllAvailable()
+      input.addData(StreamDoc(2, s"$pB $pC"), StreamDoc(3, pC))
+      q.processAllAvailable()
+      val out = spark.table("para_dedup_t1").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      assert(out(1L) == ((2L, 2L, s"$pA $pB")))
+      // pB was kept by doc 1 in the PRIOR batch -> state suppresses it here
+      assert(out(2L) == ((2L, 1L, pC)))
+      // pC first occurred in doc 2 of the SAME batch -> intra-batch
+      // first-writer (lowest doc_id) wins, doc 3 empties
+      assert(out(3L) == ((1L, 0L, "")))
+    } finally q.stop()
+  }
+
+  test("paragraph stream equals the batch rewrite on the real corpus, " +
+      "under an arbitrary batch split (differential)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text")).as[StreamDoc]
+      .collect().sortBy(_.doc_id)
+    val want = graft.operators.Dedup.paragraphDedup(
+        graft.sources.Tables.documents(spark, sf("sf0.001")), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val input = MemoryStream[StreamDoc]
+    val q = CorpusDedup.paragraphDedupStream(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("para_dedup_t2").start()
+    try {
+      // batches must respect doc_id order (the stream's arrival order IS the
+      // batch window's (doc_id, idx) order); split sizes are arbitrary
+      docs.grouped(180).foreach { batch =>
+        input.addData(batch.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("para_dedup_t2").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(got == want)
+      assert(want.values.map(_._2).sum < want.values.map(_._1).sum) // real dups
+    } finally q.stop()
+  }
+
+  test("dsir gate: stream scores equal batch weight_micro exactly, the " +
+      "threshold filters, and the gate holds no streaming state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = graft.sources.Tables.documents(spark, sf("sf0.001")).cache()
+    val profile = graft.operators.Curation.dsirProfile(docsDf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(profile.size <= 256)
+    val want = graft.operators.Curation.dsirWeights(docsDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val median = want.values.toSeq.sorted.apply(want.size / 2)
+    val sample = docsDf.select(col("doc_id"), col("text"))
+      .as[StreamDoc].collect().take(60)
+    val input = MemoryStream[StreamDoc]
+    val q = CorpusIngest.dsirGate(input.toDS(), profile, median)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dsir_gate_t").start()
+    try {
+      input.addData(sample.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("dsir_gate_t")
+        .select(col("doc_id"), col("weight_micro")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = sample.filter(d => want(d.doc_id) >= median)
+      assert(got.keySet == expected.map(_.doc_id).toSet)
+      expected.foreach(d => assert(got(d.doc_id) == want(d.doc_id), s"doc ${d.doc_id}"))
+      assert(q.lastProgress.stateOperators.isEmpty) // stateless by design
+    } finally { q.stop(); docsDf.unpersist() }
+  }
+}
