@@ -217,6 +217,20 @@ object ScaleRehearsal {
       .agg(sum(expr("n * (n - 1) div 2"))).collect()(0).getLong(0)
   }
 
+  /** SemDeDup within-cell candidate pairs: sum of C(|cell|, 2) over the IVF
+    * cells — the pair volume the cosine verifier sees (same cell assignment
+    * as the operator). The scale claim: cells track the codebook (stride
+    * keeps |cell| ~ stride), so candidates grow LINEARLY with corpus size at
+    * fixed stride — never |corpus|². */
+  def semdedupCandidates(spark: SparkSession, dir: String): Long = {
+    val c = graft.operators.Similarity.withNorm(
+      graft.sources.Tables.embeddings(spark, dir))
+    graft.operators.Similarity.assignCells(c,
+        graft.operators.Similarity.coarseCentroids(c, 25))
+      .groupBy(col("c_id")).agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) div 2"))).collect()(0).getLong(0)
+  }
+
   def main(args: Array[String]): Unit = {
     val root = if (args.nonEmpty) args(0) else "/tmp/graft-scale"
     val mults = Seq(1, 3, 10)
@@ -231,7 +245,8 @@ object ScaleRehearsal {
 
     val queries = Seq("geo_encounters", "session_overlap_join",
       "simhash_hamming_pairs", "simhash_hamming_pairs_wide",
-      "dedup_clusters", "dedup_minhash_lsh")
+      "dedup_clusters", "dedup_minhash_lsh",
+      "dedup_paragraphs", "semdedup_verdicts", "dsir_weights")
     mults.foreach { m =>
       val dir = s"$root/x$m"
       if (!new java.io.File(s"$dir/events.parquet").exists()) {
@@ -242,7 +257,8 @@ object ScaleRehearsal {
         "geo_encounters" -> encounterCandidates(spark, dir),
         "session_overlap_join" -> sessionCandidates(spark, dir),
         "simhash_hamming_pairs" -> simhashCandidates(spark, dir),
-        "simhash_hamming_pairs_wide" -> simhashWideCandidates(spark, dir))
+        "simhash_hamming_pairs_wide" -> simhashWideCandidates(spark, dir),
+        "semdedup_verdicts" -> semdedupCandidates(spark, dir))
       queries.foreach { q =>
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(q)(spark, dir).count()

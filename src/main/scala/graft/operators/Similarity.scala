@@ -116,7 +116,7 @@ object Similarity {
     * per (vector, centroid) — |C| rows instead of |C|·k. Ranking is on the
     * ROUNDED similarity with a c_id tiebreak (encoded as (csim, -c_id) so a
     * single struct-max is deterministic across engines and partitionings). */
-  private[operators] def assignCells(c: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def assignCells(c: DataFrame, cents: DataFrame): DataFrame = {
     // aggregate over NARROW rows (vec_id, c_id, csim) — carrying the vector
     // through the partial aggregate would drag a 64-double array into its
     // buffer (SortAggregate over ~550-byte rows); instead re-attach v/nrm
@@ -132,7 +132,7 @@ object Similarity {
 
   /** Strided deterministic coarse centroids (vec_id % stride == 0) with
     * precomputed norms — the IVF codebook stand-in. */
-  private[operators] def coarseCentroids(c: DataFrame, stride: Int): DataFrame =
+  private[graft] def coarseCentroids(c: DataFrame, stride: Int): DataFrame =
     c.filter(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
 
@@ -437,6 +437,59 @@ object Similarity {
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
   }
 
+  /** Embedding-space outlier report — the quality-filter face of the IVF
+    * codebook: each vector's cosine DISTANCE to its assigned coarse centroid
+    * (1 - rounded csim), flagged when it exceeds mean + z·stddev of the
+    * corpus distance distribution. Far-from-codebook vectors are
+    * mis-embedded/out-of-domain candidates a curation pipeline reviews
+    * before training. One broadcast-assign pass + one 1-row stats aggregate
+    * that broadcasts back — linear, no pair join, same scale contract as
+    * [[annIvf]]'s assignment. The struct-max carries (csim, -c_id) so the
+    * distance AND the deterministic cell come from one aggregation. */
+  def embeddingOutliers(e: DataFrame, stride: Int,
+      zThresh: Double): DataFrame = {
+    val c = withNorm(e)
+    val cents = coarseCentroids(c, stride)
+    val best = c.join(broadcast(cents), lit(true))
+      .select(col("vec_id"),
+        Num.pround(Vec.cosinePrenormed(
+          Vec.dot(col("v"), col("cv")), col("nrm"), col("cn")), 6).as("csim"),
+        col("c_id"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("csim"), (-col("c_id")).as("ncid"))).as("b"))
+      .select(col("vec_id"), (-col("b.ncid")).as("c_id"),
+        Num.pround(lit(1) - col("b.csim"), 6).as("dist"))
+    val st = best.agg(
+      Num.pround(avg(col("dist")) + lit(zThresh) * stddev_samp(col("dist")), 4)
+        .as("thr"))
+    best.crossJoin(broadcast(st))
+      .select(col("vec_id"), col("c_id"), col("dist"),
+        (col("dist") > col("thr")).as("is_outlier"))
+  }
+
+  val outliersQ = QueryDef(
+    "embedding_outliers",
+    "per-vector cosine distance to its IVF centroid, flagged past mean + 1 stddev",
+    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                        FROM embeddings),
+             n AS (SELECT vec_id, v, sqrt(${dotSql.format("v", "v")}) AS nrm FROM e),
+             cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
+                       WHERE vec_id % 25 = 0),
+             cellr AS (SELECT vec_id, c_id,
+                              ${Num.sql(dotSql.format("v", "cv") + " / (nrm * cn)", 6)} AS csim,
+                              row_number() OVER (PARTITION BY vec_id ORDER BY
+                                ${Num.sql(dotSql.format("v", "cv") + " / (nrm * cn)", 6)} DESC,
+                                c_id) AS crank
+                       FROM n CROSS JOIN cents),
+             cells AS (SELECT vec_id, c_id, ${Num.sql("1 - csim", 6)} AS dist
+                       FROM cellr WHERE crank = 1),
+             st AS (SELECT ${Num.sql("avg(dist) + 1.0 * stddev_samp(dist)", 4)} AS thr
+                    FROM cells)
+             SELECT vec_id, c_id, dist, dist > thr AS is_outlier
+             FROM cells CROSS JOIN st"""),
+    (s, dir) => embeddingOutliers(Tables.embeddings(s, dir), stride = 25,
+      zThresh = 1.0))
+
   private val semDedupTau = 0.35
 
   val semDedupQ = QueryDef(
@@ -466,5 +519,5 @@ object Similarity {
 
   val defs: Seq[QueryDef] =
     Seq(pairsQ, annQ, annLshQ, annIvfQ, kmeansQ, nearDupQ, quantQ, pcaStepQ,
-      semDedupQ)
+      semDedupQ, outliersQ)
 }

@@ -257,7 +257,55 @@ object TextAnalysis {
           Num.pround(col("top_c").cast("double") / col("total"), 4).as("top_share"))
     })
 
+  /** Temperature-scaled source mixing (the multilingual-LM sampling law,
+    * e.g. mT5's alpha-smoothed mixture): source s gets sampling weight
+    * w_s ∝ (token mass of s)^alpha with alpha = 0.5, so low-resource sources
+    * are UP-weighted relative to proportional sampling; per-source keep rate
+    * = min(1, targetTokens · w_s / n_s) with target = half the corpus.
+    * The keep decision per doc is content-addressed (md5 prefix vs the
+    * rate's 16-bit hex threshold — same determinism discipline as
+    * [[trainValSplit]]), so the sample is reproducible across engines,
+    * runs, and partitionings. Unlike [[corpusMix]]'s FIXED weights, the
+    * rates here are DERIVED from the data: one token-count aggregation
+    * (20 rows) that broadcasts back; the corpus itself never shuffles. */
+  val corpusMixTemperature = QueryDef(
+    "corpus_mix_temperature",
+    "alpha=0.5 temperature-scaled source mix targeting half the token mass, content-hash keep decisions",
+    Some(s"""WITH tk AS (SELECT doc_id, source, text,
+                      len(string_split_regex(trim(lower(text)), '\\s+')) AS nt
+                      FROM documents),
+       cnt AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_s FROM tk GROUP BY 1),
+       tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_tot,
+                      sum(sqrt(CAST(n_s AS DOUBLE))) AS sum_w FROM cnt),
+       rates AS (SELECT source,
+                        least(1.0, ${Num.sql(
+                          "(CAST(n_tot AS DOUBLE) / 2) * sqrt(CAST(n_s AS DOUBLE)) / sum_w / n_s", 6)}) AS rate
+                 FROM cnt CROSS JOIN tot),
+       thr AS (SELECT source, rate,
+                      lower(lpad(to_hex(CAST(floor(rate * 65536) AS BIGINT)), 4, '0')) AS h4
+               FROM rates)
+       SELECT doc_id, source, rate FROM tk JOIN thr USING (source)
+       WHERE rate >= 1.0 OR substring(md5(text), 1, 4) < h4"""),
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"),
+          size(Text.tokens(col("text"))).cast("long").as("nt"))
+      val cnt = docs.groupBy(col("source")).agg(sum(col("nt")).as("n_s"))
+      val tot = cnt.agg(sum(col("n_s")).as("n_tot"),
+        sum(sqrt(col("n_s").cast("double"))).as("sum_w"))
+      val rates = cnt.crossJoin(broadcast(tot))
+        .select(col("source"),
+          least(lit(1.0), Num.pround(
+            (col("n_tot").cast("double") / 2) * sqrt(col("n_s").cast("double"))
+              / col("sum_w") / col("n_s"), 6)).as("rate"))
+        .withColumn("h4",
+          lower(lpad(hex(floor(col("rate") * 65536).cast("long")), 4, "0")))
+      docs.join(broadcast(rates), "source")
+        .filter(col("rate") >= 1.0 || substring(md5(col("text")), 1, 4) < col("h4"))
+        .select(col("doc_id"), col("source"), col("rate"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(tokenStats, quality, langid, fingerprint, bigramDf, bpeTokens,
-      trainValSplit, redact, corpusMix, repetition)
+      trainValSplit, redact, corpusMix, repetition, corpusMixTemperature)
 }

@@ -235,6 +235,48 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally real.unpersist()
   }
 
+  test("embedding outliers: flags are exactly dist > mean + 1*stddev, " +
+      "distances are valid cosine distances, and some vectors flag") {
+    val rows = Similarity.embeddingOutliers(emb, stride = 25, zThresh = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+    assert(rows.length == emb.count())
+    assert(rows.forall { case (_, _, d, _) => d >= 0.0 && d <= 2.0 })
+    val dists = rows.map(_._3)
+    val m = dists.sum / dists.length
+    val sd = math.sqrt(dists.map(d => (d - m) * (d - m)).sum / (dists.length - 1))
+    val thr = math.floor((m + sd) * 1e4 + 0.5) / 1e4
+    rows.foreach { case (id, _, d, f) => assert(f == d > thr, s"vec $id") }
+    assert(rows.count(_._4) > 0)            // the rule actually fires here
+    assert(rows.count(_._4) < rows.length / 10) // ...and stays a tail flag
+  }
+
+  test("temperature mix: rates order INVERSELY to source token mass " +
+      "(low-resource up-weighted) and kept docs respect each source's rate") {
+    import spark.implicits._
+    val out = graft.operators.TextAnalysis.corpusMixTemperature
+      .run(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val mass = docs.select(col("source"), col("text")).collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getString(1).trim.split("\\s+").length.toLong).sum)
+      .toMap
+    val rate = out.groupBy(_._2).view.mapValues(_.head._3).toMap
+    // alpha < 1 => rate strictly decreasing in token mass
+    for (a <- rate.keys; b <- rate.keys if mass(a) < mass(b))
+      assert(rate(a) > rate(b), s"$a vs $b")
+    // every source survives (that is the point of temperature sampling)
+    assert(rate.keySet == mass.keySet)
+    // kept fraction per source tracks its rate (binomial, wide tolerance)
+    val keptBySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    val nDocs = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    keptBySrc.foreach { case (s, k) =>
+      val expect = rate(s) * nDocs(s)
+      assert(math.abs(k - expect) < 0.35 * nDocs(s), s"source $s: $k vs $expect")
+    }
+  }
+
   test("semDedup verdicts match a per-cell brute force; dup_of is the " +
       "earliest same-cell witness") {
     val verdicts = Similarity.semDedup(emb, stride = 25, tau = 0.35)
