@@ -597,7 +597,158 @@ object Curation {
        GROUP BY doc_id"""),
     (s, dir) => dsirWeights(Tables.documents(s, dir)))
 
+  // ---- the composed curation scorecard -------------------------------------
+
+  /** The whole curation pass as ONE verdict table — what a pipeline owner
+    * actually ships: every signal the engine computes (repetition quality,
+    * exact-dup membership, benchmark contamination, DSIR domain fit,
+    * embedding-space outlierness) joined into a per-document keep/drop with
+    * machine-readable reasons. Thresholds sit at this corpus's tails
+    * (dup_frac > 0.72 ≈ p95, weight < -2e6 µnats ≈ p10, dist > mean+1σ);
+    * each is a named constant a deployment re-tunes.
+    *
+    * Scale: every signal is individually linear (see its operator); the
+    * assembly is per-doc equi-joins — contamination is a broadcast of the
+    * flagged minority, the rest shuffle by doc_id once. Nothing quadratic
+    * joins INTO the scorecard. */
+  val ScorecardMinTokens = 10L
+  val ScorecardMaxDupFrac = 0.72
+  val ScorecardMinWeightMicro = -2000000L
+
+  def curationScorecard(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col("text"))
+    val rep = ids
+      .select(col("doc_id"), explode(graft.functions.Text.tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("n_distinct"))
+      .select(col("doc_id"), col("n_tokens"),
+        Num.pround(lit(1) - col("n_distinct").cast("double") / col("n_tokens"), 6)
+          .as("dup_frac"))
+    val hashed = ids.select(col("doc_id"), md5(col("text")).as("h"))
+    val exact = hashed
+      .join(hashed.groupBy(col("h")).agg(min(col("doc_id")).as("keeper_id")), "h")
+      .select(col("doc_id"), (col("doc_id") =!= col("keeper_id")).as("exact_dup"))
+    val contam = decontaminate(docs, BenchmarkSource, decontamW)
+      .select(col("doc_id"), lit(true).as("contam"))
+    val dsir = dsirWeights(docs).select(col("doc_id"), col("weight_micro"))
+    val outl = Similarity.embeddingOutliers(emb, stride = 25, zThresh = 1.0)
+      .select(col("vec_id").as("doc_id"), col("is_outlier"))
+    val flagged = rep.join(exact, "doc_id")
+      .join(broadcast(contam), Seq("doc_id"), "left")
+      .join(dsir, Seq("doc_id"), "left")
+      .join(outl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_tokens") < ScorecardMinTokens).as("too_short"),
+        (col("dup_frac") > ScorecardMaxDupFrac).as("repetitive"),
+        col("exact_dup"),
+        coalesce(col("contam"), lit(false)).as("contaminated"),
+        (coalesce(col("weight_micro"), lit(0L)) < ScorecardMinWeightMicro)
+          .as("off_target"),
+        coalesce(col("is_outlier"), lit(false)).as("embed_outlier"))
+    val names = Seq("too_short", "repetitive", "exact_dup", "contaminated",
+      "off_target", "embed_outlier")
+    flagged.select(col("doc_id"),
+      names.map(n => col(n).cast("int")).reduce(_ + _).as("n_flags"),
+      concat_ws(",", names.map(n => when(col(n), n)): _*).as("reasons"))
+      .withColumn("keep", col("n_flags") === 0)
+      .select(col("doc_id"), col("keep"), col("n_flags"), col("reasons"))
+  }
+
+  val scorecardQ = QueryDef(
+    "curation_scorecard",
+    "the composed per-doc curation verdict: repetition, exact-dup, contamination, DSIR fit, embedding outlierness",
+    Some(s"""WITH ids AS (SELECT doc_id, text, lang, source FROM documents),
+       tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t FROM ids),
+       term AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
+       rep AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                      count(*) AS n_distinct FROM term GROUP BY 1),
+       rp AS (SELECT doc_id, n_tokens,
+                     ${Num.sql("1 - CAST(n_distinct AS DOUBLE) / n_tokens", 6)} AS dup_frac
+              FROM rep),
+       hx AS (SELECT doc_id, md5(text) AS h FROM ids),
+       ex AS (SELECT doc_id,
+                     doc_id <> min(doc_id) OVER (PARTITION BY h) AS exact_dup
+              FROM hx),
+       ctoks AS (SELECT doc_id, source,
+                   string_split_regex(trim(lower(text)), '\\s+') AS t FROM ids),
+       s1 AS (SELECT DISTINCT doc_id, source,
+                concat_ws(' ', ${(0 until decontamW).map(k => s"t[i+$k]").mkString(", ")}) AS sh
+              FROM ctoks CROSS JOIN
+                unnest(generate_series(1, len(t) - ${decontamW - 1})) AS u(i)
+              WHERE len(t) >= $decontamW),
+       cb AS (SELECT DISTINCT sh FROM s1 WHERE source = '$BenchmarkSource'),
+       contam AS (SELECT DISTINCT s1.doc_id FROM s1 JOIN cb USING (sh)
+                  WHERE s1.source <> '$BenchmarkSource'),
+       dtoks AS (SELECT doc_id, lang,
+                   string_split_regex(trim(lower(text)), '\\s+') AS t FROM ids),
+       bg AS (SELECT doc_id, lang,
+                     substring(md5(t[i] || ' ' || t[i+1]), 1, 2) AS bucket
+              FROM dtoks CROSS JOIN unnest(generate_series(1, len(t)-1)) AS u(i)
+              WHERE len(t) >= 2),
+       pd AS (SELECT doc_id, lang, bucket, count(*) AS cnt FROM bg
+              GROUP BY 1, 2, 3),
+       prof AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS raw_b,
+                       CAST(sum(CASE WHEN lang = 'en' THEN cnt ELSE 0 END)
+                            AS BIGINT) AS tgt_b
+                FROM pd GROUP BY 1),
+       tot AS (SELECT CAST(sum(raw_b) AS BIGINT) AS raw_tot,
+                      CAST(sum(tgt_b) AS BIGINT) AS tgt_tot FROM prof),
+       lr AS (SELECT bucket,
+                     CAST(floor(ln(
+                       (CAST(tgt_b + 1 AS DOUBLE) * CAST(raw_tot + $DsirBuckets AS DOUBLE)) /
+                       (CAST(raw_b + 1 AS DOUBLE) * CAST(tgt_tot + $DsirBuckets AS DOUBLE)))
+                       * 1e6 + 0.5) AS BIGINT) AS lr_micro
+              FROM prof CROSS JOIN tot),
+       dw AS (SELECT doc_id, CAST(sum(cnt * lr_micro) AS BIGINT) AS weight_micro
+              FROM pd JOIN lr USING (bucket) GROUP BY doc_id),
+       e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+       nn AS (SELECT vec_id, v, sqrt(${Similarity.dotSql.format("v", "v")}) AS nrm FROM e),
+       cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM nn
+                 WHERE vec_id % 25 = 0),
+       cellr AS (SELECT vec_id,
+                        ${Num.sql(Similarity.dotSql.format("v", "cv") + " / (nrm * cn)", 6)} AS csim,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY
+                          ${Num.sql(Similarity.dotSql.format("v", "cv") + " / (nrm * cn)", 6)} DESC,
+                          c_id) AS crank
+                 FROM nn CROSS JOIN cents),
+       cells AS (SELECT vec_id, ${Num.sql("1 - csim", 6)} AS dist
+                 FROM cellr WHERE crank = 1),
+       st AS (SELECT ${Num.sql("avg(dist) + 1.0 * stddev_samp(dist)", 4)} AS thr
+              FROM cells),
+       outl AS (SELECT vec_id AS doc_id, dist > thr AS is_outlier
+                FROM cells CROSS JOIN st),
+       fl AS (SELECT rp.doc_id,
+                     rp.n_tokens < $ScorecardMinTokens AS too_short,
+                     rp.dup_frac > $ScorecardMaxDupFrac AS repetitive,
+                     ex.exact_dup,
+                     contam.doc_id IS NOT NULL AS contaminated,
+                     coalesce(dw.weight_micro, 0) < $ScorecardMinWeightMicro AS off_target,
+                     coalesce(outl.is_outlier, FALSE) AS embed_outlier
+              FROM rp JOIN ex USING (doc_id)
+                LEFT JOIN contam ON contam.doc_id = rp.doc_id
+                LEFT JOIN dw ON dw.doc_id = rp.doc_id
+                LEFT JOIN outl ON outl.doc_id = rp.doc_id)
+       SELECT doc_id,
+              (CAST(too_short AS INT) + CAST(repetitive AS INT) +
+               CAST(exact_dup AS INT) + CAST(contaminated AS INT) +
+               CAST(off_target AS INT) + CAST(embed_outlier AS INT)) = 0 AS keep,
+              CAST(too_short AS INT) + CAST(repetitive AS INT) +
+              CAST(exact_dup AS INT) + CAST(contaminated AS INT) +
+              CAST(off_target AS INT) + CAST(embed_outlier AS INT) AS n_flags,
+              concat_ws(',', CASE WHEN too_short THEN 'too_short' END,
+                CASE WHEN repetitive THEN 'repetitive' END,
+                CASE WHEN exact_dup THEN 'exact_dup' END,
+                CASE WHEN contaminated THEN 'contaminated' END,
+                CASE WHEN off_target THEN 'off_target' END,
+                CASE WHEN embed_outlier THEN 'embed_outlier' END) AS reasons
+       FROM fl"""),
+    (s, dir) => curationScorecard(Tables.documents(s, dir),
+      Tables.embeddings(s, dir)))
+
   val defs: Seq[QueryDef] =
     Seq(decontaminateQ, fuzzyPairsQ, noveltyQ, coverageQ, interleaveQ,
-      docFeaturesQ, pqQ, ivfPqQ, annRecallQ, dsirQ)
+      docFeaturesQ, pqQ, ivfPqQ, annRecallQ, dsirQ, scorecardQ)
 }

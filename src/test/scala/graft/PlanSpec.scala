@@ -270,6 +270,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("paragraph dedup is exactly two hash exchanges — hash window, " +
+      "doc reassembly — with no join anywhere") {
+    val p = plan(run("dedup_paragraphs"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("dsir scoring joins the 256-row model by BROADCAST; the corpus " +
+      "shuffles once into per-doc counts") {
+    val p = plan(run("dsir_weights"))
+    assert(p.contains("BroadcastHashJoin"), p)   // model side
+    assert(!p.contains("SortMergeJoin"), p)      // corpus never sort-merges
+  }
+
+  test("temperature mix never shuffles the corpus: rates broadcast back") {
+    val p = plan(run("corpus_mix_temperature"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only hash exchanges aggregate the 20-row source stats, and the
+    // doc side reaches its filter without an exchange above the scan
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("semdedup's pair scan is an equi hash join on the cell id") {
+    val p = plan(run("semdedup_verdicts"))
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("BroadcastHashJoin"), p) // equi-join, keyed by c_id
+    // the quadratic product only ever appears corpus x CENTROIDS (broadcast)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("no catalog query degrades to a CartesianProduct") {
     // vector pair scans are deliberate *conditioned* nested-loop joins
     // (BroadcastNestedLoopJoin); a true CartesianProduct anywhere means a

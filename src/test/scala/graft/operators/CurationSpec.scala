@@ -138,6 +138,27 @@ class CurationSpec extends SparkSpec {
     assert(nov.count() == docs.count())
   }
 
+  test("curation scorecard: reasons decompose n_flags, keep == zero flags, " +
+      "and each tail signal fires without dominating") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val rows = Curation.curationScorecard(docs, emb).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getInt(2), r.getString(3)))
+    assert(rows.length == docs.count())
+    rows.foreach { case (id, keep, n, reasons) =>
+      val listed = if (reasons.isEmpty) 0 else reasons.split(",").length
+      assert(listed == n, s"doc $id: '$reasons' vs $n")
+      assert(keep == (n == 0), s"doc $id")
+    }
+    val dropped = rows.filter(!_._2)
+    assert(dropped.nonEmpty)                    // the tails exist
+    assert(dropped.length < rows.length / 2)    // ...and stay tails
+    // the signals that fire on this corpus are the documented tail flags
+    val fired = dropped.flatMap(_._4.split(",")).toSet
+    assert(fired.subsetOf(Set("too_short", "repetitive", "exact_dup",
+      "contaminated", "off_target", "embed_outlier")))
+    assert(fired.contains("off_target") && fired.contains("embed_outlier"))
+  }
+
   test("dsirWeights: zero when target == raw, and discriminates toward the " +
       "target domain on disjoint vocabularies") {
     import spark.implicits._
