@@ -257,5 +257,35 @@ object Eval {
               .otherwise(lit(1L)), 6).as("ndcg_10"))
     })
 
-  val defs: Seq[QueryDef] = Seq(aucQ, confusionQ, langidConfusionQ, rankMetricsQ)
+  /** Calibration (reliability) table of the quality score against the
+    * is-English label: scores bucket into 10 fixed bins (qmilli // 1000,
+    * top edge folded into bin 9), each bin reporting its size, mean
+    * predicted probability, and observed positive rate — the table a
+    * reliability diagram plots and a recalibration (Platt/isotonic) step
+    * consumes. Exact arithmetic: bins are integer division of the bounded
+    * integer score, per-bin stats are integer sums with one IEEE division
+    * each, so the oracle pins every cell. One groupBy over 10 groups —
+    * nothing here grows with corpus size except the map-side pass. */
+  val calibrationQ = QueryDef(
+    "eval_calibration",
+    "10-bin calibration of the quality score vs is-English: n, mean predicted, observed rate per bin",
+    Some(scoredSql + s""",
+        b AS (SELECT least(q // 1000, 9) AS bin, q, label FROM g)
+        SELECT bin, count(*) AS n,
+               ${Num.sql("sum(q) / (count(*) * 1e4)", 6)} AS mean_pred,
+               ${Num.sql(
+                 "CAST(count(CASE WHEN label THEN 1 END) AS DOUBLE) / count(*)",
+                 6)} AS pos_rate
+        FROM b GROUP BY bin"""),
+    (s, dir) => scored(s, dir)
+      .select(least(floor(col("q") / 1000), lit(9)).cast("long").as("bin"),
+        col("q"), col("label"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        Num.pround(sum(col("q")) / (count(lit(1)) * 1e4), 6).as("mean_pred"),
+        Num.pround(count(when(col("label"), 1)).cast("double") /
+          count(lit(1)), 6).as("pos_rate")))
+
+  val defs: Seq[QueryDef] =
+    Seq(aucQ, confusionQ, langidConfusionQ, rankMetricsQ, calibrationQ)
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.functions.{Num, RollingHash, Text}
 import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Text-analysis query surface over `documents` (SURVEY.md §7.6): token
@@ -305,7 +306,97 @@ object TextAnalysis {
         .select(col("doc_id"), col("source"), col("rate"))
     })
 
+  /** Greedy BPE merge TRAINING over the token stream — the missing step
+    * between [[bpeTokens]] (pre-tokenization) and `vocab_encode_ids`
+    * (applying a finished vocabulary): learn the merge table itself. Each
+    * round counts adjacent symbol pairs across the corpus, adopts the most
+    * frequent pair (ties: lexicographically smallest) as a new merged
+    * symbol, and rewrites every sequence left-to-right non-overlapping —
+    * the exact algorithm BPE/WordPiece trainers run over characters,
+    * applied here at token granularity (phrase merges).
+    *
+    * Scale: the corpus NEVER leaves the cluster — each round is one
+    * (pair → count) aggregation (map-side combined, 16-byte-ish rows) plus a
+    * TakeOrdered(1); only the single winning pair crosses to the driver
+    * (the pagerank-style loop scalar), and the rewrite is a typed map over
+    * cached sequences. Rounds are sequential by construction (BPE's greedy
+    * chain); parallelism lives inside each round. Returns (step, left,
+    * right, freq) — freq as counted when the pair was adopted. */
+  def bpeTrain(docs: DataFrame, id: String, text: String,
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
+    import docs.sparkSession.implicits._
+    def applyMerge(a: Array[String], l: String, r: String): Array[String] = {
+      val out = Array.newBuilder[String]
+      var i = 0
+      while (i < a.length) {
+        if (i + 1 < a.length && a(i) == l && a(i + 1) == r) {
+          out += (l + " " + r); i += 2
+        } else { out += a(i); i += 1 }
+      }
+      out.result()
+    }
+    var seqs = docs.select(col(text)).as[String]
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")).cache()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= nMerges && !done) {
+      val top = seqs.flatMap(a =>
+          if (a.length < 2) Iterator.empty
+          else a.sliding(2).map(p => (p(0), p(1))))
+        .toDF("l", "r").groupBy(col("l"), col("r"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("l"), col("r"))
+        .limit(1).collect().headOption
+      top match {
+        case Some(row) =>
+          val (l, r, f) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += ((step, l, r, f))
+          val next = seqs.map(applyMerge(_, l, r)).cache()
+          next.count() // materialize before dropping the parent
+          seqs.unpersist()
+          seqs = next
+        case None => done = true
+      }
+      step += 1
+    }
+    seqs.unpersist()
+    merges.result()
+  }
+
+  /** Per-document unigram (Shannon) entropy in nats — the information-
+    * density quality signal complementing [[repetition]]'s duplicate
+    * fraction: H = ln(n) - (Σ c·ln c)/n over term counts c. Low-entropy
+    * documents are degenerate/repetitive; unusually high entropy on a known
+    * vocabulary signals noise. One (doc, term) shuffle with map-side
+    * combine, then a per-doc aggregate; the only floating-point steps are
+    * one ln per distinct term and the final rounded division (sub-ulp
+    * cross-engine drift absorbed by the 1e-6 grid, the [[graft.operators
+    * .Curation]] DSIR discipline). */
+  val entropy = QueryDef(
+    "text_entropy",
+    "per-doc unigram Shannon entropy (nats, rounded 1e-6) + token count",
+    Some(s"""WITH tok AS (SELECT doc_id,
+                    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+                  FROM documents),
+       term AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+       agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                      sum(c * ln(c)) AS sclnc FROM term GROUP BY 1)
+       SELECT doc_id, n_tokens,
+              ${Num.sql("ln(n_tokens) - sclnc / n_tokens", 6)} AS entropy
+       FROM agg"""),
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * log(col("c"))).as("sclnc"))
+      .select(col("doc_id"), col("n_tokens"),
+        Num.pround(log(col("n_tokens")) - col("sclnc") / col("n_tokens"), 6)
+          .as("entropy")))
+
   val defs: Seq[QueryDef] =
     Seq(tokenStats, quality, langid, fingerprint, bigramDf, bpeTokens,
-      trainValSplit, redact, corpusMix, repetition, corpusMixTemperature)
+      trainValSplit, redact, corpusMix, repetition, corpusMixTemperature,
+      entropy)
 }
