@@ -125,6 +125,25 @@ object CorpusIngest {
       .select(col("doc_id"), col("text")).as[CorpusDedup.StreamDoc]
   }
 
+  /** The full curated ingest — every stateless gate ahead of the stateful
+    * dedup, in cost order: benchmark decontamination (broadcast Bloom
+    * probe), per-row quality, DSIR domain fit (broadcast 256-row model) —
+    * then incremental near-dup dedup. Band-bucket state only ever holds
+    * clean, on-target, uncontaminated keepers; each gate is a stateless
+    * filter so the chain adds ZERO streaming state beyond the dedup's. */
+  def ingestCurated(docs: Dataset[CorpusDedup.StreamDoc],
+      benchmark: DataFrame, dsirProfile: Map[String, Long],
+      minWeightMicro: Long, w: Int = 8,
+      maxBucket: Int = 10000): DataFrame = {
+    import docs.sparkSession.implicits._
+    val decon = decontaminationGate(docs, benchmark, w)
+    val clean = qualityGate(decon)
+      .select(col("doc_id"), col("text")).as[CorpusDedup.StreamDoc]
+    val onTarget = dsirGate(clean, dsirProfile, minWeightMicro)
+      .select(col("doc_id"), col("text")).as[CorpusDedup.StreamDoc]
+    CorpusDedup.incrementalDedup(onTarget, maxBucket)
+  }
+
   /** Streaming DSIR gate — the streaming face of the batch `dsir_weights`
     * operator: score each arriving document's hashed-bigram profile against
     * a TRAINED target-vs-raw log-likelihood model

@@ -521,4 +521,39 @@ class CorpusRewriteSpec extends graft.SparkSpec {
       assert(q.lastProgress.stateOperators.isEmpty) // stateless by design
     } finally { q.stop(); docsDf.unpersist() }
   }
+
+  test("curated ingest: each gate drops its own failure mode before dedup " +
+      "state; survivors still dedupe against prior batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def longDoc(seed: String) = (1 to 40).map(i => s"$seed$i").mkString(" ")
+    // profile trained where 'en' == docs containing target-domain bigrams
+    val reference = Seq(
+      (100L, "en", longDoc("dom")),
+      (101L, "xx", longDoc("off"))).toDF("doc_id", "lang", "text")
+    val profile = graft.operators.Curation.dsirProfile(reference)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val benchmark = Seq((900L, longDoc("bench"))).toDF("doc_id", "text")
+    val input = MemoryStream[StreamDoc]
+    val q = CorpusIngest.ingestCurated(input.toDS(), benchmark, profile,
+        minWeightMicro = 0L)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("curated_ingest_t").start()
+    try {
+      input.addData(
+        StreamDoc(1, longDoc("dom")),          // clean, on-target -> keeper
+        StreamDoc(2, longDoc("bench")),        // contaminated -> dropped
+        StreamDoc(3, "a b"),                   // too short -> quality gate
+        StreamDoc(4, longDoc("off")))          // off-target -> dsir gate
+      q.processAllAvailable()
+      // batch 2: near-copy of the surviving keeper must still dedupe
+      val toks = longDoc("dom").split(" "); toks(39) = "x"
+      input.addData(StreamDoc(5, toks.mkString(" ")))
+      q.processAllAvailable()
+      val out = spark.table("curated_ingest_t").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out.keySet == Set(1L, 5L), out.toString) // 2,3,4 left no row
+      assert(out(1L) == -1L && out(5L) == 1L, out.toString)
+    } finally q.stop()
+  }
 }
