@@ -437,6 +437,86 @@ object Similarity {
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
   }
 
+  /** N Lloyd iterations as ONE statically-chained plan — the
+    * [[graft.operators.Graph.pagerankIterate]] discipline applied to
+    * k-means: when the step count is fixed, no driver loop materializes
+    * anything; each step appends an assign + mean-update to the lineage.
+    * Works in LONG format ((id, pos, x) rows) so a step's new centroids are
+    * themselves a DataFrame — the d·k-row centroid table BROADCASTS into
+    * the dot-product join (rows for one vector stay contiguous, so the
+    * (vec, cell) partial aggregate combines map-side; the corpus never
+    * shuffles by component). Intermediate means round to 9 places on both
+    * engines, the last step to 6, so aggregation-order noise cannot
+    * compound across steps (per-step rounding). Cells that attract no
+    * vectors drop out — both engines aggregate only non-empty groups.
+    * Zero-norm vectors and zero-norm centroids are excluded (direction
+    * undefined), mirroring `embedding_quantize`'s guard. */
+  def kmeansIterate(e: DataFrame, stride: Int, steps: Int): DataFrame = {
+    val ev = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "xf")))
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("pos"),
+        col("xf").cast("double").as("x")).cache()
+    val vn = ev.groupBy(col("vec_id"))
+      .agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
+      .filter(col("nrm") > 0)
+    var cents = ev.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("c_id"), col("pos"), col("x").as("m"))
+    for (k <- 1 to steps) {
+      val cn = cents.groupBy(col("c_id"))
+        .agg(sqrt(sum(col("m") * col("m"))).as("cn"))
+        .filter(col("cn") > 0)
+      val dot = ev.join(broadcast(cents), "pos")
+        .groupBy(col("vec_id"), col("c_id")).agg(sum(col("x") * col("m")).as("dp"))
+      val sim = dot.join(vn, "vec_id").join(broadcast(cn), "c_id")
+        .select(col("vec_id"), col("c_id"),
+          Num.pround(col("dp") / (col("nrm") * col("cn")), 6).as("csim"))
+      val cells = sim.groupBy(col("vec_id"))
+        .agg(max_by(col("c_id"), struct(col("csim"), (-col("c_id")).as("nc")))
+          .as("c_id"))
+      cents = cells.join(ev, "vec_id").groupBy(col("c_id"), col("pos"))
+        .agg(Num.pround(avg(col("x")), if (k == steps) 6 else 9).as("m"))
+    }
+    cents.select(col("c_id"), (col("pos") - 1).as("pos"), col("m").as("mean_x"))
+  }
+
+  private def kmeansTrainOracle(steps: Int): String = {
+    val base =
+      s"""WITH ev AS (SELECT vec_id, CAST(j AS BIGINT) AS pos,
+                        CAST(embedding[j] AS DOUBLE) AS x
+                      FROM embeddings CROSS JOIN
+                        unnest(generate_series(1, len(embedding))) AS u(j)),
+          vn AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ev GROUP BY 1
+                 HAVING sqrt(sum(x*x)) > 0),
+          c0 AS (SELECT vec_id AS c_id, pos, x AS m FROM ev
+                 WHERE vec_id % 25 = 0)"""
+    val chain = (1 to steps).map { k =>
+      val prec = if (k == steps) 6 else 9
+      s""",
+          cn$k AS (SELECT c_id, sqrt(sum(m*m)) AS cn FROM c${k - 1} GROUP BY 1
+                   HAVING sqrt(sum(m*m)) > 0),
+          dot$k AS (SELECT e.vec_id, c.c_id, sum(e.x * c.m) AS dp
+                    FROM ev e JOIN c${k - 1} c ON e.pos = c.pos GROUP BY 1, 2),
+          sim$k AS (SELECT d.vec_id, d.c_id,
+                           ${Num.sql("d.dp / (v.nrm * c.cn)", 6)} AS csim
+                    FROM dot$k d JOIN vn v USING (vec_id)
+                    JOIN cn$k c USING (c_id)),
+          cell$k AS (SELECT vec_id, c_id FROM
+                       (SELECT vec_id, c_id, row_number() OVER
+                          (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS rn
+                        FROM sim$k) WHERE rn = 1),
+          c$k AS (SELECT l.c_id, e.pos, ${Num.sql("avg(e.x)", prec)} AS m
+                  FROM cell$k l JOIN ev e USING (vec_id) GROUP BY 1, 2)"""
+    }.mkString
+    base + chain +
+      s"\n          SELECT c_id, pos - 1 AS pos, m AS mean_x FROM c$steps"
+  }
+
+  val kmeansTrainQ = QueryDef(
+    "kmeans_train_3",
+    "3 chained Lloyd iterations in one static plan (assign + mean update per step)",
+    Some(kmeansTrainOracle(3)),
+    (s, dir) => kmeansIterate(Tables.embeddings(s, dir), stride = 25,
+      steps = 3))
+
   /** Embedding-space outlier report — the quality-filter face of the IVF
     * codebook: each vector's cosine DISTANCE to its assigned coarse centroid
     * (1 - rounded csim), flagged when it exceeds mean + z·stddev of the
@@ -518,6 +598,6 @@ object Similarity {
       tau = semDedupTau))
 
   val defs: Seq[QueryDef] =
-    Seq(pairsQ, annQ, annLshQ, annIvfQ, kmeansQ, nearDupQ, quantQ, pcaStepQ,
-      semDedupQ, outliersQ)
+    Seq(pairsQ, annQ, annLshQ, annIvfQ, kmeansQ, kmeansTrainQ, nearDupQ,
+      quantQ, pcaStepQ, semDedupQ, outliersQ)
 }

@@ -235,6 +235,16 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally real.unpersist()
   }
 
+  test("kmeansIterate step 1 equals the array-form kmeansUpdate means " +
+      "(long-format vs broadcast-array implementations cross-validate)") {
+    val it = Similarity.kmeansIterate(emb, stride = 25, steps = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val up = Similarity.kmeansUpdate(emb, stride = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(it == up)
+    assert(it.nonEmpty)
+  }
+
   test("embedding outliers: flags are exactly dist > mean + 1*stddev, " +
       "distances are valid cosine distances, and some vectors flag") {
     val rows = Similarity.embeddingOutliers(emb, stride = 25, zThresh = 1.0)
