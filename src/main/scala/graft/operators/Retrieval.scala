@@ -143,5 +143,121 @@ object Retrieval {
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
         min(col("doc_id")).as("min_doc"), max(col("tf")).as("max_tf")))
 
-  val defs: Seq[QueryDef] = Seq(bm25Q, postingsQ)
+  private val RrfK = 60
+  private val RrfQueryIds = Seq(1L, 2L, 3L)
+  private val RrfTopK = 10
+
+  /** Hybrid retrieval by reciprocal-rank fusion — the standard two-leg
+    * search a training-data/RAG stack runs: a LEXICAL ranking (the same
+    * rational-idf BM25 as [[bm25Q]], with the query document's own distinct
+    * tokens as the term set — query-by-example, fully in-plan, no
+    * driver-side term list) fused with a VECTOR ranking (exact cosine, the
+    * `ann_cosine_topk` leg) via rrf = 1/(K+rank_lex) + 1/(K+rank_vec),
+    * K = 60. Ranks are integers derived from ROUNDED scores with doc_id
+    * tiebreaks, so the fusion arithmetic (two IEEE divisions + one add) is
+    * engine-exact.
+    *
+    * Scale: the lexical leg is an inverted-index equi-join (query-term
+    * postings only — |q-terms| × df rows, never the token stream); the
+    * vector leg broadcasts the query vectors; each leg's rank is a per-query
+    * window; the fusion is a per-(q, doc) equi-join of the two rank tables.
+    * Swap the exact vector leg for `ann_lsh_bucketed`/`ann_ivf_cells`
+    * candidates at corpus scale — the fusion is leg-agnostic. */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, qIds: Seq[Long],
+      k: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val a = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        a.iterator.map(tok => (id, a.length.toLong, tok))
+      }.toDF("doc_id", "dl", "tok")
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf")).cache()
+    val dls = tf.select(col("doc_id"), col("dl")).distinct()
+    val stats = dls.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val qt = tf.filter(col("doc_id").isin(qIds: _*))
+      .select(col("doc_id").as("q_id"), col("tok")).distinct()
+    val perTerm = qt.join(tf, "tok")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(broadcast(dfs), "tok").crossJoin(broadcast(stats))
+      .withColumn("s",
+        ((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          ((col("tf") * lit(K1 + 1)) /
+            (col("tf") + lit(K1) *
+              (lit(1.0) - lit(B) + (lit(B) * col("dl")) / col("avgdl")))))
+    val wl = Window.partitionBy(col("q_id"))
+      .orderBy(desc("score"), col("doc_id"))
+    val lex = perTerm.groupBy(col("q_id"), col("doc_id"))
+      .agg(Num.pround(sum(col("s")), 4).as("score"))
+      .withColumn("rl", row_number().over(wl))
+      .select(col("q_id"), col("doc_id"), col("rl"))
+    val c = Similarity.withNorm(emb)
+    val q = c.filter(col("vec_id").isin(qIds: _*))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wv = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cosine"), col("doc_id"))
+    val vec = c.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        Num.pround(graft.functions.Vec.cosinePrenormed(
+          graft.functions.Vec.dot(col("qv"), col("v")),
+          col("qn"), col("nrm")), 6).as("cosine"))
+      .withColumn("rv", row_number().over(wv))
+      .select(col("q_id"), col("doc_id"), col("rv"))
+    val wf = Window.partitionBy(col("q_id"))
+      .orderBy(desc("rrf"), col("doc_id"))
+    lex.join(vec, Seq("q_id", "doc_id"))
+      .select(col("q_id"), col("doc_id"),
+        Num.pround(lit(1.0) / (lit(RrfK) + col("rl")) +
+          lit(1.0) / (lit(RrfK) + col("rv")), 6).as("rrf"))
+      .withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= k)
+  }
+
+  val hybridQ = QueryDef(
+    "hybrid_search_rrf",
+    s"hybrid retrieval: BM25 query-by-example + exact cosine, fused by reciprocal rank (K=$RrfK), top-$RrfTopK per query",
+    Some(s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+                   FROM documents),
+        tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM t),
+        tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+        dls AS (SELECT DISTINCT doc_id, dl FROM tf),
+        stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dls),
+        dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        qt AS (SELECT DISTINCT doc_id AS q_id, tok FROM tf
+               WHERE doc_id IN (${RrfQueryIds.mkString(", ")})),
+        pt AS (SELECT qt.q_id, f.doc_id,
+                 ((stats.n - d.df + 0.5) / (d.df + 0.5)) *
+                 ((f.tf * ${K1 + 1}) /
+                  (f.tf + $K1 * (1.0 - $B + ($B * f.dl) / stats.avgdl))) AS s
+               FROM qt JOIN tf f USING (tok) JOIN dfs d USING (tok)
+               CROSS JOIN stats
+               WHERE f.doc_id <> qt.q_id),
+        lex AS (SELECT q_id, doc_id, ${Num.sql("sum(s)", 4)} AS score
+                FROM pt GROUP BY 1, 2),
+        lr AS (SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+                 ORDER BY score DESC, doc_id) AS rl FROM lex),
+        e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        nv AS (SELECT vec_id, v, sqrt(${Similarity.dotSql.format("v", "v")}) AS nrm FROM e),
+        qv AS (SELECT vec_id AS q_id, v AS qvec, nrm AS qn FROM nv
+               WHERE vec_id IN (${RrfQueryIds.mkString(", ")})),
+        vc AS (SELECT qv.q_id, nv.vec_id AS doc_id,
+                 ${Num.sql(Similarity.dotSql.format("qvec", "nv.v") + " / (qn * nrm)", 6)} AS cosine
+               FROM nv CROSS JOIN qv WHERE nv.vec_id <> qv.q_id),
+        vr AS (SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+                 ORDER BY cosine DESC, doc_id) AS rv FROM vc),
+        fused AS (SELECT lr.q_id, lr.doc_id,
+                    ${Num.sql(s"1.0 / ($RrfK + rl) + 1.0 / ($RrfK + rv)", 6)} AS rrf
+                  FROM lr JOIN vr ON lr.q_id = vr.q_id AND lr.doc_id = vr.doc_id)
+        SELECT q_id, doc_id, rrf, rank FROM
+          (SELECT q_id, doc_id, rrf, row_number() OVER (PARTITION BY q_id
+             ORDER BY rrf DESC, doc_id) AS rank FROM fused)
+        WHERE rank <= $RrfTopK"""),
+    (s, dir) => hybridRrf(Tables.documents(s, dir), Tables.embeddings(s, dir),
+      RrfQueryIds, RrfTopK))
+
+  val defs: Seq[QueryDef] = Seq(bm25Q, postingsQ, hybridQ)
 }

@@ -58,4 +58,25 @@ class RetrievalSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("hybrid rrf: fused scores decompose into the two legs' ranks, " +
+      "the query doc never retrieves itself, and both legs move the order") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val out = Retrieval.hybridQ.run(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(out.length == 30)                       // 3 queries x top-10
+    assert(out.forall { case (q, d, _, _) => q != d })
+    // every fused score must be expressible as 1/(60+rl) + 1/(60+rv) for
+    // some integer rank pair — recover (rl, rv) by brute force
+    val valid = (for (rl <- 1 to 500; rv <- 1 to 500)
+      yield math.floor((1.0 / (60 + rl) + 1.0 / (60 + rv)) * 1e6 + 0.5) / 1e6).toSet
+    out.foreach { case (_, d, rrf, _) =>
+      assert(valid.contains(rrf), s"doc $d score $rrf") }
+    // rank column is dense 1..10 per query
+    out.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._4).sorted.toSeq == (1 to 10))
+    }
+  }
 }
