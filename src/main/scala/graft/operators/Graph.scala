@@ -145,5 +145,38 @@ object Graph {
              LEFT JOIN contrib s ON s.node = d.node"""),
     (s, dir) => pagerankStep(bigramEdges(s, dir), 0.85))
 
-  val defs: Seq[QueryDef] = Seq(pagerankQ, pagerank10Q)
+  /** Triangle enumeration over the undirected token co-occurrence graph —
+    * the classic distributed graph kernel (clustering-coefficient
+    * numerator). Node-ORDERED edges (a < b) make each triangle appear
+    * exactly once as (a < b < c) and bound the join work by per-node
+    * out-degree in the ordering (the standard Schank-Wagner trick: every
+    * node's work is its higher-id neighborhood squared, not its full
+    * degree²; orient by degree instead of id at scale for power-law
+    * graphs). Two equi-joins, no enumeration of non-edges. */
+  val trianglesQ = QueryDef(
+    "graph_triangles",
+    "all triangles of the undirected token bigram graph, node-ordered (a<b<c)",
+    Some(s"""WITH toks AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+                           FROM documents),
+             e0 AS (SELECT t[i] AS src, t[i+1] AS dst
+                    FROM toks CROSS JOIN unnest(generate_series(1, len(t)-1)) AS u(i)
+                    WHERE len(t) >= 2),
+             u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                   FROM e0 WHERE src <> dst)
+             SELECT ab.a, ab.b, ac.b AS c
+             FROM u ab JOIN u ac ON ab.a = ac.a AND ab.b < ac.b
+             JOIN u bc ON bc.a = ab.b AND bc.b = ac.b"""),
+    (s, dir) => {
+      val e = bigramEdges(s, dir)
+      val u = e.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+      u.as("ab").join(u.as("ac"),
+          col("ab.a") === col("ac.a") && col("ab.b") < col("ac.b"))
+        .join(u.as("bc"),
+          col("bc.a") === col("ab.b") && col("bc.b") === col("ac.b"))
+        .select(col("ab.a").as("a"), col("ab.b").as("b"), col("ac.b").as("c"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(pagerankQ, pagerank10Q, trianglesQ)
 }

@@ -70,4 +70,24 @@ class GraphSpec extends SparkSpec {
     val cold = inCount.minBy(_._2)._1
     assert(got(hot) > got(cold))
   }
+
+  test("triangles: each exactly once in (a<b<c) order, matching brute force") {
+    val got = Graph.trianglesQ.run(spark, sf("sf0.001")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got.length == got.distinct.length)
+    got.foreach { case (a, b, c) => assert(a < b && b < c, s"($a,$b,$c)") }
+    // brute force over the collected undirected edge set
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+      .select(col("text")).as[String].collect()
+    val edges = docs.flatMap(_.trim.toLowerCase.split("\\s+").sliding(2)
+      .collect { case Array(x, y) if x != y =>
+        (if (x < y) x else y, if (x < y) y else x) }).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val brute = for {
+      a <- nodes; b <- nodes if a < b && edges((a, b))
+      c <- nodes if b < c && edges((a, c)) && edges((b, c))
+    } yield (a, b, c)
+    assert(got.toSet == brute.toSet)
+    assert(brute.nonEmpty)
+  }
 }
