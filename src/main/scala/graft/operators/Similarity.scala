@@ -441,39 +441,50 @@ object Similarity {
     * [[graft.operators.Graph.pagerankIterate]] discipline applied to
     * k-means: when the step count is fixed, no driver loop materializes
     * anything; each step appends an assign + mean-update to the lineage.
-    * Works in LONG format ((id, pos, x) rows) so a step's new centroids are
-    * themselves a DataFrame — the d·k-row centroid table BROADCASTS into
-    * the dot-product join (rows for one vector stay contiguous, so the
-    * (vec, cell) partial aggregate combines map-side; the corpus never
-    * shuffles by component). Intermediate means round to 9 places on both
+    * A step's new centroids are themselves a DataFrame in long format
+    * ((c_id, pos, m) rows — what the mean update naturally produces); each
+    * step reshapes them to array form IN-PLAN (collect_list sorted by
+    * position — d·k rows, a trivial aggregate) so the assignment runs the
+    * codegen'd DotProduct against the BROADCAST centroid array, exactly
+    * like [[kmeansUpdate]]; the corpus never shuffles for assignment, and
+    * the mean update is the only per-step wide exchange (by (cell, pos)).
+    * Intermediate means round to 9 places on both
     * engines, the last step to 6, so aggregation-order noise cannot
     * compound across steps (per-step rounding). Cells that attract no
     * vectors drop out — both engines aggregate only non-empty groups.
     * Zero-norm vectors and zero-norm centroids are excluded (direction
     * undefined), mirroring `embedding_quantize`'s guard. */
   def kmeansIterate(e: DataFrame, stride: Int, steps: Int): DataFrame = {
-    val ev = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "xf")))
-      .select(col("vec_id"), (col("p") + 1).cast("long").as("pos"),
-        col("xf").cast("double").as("x")).cache()
-    val vn = ev.groupBy(col("vec_id"))
-      .agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
-      .filter(col("nrm") > 0)
+    val va = withNorm(e).filter(col("nrm") > 0).cache()
+    val ev = va.select(col("vec_id"), posexplode(col("v")).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("pos"), col("x"))
+      .cache()
     var cents = ev.filter(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("c_id"), col("pos"), col("x").as("m"))
     for (k <- 1 to steps) {
-      val cn = cents.groupBy(col("c_id"))
-        .agg(sqrt(sum(col("m") * col("m"))).as("cn"))
+      // reshape the step's centroid DataFrame back to array form IN-PLAN
+      // (no driver collect): the assignment then runs the codegen'd
+      // DotProduct over arrays — same arithmetic as the long-format sum,
+      // ~2x faster constants, identical rounded result
+      val centsArr = cents.groupBy(col("c_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("c_id"),
+          transform(col("pm"), p => p.getField("m")).as("cv"))
+        .withColumn("cn", Vec.norm(col("cv")))
         .filter(col("cn") > 0)
-      val dot = ev.join(broadcast(cents), "pos")
-        .groupBy(col("vec_id"), col("c_id")).agg(sum(col("x") * col("m")).as("dp"))
-      val sim = dot.join(vn, "vec_id").join(broadcast(cn), "c_id")
-        .select(col("vec_id"), col("c_id"),
-          Num.pround(col("dp") / (col("nrm") * col("cn")), 6).as("csim"))
-      val cells = sim.groupBy(col("vec_id"))
+      val cells = va.join(broadcast(centsArr), lit(true))
+        .select(col("vec_id"),
+          Num.pround(Vec.cosinePrenormed(Vec.dot(col("v"), col("cv")),
+            col("nrm"), col("cn")), 6).as("csim"), col("c_id"))
+        .groupBy(col("vec_id"))
         .agg(max_by(col("c_id"), struct(col("csim"), (-col("c_id")).as("nc")))
           .as("c_id"))
       cents = cells.join(ev, "vec_id").groupBy(col("c_id"), col("pos"))
         .agg(Num.pround(avg(col("x")), if (k == steps) 6 else 9).as("m"))
+      // cache each step's d·k-row centroid table: without it, step k's
+      // broadcast re-executes every prior step's assign+update (the chain
+      // would cost Σk instead of k step-executions)
+      if (k < steps) cents = cents.cache()
     }
     cents.select(col("c_id"), (col("pos") - 1).as("pos"), col("m").as("mean_x"))
   }
