@@ -286,6 +286,49 @@ object Eval {
         Num.pround(count(when(col("label"), 1)).cast("double") /
           count(lit(1)), 6).as("pos_rate")))
 
+  /** Threshold-parameterized precision/recall curve — the PR points a
+    * curve plot or operating-point picker consumes: for every DISTINCT
+    * score value q, the classifier "predict positive iff score >= q" gets
+    * its retrieved count, true positives, precision, and recall. Same
+    * scale trick as [[aucQ]]: the cumulative sums run over the
+    * |distinct scores| <= 10001-row table (bounded window), never a global
+    * per-document ranking; all counts are exact integers with one IEEE
+    * division per cell. */
+  val prCurveQ = QueryDef(
+    "eval_pr_curve",
+    "precision/recall at every score threshold (predict positive iff q >= thresh)",
+    Some(scoredSql +
+      s""", byq AS (SELECT q, count(*) AS cnt,
+                  count(CASE WHEN label THEN 1 END) AS pos
+                FROM g GROUP BY q),
+        cum AS (SELECT q,
+                  CAST(sum(cnt) OVER (ORDER BY q DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n_ge,
+                  CAST(sum(pos) OVER (ORDER BY q DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS tp
+                FROM byq),
+        tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p FROM byq)
+        SELECT q AS q_thresh, n_ge, tp,
+               ${Num.sql("CAST(tp AS DOUBLE) / n_ge", 6)} AS precision,
+               ${Num.sql("CAST(tp AS DOUBLE) / tot.p", 6)} AS recall
+        FROM cum CROSS JOIN tot"""),
+    (s, dir) => {
+      val byq = scored(s, dir).groupBy(col("q"))
+        .agg(count(lit(1)).as("cnt"), count(when(col("label"), 1)).as("pos"))
+      val w = Window.orderBy(col("q").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = byq.agg(sum(col("pos")).as("p"))
+      byq.withColumn("n_ge", sum(col("cnt")).over(w))
+        .withColumn("tp", sum(col("pos")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("q").as("q_thresh"), col("n_ge"), col("tp"),
+          Num.pround(col("tp").cast("double") / col("n_ge"), 6).as("precision"),
+          Num.pround(col("tp").cast("double") / col("p"), 6).as("recall"))
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(aucQ, confusionQ, langidConfusionQ, rankMetricsQ, calibrationQ)
+    Seq(aucQ, confusionQ, langidConfusionQ, rankMetricsQ, calibrationQ,
+      prCurveQ)
 }

@@ -293,6 +293,35 @@ class PropertySpec extends SparkSpec {
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
+  test("property: paragraphDedup equals a local reference on random " +
+      "corpora with planted cross-doc duplicate paragraphs") {
+    import spark.implicits._
+    val words = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val paras: Seq[String] = (0 until 12).map { i =>
+      sample(words, 16, 1000L + i).mkString(" ")
+    }
+    // each doc = 1..4 paragraphs drawn (with repetition ACROSS docs) from
+    // the shared pool -> guaranteed cross-doc duplicates
+    val docs: Seq[(Long, String)] = (0 until 25).map { d =>
+      val k = 1 + (d * 7) % 4
+      val picks = sample(Gen.chooseNum(0, paras.length - 1), k, 2000L + d)
+      d.toLong -> picks.map(paras).mkString(" ")
+    }
+    val got = Dedup.paragraphDedup(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // reference: global first-writer-wins, sequential over (doc_id, idx)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val want = docs.map { case (id, t) =>
+      val chunks = t.trim.split("\\s+").grouped(16).map(_.mkString(" ")).toSeq
+      val kept = chunks.filter(c => seen.add(c))
+      id -> ((chunks.length.toLong, kept.length.toLong, kept.mkString(" ")))
+    }.toMap
+    assert(got == want)
+    assert(want.values.exists(_._2 == 0L) ||
+      want.values.map(_._2).sum < want.values.map(_._1).sum) // dups happened
+  }
+
   test("property: interleave_sources is a permutation in round-robin order") {
     val got = Curation.interleaveQ.run(spark, sf("sf0.001"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
