@@ -652,6 +652,67 @@ object Dedup {
         .select(col("doc_id"), col("span_start"), col("span_end"))
     })
 
+  /** Incremental-shard near-dup detection: the pairs between a NEW shard
+    * and the EXISTING corpus only — the batch economics of
+    * [[graft.streaming.CorpusDedup.incrementalDedup]]: when a shard lands,
+    * old×old pairs were already adjudicated, so the band candidates filter
+    * to cross-side pairs BEFORE the exact-verify join ever runs. At 100 TB
+    * the old corpus's signatures/band keys are precomputed and stored
+    * (they are deterministic functions of content); only the new shard
+    * computes signatures and probes old buckets — candidate and verify
+    * work scale with the SHARD, not the corpus. Same geometry and
+    * exact-verification as [[minHashDedup]], so the output is the exact
+    * Jaccard pair set restricted to cross-side pairs. */
+  def minHashDedupNewShard(df: DataFrame, id: String, text: String,
+      n: Int, numHashes: Int, bands: Int, threshold: Double,
+      isNew: Column): DataFrame = {
+    val sh = shingleIndexHashed(df, id, text, n).cache()
+    val sig = minHashSignatures(sh, numHashes)
+    val side = df.select(col(id).cast("long").as("doc_id"), isNew.as("isnew"))
+    val cands = lshCandidates(sig, bands, numHashes / bands)
+      .join(side.select(col("doc_id").as("i"), col("isnew").as("ni")), "i")
+      .join(side.select(col("doc_id").as("j"), col("isnew").as("nj")), "j")
+      .filter(col("ni") =!= col("nj"))
+      .select(col("i"), col("j"))
+    val cnt = shingleCounts(sh)
+    sh.as("a")
+      .join(cands.as("cd"), col("a.doc_id") === col("cd.i"))
+      .join(sh.as("b"),
+        col("b.doc_id") === col("cd.j") && col("b.s") === col("a.s"))
+      .groupBy(col("cd.i").as("i"), col("cd.j").as("j"))
+      .agg(count(lit(1)).as("c"))
+      .join(cnt.as("na"), col("i") === col("na.doc_id"))
+      .join(cnt.as("nb"), col("j") === col("nb.doc_id"))
+      .select(col("i"), col("j"),
+        Num.pround(col("c").cast("double") /
+          (col("na.n") + col("nb.n") - col("c")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The shard that plays "newly arrived" in [[newShardQ]]. */
+  val NewShardSource = "src1"
+
+  val newShardQ = QueryDef(
+    "dedup_new_shard",
+    s"near-dup pairs between the newly-landed shard ($NewShardSource) and the existing corpus only — incremental batch dedup",
+    Some(s"""WITH toks AS (SELECT d.doc_id, d.source = '$NewShardSource' AS isnew,
+                    string_split_regex(trim(lower(d.text)), '\\s+') AS t
+                  FROM documents d),
+       sh AS (SELECT DISTINCT doc_id, isnew,
+                t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              FROM toks CROSS JOIN unnest(generate_series(1, len(t)-2)) AS u(i)
+              WHERE len(t) >= 3),
+       n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+             FROM sh a JOIN sh b
+               ON a.s = b.s AND a.doc_id < b.doc_id AND a.isnew <> b.isnew
+             GROUP BY 1, 2)
+       SELECT i, j, ${Num.sql("CAST(c AS DOUBLE) / (na.n + nb.n - c)", 4)} AS jaccard
+       FROM p JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
+       WHERE ${Num.sql("CAST(c AS DOUBLE) / (na.n + nb.n - c)", 4)} >= 0.8"""),
+    (s, dir) => minHashDedupNewShard(Tables.documents(s, dir), "doc_id",
+      "text", 3, 32, 8, 0.8, col("source") === NewShardSource))
+
   /** Default paragraph granularity for [[paragraphDedup]] — long enough that
     * a repeated segment is boilerplate (not a common phrase), short enough
     * that one pass of planted duplication still lands inside a single
@@ -791,5 +852,5 @@ object Dedup {
   val defs: Seq[QueryDef] =
     Seq(exactQ, jaccardQ, jaccardCappedQ, minHashQ, simHashQ, hammingQ,
       hammingWideQ, clustersQ, spansQ, containmentQ, dedupRecallQ,
-      paragraphsQ)
+      paragraphsQ, newShardQ)
 }

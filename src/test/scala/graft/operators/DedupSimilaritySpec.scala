@@ -235,6 +235,23 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally real.unpersist()
   }
 
+  test("new-shard dedup returns EXACTLY the cross-side slice of the full " +
+      "exact pair set — old x old pairs never appear") {
+    val full = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8,
+        maxDf = Dedup.Uncapped)
+      .select(col("i"), col("j")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val isNew = docs.select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1) == Dedup.NewShardSource)).toMap
+    val want = full.filter { case (i, j) => isNew(i) != isNew(j) }
+    val got = Dedup.minHashDedupNewShard(docs, "doc_id", "text", 3, 32, 8,
+        0.8, col("source") === Dedup.NewShardSource)
+      .select(col("i"), col("j")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.size < full.size) // a strict, non-empty slice
+  }
+
   test("kmeansIterate step 1 equals the array-form kmeansUpdate means " +
       "(long-format vs broadcast-array implementations cross-validate)") {
     val it = Similarity.kmeansIterate(emb, stride = 25, steps = 1)
