@@ -165,21 +165,26 @@ object Retrieval {
     * candidates at corpus scale — the fusion is leg-agnostic. */
   def hybridRrf(docs: DataFrame, emb: DataFrame, qIds: Seq[Long],
       k: Int): DataFrame = {
-    import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val tf = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      .as[(Long, String)]
-      .flatMap { case (id, t) =>
-        val a = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
-        a.iterator.map(tok => (id, a.length.toLong, tok))
-      }.toDF("doc_id", "dl", "tok")
+    // doc lengths come from size() — one scan, no explode; the token stream
+    // explodes ONLY into the broadcast query-term semi-join, so the tf
+    // aggregation sees |q-terms| postings, never the full stream (the same
+    // filter-before-shuffle discipline as bm25TopK's term filter)
+    val withDl = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col("text"), size(graft.functions.Text.tokens(col("text")))
+        .cast("long").as("dl"))
+    val dls = withDl.select(col("doc_id"), col("dl"))
+    val stats = dls.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val qt = withDl.filter(col("doc_id").isin(qIds: _*))
+      .select(col("doc_id").as("q_id"),
+        explode(graft.functions.Text.tokens(col("text"))).as("tok")).distinct()
+    val tf = withDl
+      .select(col("doc_id"), col("dl"),
+        explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+      .join(broadcast(qt.select(col("tok")).distinct()), "tok")
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf")).cache()
-    val dls = tf.select(col("doc_id"), col("dl")).distinct()
-    val stats = dls.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
     val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val qt = tf.filter(col("doc_id").isin(qIds: _*))
-      .select(col("doc_id").as("q_id"), col("tok")).distinct()
     val perTerm = qt.join(tf, "tok")
       .filter(col("doc_id") =!= col("q_id"))
       .join(broadcast(dfs), "tok").crossJoin(broadcast(stats))

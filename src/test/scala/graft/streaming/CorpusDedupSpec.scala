@@ -522,6 +522,36 @@ class CorpusRewriteSpec extends graft.SparkSpec {
     } finally { q.stop(); docsDf.unpersist() }
   }
 
+  test("paragraph stream state survives a checkpointed restart: a pre-" +
+      "restart paragraph still suppresses its post-restart copy") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pA = (1 to 16).map(i => s"ra$i").mkString(" ")
+    val pB = (1 to 16).map(i => s"rb$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pdedup").toString
+    val input = MemoryStream[StreamDoc]
+    val out = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, String)]()
+    def start() = CorpusDedup.paragraphDedupStream(input.toDS())
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => out.put(r.getLong(0),
+          (r.getLong(1), r.getLong(2), r.getString(3))))
+      }.start()
+    val q1 = start()
+    input.addData(StreamDoc(10, s"$pA $pB"))
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    try {
+      input.addData(StreamDoc(11, s"$pB x1"))
+      q2.processAllAvailable()
+      assert(out.get(10L) == ((2L, 2L, s"$pA $pB")), out.toString)
+      // pB was seen before the restart -> suppressed; only "x1" survives
+      assert(out.get(11L) == ((2L, 1L, "x1")), out.toString)
+    } finally q2.stop()
+  }
+
   test("curated ingest: each gate drops its own failure mode before dedup " +
       "state; survivors still dedupe against prior batches") {
     import spark.implicits._
