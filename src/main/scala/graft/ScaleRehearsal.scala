@@ -231,6 +231,30 @@ object ScaleRehearsal {
       .agg(sum(expr("n * (n - 1) div 2"))).collect()(0).getLong(0)
   }
 
+  /** Cross-side band-bucket candidate volume for dedup_new_shard: sum over
+    * (band, band-hash) buckets of n_new × n_old — the pair volume its
+    * exact verifier sees. The scale claim: this tracks the SHARD's bucket
+    * occupancy (each bucket contributes new×old, not C(n,2)), so landing a
+    * fixed-size shard costs the same against any corpus size with stable
+    * bucket geometry. */
+  def newShardCandidates(spark: SparkSession, dir: String): Long = {
+    import graft.operators.Dedup
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val sh = Dedup.shingleIndexHashed(docs, "doc_id", "text", 3)
+    val sig = Dedup.minHashSignatures(sh, 32)
+    val bandCols = (0 until 8).map { b =>
+      xxhash64((b * 4 until (b + 1) * 4).map(i => col(s"h$i")): _*)
+    }
+    val side = docs.select(col("doc_id").cast("long").as("doc_id"),
+      (col("source") === Dedup.NewShardSource).as("isnew"))
+    sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+      .join(side, "doc_id")
+      .groupBy(col("band"), col("bh"))
+      .agg(sum(when(col("isnew"), 1L).otherwise(0L)).as("nn"),
+        sum(when(col("isnew"), 0L).otherwise(1L)).as("no"))
+      .agg(sum(col("nn") * col("no"))).collect()(0).getLong(0)
+  }
+
   def main(args: Array[String]): Unit = {
     val root = if (args.nonEmpty) args(0) else "/tmp/graft-scale"
     val mults = Seq(1, 3, 10)
@@ -246,7 +270,9 @@ object ScaleRehearsal {
     val queries = Seq("geo_encounters", "session_overlap_join",
       "simhash_hamming_pairs", "simhash_hamming_pairs_wide",
       "dedup_clusters", "dedup_minhash_lsh",
-      "dedup_paragraphs", "semdedup_verdicts", "dsir_weights")
+      "dedup_paragraphs", "semdedup_verdicts", "dsir_weights",
+      "dedup_new_shard", "hybrid_search_rrf", "kmeans_train_3",
+      "curation_scorecard")
     mults.foreach { m =>
       val dir = s"$root/x$m"
       if (!new java.io.File(s"$dir/events.parquet").exists()) {
@@ -258,7 +284,8 @@ object ScaleRehearsal {
         "session_overlap_join" -> sessionCandidates(spark, dir),
         "simhash_hamming_pairs" -> simhashCandidates(spark, dir),
         "simhash_hamming_pairs_wide" -> simhashWideCandidates(spark, dir),
-        "semdedup_verdicts" -> semdedupCandidates(spark, dir))
+        "semdedup_verdicts" -> semdedupCandidates(spark, dir),
+        "dedup_new_shard" -> newShardCandidates(spark, dir))
       queries.foreach { q =>
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(q)(spark, dir).count()

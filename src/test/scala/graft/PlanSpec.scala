@@ -301,6 +301,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("hybrid rrf: query terms semi-join by broadcast, vector leg is the " +
+      "conditioned broadcast product — the corpus never sort-merges") {
+    val p = plan(run("hybrid_search_rrf"))
+    assert(p.contains("BroadcastHashJoin"), p)        // term semi-join
+    assert(p.contains("BroadcastNestedLoopJoin"), p)  // corpus x query vecs
+  }
+
+  test("kmeans_train_3: every assignment is a broadcast product against " +
+      "the reshaped centroid array — three of them, one per step") {
+    val p = plan(run("kmeans_train_3"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 3, p)
+  }
+
+  test("graph_triangles closes triangles with pure equi-joins — no " +
+      "nested-loop anywhere") {
+    val p = plan(run("graph_triangles"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("no catalog query degrades to a CartesianProduct") {
     // vector pair scans are deliberate *conditioned* nested-loop joins
     // (BroadcastNestedLoopJoin); a true CartesianProduct anywhere means a
