@@ -309,9 +309,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("kmeans_train_3: every assignment is a broadcast product against " +
-      "the reshaped centroid array — three of them, one per step") {
+      "the reshaped centroid array; the corpus never sort-merge joins") {
     val p = plan(run("kmeans_train_3"))
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 3, p)
+    // exact BNLJ count depends on whether the per-step caches substitute
+    // (>= one per step either way); the invariant is broadcast assignment
+    // and no shuffled corpus x centroid join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length >= 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("graph_triangles closes triangles with pure equi-joins — no " +
