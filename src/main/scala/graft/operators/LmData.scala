@@ -321,7 +321,58 @@ object LmData {
           coalesce(col("token_id"), lit(0L)).as("token_id"))
     })
 
+  /** CCNet-style perplexity bucketing: order the corpus by the LM quality
+    * score ([[predictabilityQ]] — the rational no-ln predictability that
+    * stands in for KenLM perplexity; MORE predictable = LOWER perplexity =
+    * 'head') and split it into head/middle/tail thirds. This is the named
+    * curation stage of the CCNet pipeline (Wenzek et al. 2020): downstream
+    * mixes sample head-heavy.
+    *
+    * Scale: the global rank is NOT a global-sort window. Scores are rounded
+    * to 1e-4, so the distinct-score table is bounded (<= ~10^4 rows at any
+    * corpus size — the [[graft.operators.Eval]] PR-curve discipline); the
+    * cumulative over it broadcasts back, and each doc's rank is that
+    * cumulative plus a row_number PARTITIONED BY its score (bounded
+    * per-partition work), ties broken by doc_id. Bucket edges use integer
+    * arithmetic (rank*3 vs N) so no float boundary exists. */
+  val ccnetQ = QueryDef(
+    "ccnet_perplexity_buckets",
+    "head/middle/tail corpus thirds by LM predictability (CCNet bucketing)",
+    Some(s"""WITH p AS (${predictabilityQ.oracle.get}),
+             n AS (SELECT count(*) AS n FROM p),
+             r AS (SELECT doc_id, predictability,
+                     row_number() OVER (ORDER BY predictability DESC, doc_id)
+                       AS rank
+                   FROM p)
+             SELECT doc_id, predictability, CAST(rank AS BIGINT) AS rank,
+                    CASE WHEN rank * 3 <= n THEN 'head'
+                         WHEN rank * 3 <= 2 * n THEN 'middle'
+                         ELSE 'tail' END AS bucket
+             FROM r CROSS JOIN n"""),
+    (s, dir) => {
+      val scored = predictabilityQ.run(s, dir)
+        .select(col("doc_id"), col("predictability"))
+      // bounded distinct-score cumulative: |distinct rounded scores| rows
+      val cum = scored.groupBy(col("predictability"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum_before",
+          coalesce(sum(col("c")).over(Window.orderBy(desc("predictability"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("predictability"), col("cum_before"))
+      val n = scored.agg(count(lit(1)).as("n"))
+      val rn = row_number()
+        .over(Window.partitionBy(col("predictability")).orderBy(col("doc_id")))
+      scored
+        .join(broadcast(cum), Seq("predictability"))
+        .crossJoin(broadcast(n))
+        .withColumn("rank", col("cum_before") + rn)
+        .select(col("doc_id"), col("predictability"), col("rank"),
+          when(col("rank") * 3 <= col("n"), "head")
+            .when(col("rank") * 3 <= col("n") * 2, "middle")
+            .otherwise("tail").as("bucket"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(shuffleQ, curriculumQ, trigramQ, rarityQ, contamReportQ,
-      predictabilityQ, vocabEncodeQ)
+      predictabilityQ, vocabEncodeQ, ccnetQ)
 }

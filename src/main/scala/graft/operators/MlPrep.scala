@@ -167,5 +167,82 @@ object MlPrep {
           Num.pround(lit(GdW0(3)) - lit(GdLr) * col("g3") / col("n"), 6).as("w3"))
     })
 
-  val defs: Seq[QueryDef] = Seq(negativeSamplesQ, hashCrossQ, gdStepQ)
+  /** Mutual information between token PRESENCE and the document's language
+    * label — the classic filter-method feature selector (what you run before
+    * training a fastText-style quality/language classifier to pick its
+    * vocabulary). For each token t, I(X_t; L) over the 2x|langs| contingency
+    * table of doc-level presence vs label, with the 0·ln0 = 0 convention.
+    *
+    * Scale/determinism: the presence table is one explode+distinct (linear);
+    * label totals are a |langs|-row broadcast; the full contingency grid is
+    * |vocab| x |langs| built by a broadcast cross join, NEVER doc x vocab.
+    * Each grid cell's two ln-terms are quantized to integer micro-nats
+    * BEFORE the per-token sum (the [[graft.operators.Curation]] DSIR
+    * discipline) so the MI total is exact BIGINT arithmetic — summation
+    * order can't perturb it. Top-50 is a TakeOrdered on the unique key
+    * (mi_micro DESC, tok). */
+  private val MiTopK = 50
+
+  val tokenMiQ = QueryDef(
+    "token_lang_mi",
+    "top-50 tokens by mutual information with the language label (micro-nats)",
+    Some(s"""WITH pres AS (SELECT DISTINCT doc_id, lang,
+                    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+                  FROM documents),
+       tl AS (SELECT tok, lang, count(*) AS n_ts FROM pres GROUP BY 1, 2),
+       nt AS (SELECT tok, CAST(sum(n_ts) AS BIGINT) AS n_t FROM tl GROUP BY 1),
+       ls AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY 1),
+       tot AS (SELECT count(*) AS n FROM documents),
+       grid AS (SELECT nt.tok, nt.n_t, ls.lang, ls.n_s,
+                       coalesce(tl.n_ts, 0) AS n_ts, tot.n
+                FROM nt CROSS JOIN ls CROSS JOIN tot
+                LEFT JOIN tl ON tl.tok = nt.tok AND tl.lang = ls.lang),
+       cells AS (SELECT tok, n_t,
+                   CAST(floor((
+                     CASE WHEN n_ts > 0 THEN
+                       (CAST(n_ts AS DOUBLE) / n) *
+                       ln((CAST(n_ts AS DOUBLE) * n) /
+                          (CAST(n_t AS DOUBLE) * n_s)) ELSE 0.0 END +
+                     CASE WHEN n_s - n_ts > 0 THEN
+                       (CAST(n_s - n_ts AS DOUBLE) / n) *
+                       ln((CAST(n_s - n_ts AS DOUBLE) * n) /
+                          (CAST(n - n_t AS DOUBLE) * n_s)) ELSE 0.0 END
+                   ) * 1e6 + 0.5) AS BIGINT) AS cell_micro
+                 FROM grid)
+       SELECT tok, n_t AS n_docs, CAST(sum(cell_micro) AS BIGINT) AS mi_micro
+       FROM cells GROUP BY 1, 2
+       ORDER BY mi_micro DESC, tok LIMIT $MiTopK"""),
+    (s, dir) => {
+      import graft.functions.Text
+      val docs = Tables.documents(s, dir)
+      val pres = docs
+        .select(col("doc_id"), col("lang"),
+          explode(Text.tokens(col("text"))).as("tok"))
+        .distinct()
+      val tl = pres.groupBy(col("tok"), col("lang")).agg(count(lit(1)).as("n_ts"))
+      val nt = tl.groupBy(col("tok")).agg(sum(col("n_ts")).as("n_t"))
+      val ls = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
+      val tot = docs.agg(count(lit(1)).as("n"))
+      val grid = nt.crossJoin(broadcast(ls)).crossJoin(broadcast(tot))
+        .join(tl, Seq("tok", "lang"), "left")
+        .withColumn("n_ts", coalesce(col("n_ts"), lit(0L)))
+      val presTerm = when(col("n_ts") > 0,
+        (col("n_ts").cast("double") / col("n")) *
+          log((col("n_ts").cast("double") * col("n")) /
+            (col("n_t").cast("double") * col("n_s")))).otherwise(0.0)
+      val absTerm = when(col("n_s") - col("n_ts") > 0,
+        ((col("n_s") - col("n_ts")).cast("double") / col("n")) *
+          log(((col("n_s") - col("n_ts")).cast("double") * col("n")) /
+            ((col("n") - col("n_t")).cast("double") * col("n_s")))).otherwise(0.0)
+      grid
+        .select(col("tok"), col("n_t"),
+          floor((presTerm + absTerm) * 1e6 + 0.5).cast("long").as("cell_micro"))
+        .groupBy(col("tok"), col("n_t"))
+        .agg(sum(col("cell_micro")).as("mi_micro"))
+        .select(col("tok"), col("n_t").as("n_docs"), col("mi_micro"))
+        .orderBy(col("mi_micro").desc, col("tok"))
+        .limit(MiTopK)
+    })
+
+  val defs: Seq[QueryDef] = Seq(negativeSamplesQ, hashCrossQ, gdStepQ, tokenMiQ)
 }

@@ -264,5 +264,52 @@ object Retrieval {
     (s, dir) => hybridRrf(Tables.documents(s, dir), Tables.embeddings(s, dir),
       RrfQueryIds, RrfTopK))
 
-  val defs: Seq[QueryDef] = Seq(bm25Q, postingsQ, hybridQ)
+  /** Exact-phrase query over the POSITIONAL inverted index: postings carry
+    * token positions, and a phrase match is an equi-join of the first term's
+    * postings with the second term's at position+1 — the classic
+    * positional-index adjacency join every search engine runs, here as a
+    * Spark plan. ("Did the corpus say exactly X Y" is a routine corpus-
+    * inspection / contamination question a substring LIKE can't answer
+    * post-tokenization.)
+    *
+    * Scale (100 TB): the token stream is filtered to the two phrase terms AT
+    * THE SCAN (same discipline as [[bm25TopK]]) so only |postings of the two
+    * terms| rows shuffle; the adjacency join keys on (doc_id, position) —
+    * equi-join, never a range join — and with a pre-built bucketed postings
+    * table it is co-partitioned. The per-doc aggregate reuses the join's
+    * hash partitioning on doc_id. */
+  val PhraseW1 = "part"
+  val PhraseW2 = "filter"
+
+  def phraseSearch(docs: DataFrame, w1: String, w2: String): DataFrame = {
+    val posting = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.Text.tokens(col("text"))))
+      .filter(col("col").isin(w1, w2))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("col").as("tok"))
+    // join keys are (doc_id, position): w1 postings advanced by one line up
+    // with w2 postings — a pure equi-join, extractable by ExtractEquiJoinKeys
+    val a = posting.filter(col("tok") === w1)
+      .select(col("doc_id"), col("p").as("p1"), (col("p") + 1).as("pj"))
+    val b = posting.filter(col("tok") === w2)
+      .select(col("doc_id"), col("p").as("pj"))
+    a.join(b, Seq("doc_id", "pj"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("p1")).as("first_pos"))
+  }
+
+  val phraseQ = QueryDef(
+    "phrase_search_positions",
+    s"positional-postings adjacency join: docs containing the exact phrase '$PhraseW1 $PhraseW2'",
+    Some(s"""WITH toks AS (SELECT doc_id,
+                    string_split_regex(trim(lower(text)), '\\s+') AS t
+                  FROM documents),
+       hits AS (SELECT doc_id, CAST(i AS BIGINT) AS i
+                FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS u(i)
+                WHERE t[i] = '$PhraseW1' AND t[i+1] = '$PhraseW2')
+       SELECT doc_id, count(*) AS n_hits, min(i) AS first_pos
+       FROM hits GROUP BY doc_id"""),
+    (s, dir) => phraseSearch(Tables.documents(s, dir), PhraseW1, PhraseW2))
+
+  val defs: Seq[QueryDef] = Seq(bm25Q, postingsQ, hybridQ, phraseQ)
 }

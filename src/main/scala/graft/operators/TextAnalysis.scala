@@ -395,8 +395,98 @@ object TextAnalysis {
         Num.pround(log(col("n_tokens")) - col("sclnc") / col("n_tokens"), 6)
           .as("entropy")))
 
+  /** MOSS winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03): hash every word 3-gram, slide a window of [[WinnowW]]
+    * consecutive shingle hashes, and per window keep the RIGHTMOST minimum —
+    * the guarantee is every match of length >= k+w-1 shares a selected
+    * fingerprint, at ~2/(w+1) the density of the full shingle set. This is
+    * the robust local fingerprint the n-gram/minhash family lacks: selected
+    * positions are stable under edits outside the window.
+    *
+    * The textbook algorithm is a per-doc sequential scan; the distributed
+    * form here replaces it with an O(1)-lookahead window characterization so
+    * no blocked self-join and no per-doc sequential pass is needed: position
+    * p is selected iff SOME window start i in [p-w+1, p] is valid and p is
+    * its rightmost argmin, i.e. all hashes in [i, p-1] are >= h(p) (p wins
+    * left ties) and all in [p+1, i+w-1] are > h(p) (right ties win over p).
+    * With per-position window mins over the previous/next 1..w-1 rows that
+    * is a pure boolean over 2(w-1) window columns — one hash shuffle by
+    * doc_id, WindowExec over bounded-length docs, linear at any corpus size.
+    * Hashes are the first 8 md5 hex chars compared lexicographically
+    * (identical ASCII collation in both engines — no integer conversion
+    * needed for a min).
+    */
+  val WinnowK = 3
+  val WinnowW = 4
+
+  def winnowingFingerprints(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = col("t")
+    val shingleAt = (i: org.apache.spark.sql.Column) =>
+      concat_ws(" ", (0 until WinnowK).map(j => element_at(t, i + j)): _*)
+    val sh = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .filter(size(t) >= WinnowK + WinnowW - 1) // at least one full window
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(t) - (WinnowK - 1)), shingleAt)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        substring(md5(col("col")), 1, 8).as("h"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val whole = Window.partitionBy("doc_id")
+    val withMins = sh
+      .withColumn("m", count(lit(1)).over(whole))
+      .withColumn("p1", min(col("h")).over(byDoc.rowsBetween(-1, -1)))
+      .withColumn("p2", min(col("h")).over(byDoc.rowsBetween(-2, -1)))
+      .withColumn("p3", min(col("h")).over(byDoc.rowsBetween(-3, -1)))
+      .withColumn("f1", min(col("h")).over(byDoc.rowsBetween(1, 1)))
+      .withColumn("f2", min(col("h")).over(byDoc.rowsBetween(1, 2)))
+      .withColumn("f3", min(col("h")).over(byDoc.rowsBetween(1, 3)))
+    val h = col("h")
+    val selected =
+      (col("pos") + 3 <= col("m") && h < col("f3")) ||                       // d=0
+        (col("pos") >= 2 && col("pos") + 2 <= col("m") &&
+          col("p1") >= h && h < col("f2")) ||                                // d=1
+        (col("pos") >= 3 && col("pos") + 1 <= col("m") &&
+          col("p2") >= h && h < col("f1")) ||                                // d=2
+        (col("pos") >= 4 && col("p3") >= h)                                  // d=3
+    withMins.filter(selected)
+      .select(col("doc_id"), col("pos"), h.as("fp"))
+  }
+
+  val winnowing = QueryDef(
+    "winnowing_fingerprints",
+    "MOSS winnowing: rightmost-min of each 4-window over 3-gram hashes, via O(1) window mins",
+    Some("""WITH toks AS (SELECT doc_id,
+                    string_split_regex(trim(lower(text)), '\s+') AS t
+                  FROM documents),
+       sh AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8) AS h
+              FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 2)) AS u(i)
+              WHERE len(t) >= 6),
+       wm AS (SELECT doc_id, pos, h,
+                count(*) OVER (PARTITION BY doc_id) AS m,
+                min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING) AS p1,
+                min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS p2,
+                min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS p3,
+                min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN 1 FOLLOWING AND 1 FOLLOWING) AS f1,
+                min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS f2,
+                min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS f3
+              FROM sh)
+       SELECT doc_id, pos, h AS fp FROM wm
+       WHERE (pos + 3 <= m AND h < f3)
+          OR (pos >= 2 AND pos + 2 <= m AND p1 >= h AND h < f2)
+          OR (pos >= 3 AND pos + 1 <= m AND p2 >= h AND h < f1)
+          OR (pos >= 4 AND p3 >= h)"""),
+    (s, dir) => winnowingFingerprints(Tables.documents(s, dir)))
+
   val defs: Seq[QueryDef] =
     Seq(tokenStats, quality, langid, fingerprint, bigramDf, bpeTokens,
       trainValSplit, redact, corpusMix, repetition, corpusMixTemperature,
-      entropy)
+      entropy, winnowing)
 }

@@ -157,4 +157,23 @@ class LmDataSpec extends SparkSpec {
     assert(dupAbove * 2 >= dups.length,
       s"only $dupAbove/${dups.length} duplicate docs above median predictability")
   }
+
+  test("ccnet_perplexity_buckets: ranks are a permutation, bucket sizes are " +
+      "exact thirds, and buckets are score-ordered") {
+    val rows = LmData.ccnetQ.run(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getString(3)))
+    val n = rows.length
+    assert(rows.map(_._3).sorted.toSeq == (1L to n.toLong))
+    val sizes = rows.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(sizes("head") == n / 3)
+    assert(sizes("middle") == 2 * n / 3 - n / 3)
+    assert(sizes("tail") == n - 2 * n / 3)
+    def scores(b: String) = rows.filter(_._4 == b).map(_._2)
+    assert(scores("head").min >= scores("middle").max)
+    assert(scores("head").min >= scores("tail").max)
+    assert(scores("middle").min >= scores("tail").max)
+    // rank order and score order agree (desc)
+    val byRank = rows.sortBy(_._3).map(_._2)
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+  }
 }

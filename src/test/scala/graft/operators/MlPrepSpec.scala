@@ -67,4 +67,41 @@ class MlPrepSpec extends SparkSpec {
       assert(vs.map(_._2).distinct.length == 1, s"$k maps to multiple buckets")
     }
   }
+
+  test("token_lang_mi matches an exact local MI computation and ranks " +
+      "language function words at the top") {
+    val out = MlPrep.tokenMiQ.run(spark, sf("sf0.001")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val n = docs.length
+    val langTotals = docs.groupBy(_._2).view.mapValues(_.length).toMap
+    val pres = docs.flatMap { case (id, lang, text) =>
+      text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").distinct
+        .map(t => (t, lang, id))
+    }
+    val tl = pres.groupBy(p => (p._1, p._2)).view.mapValues(_.length).toMap
+    val nt = pres.groupBy(_._1).view
+      .mapValues(_.map(_._3).distinct.length).toMap
+    val miLocal = nt.map { case (tok, ntok) =>
+      val cells = langTotals.toSeq.map { case (lang, ns) =>
+        val nts = tl.getOrElse((tok, lang), 0)
+        val p = if (nts > 0)
+          (nts.toDouble / n) * math.log(nts.toDouble * n / (ntok.toDouble * ns))
+        else 0.0
+        val a = if (ns - nts > 0)
+          ((ns - nts).toDouble / n) *
+            math.log((ns - nts).toDouble * n / ((n - ntok).toDouble * ns))
+        else 0.0
+        math.floor((p + a) * 1e6 + 0.5).toLong
+      }
+      (tok, ntok.toLong, cells.sum)
+    }.toSeq.sortBy(t => (-t._3, t._1)).take(50)
+    assert(out.toSeq == miLocal)
+    // function words separate languages: at least 3 of the tiny stopword
+    // lists' tokens appear in the top 50
+    val stop = graft.functions.Text.stopwords.values.flatten.toSet
+    assert(out.count(t => stop(t._1)) >= 3, out.take(10).mkString(", "))
+  }
 }

@@ -345,4 +345,43 @@ class PropertySpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("property: distributed winnowing equals the textbook sequential " +
+      "algorithm on random corpora (small vocab forces hash ties)") {
+    import spark.implicits._
+    def md5hex8(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString.take(8)
+    }
+    val w = TextAnalysis.WinnowW
+    val k = TextAnalysis.WinnowK
+    // small vocabulary => repeated shingles => equal hashes in one window,
+    // exercising the rightmost-tie rule
+    val vocab = Vector("a", "b", "c", "dd")
+    val docs = sample(for {
+      len <- Gen.chooseNum(1, 40)
+      toks <- Gen.listOfN(len, Gen.oneOf(vocab))
+    } yield toks, 200, 4242L).zipWithIndex
+      .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+    val want = docs.flatMap { case (id, text) =>
+      val t = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+      val m = t.length - k + 1
+      if (m < w) Iterator.empty
+      else {
+        val h = (0 until m).map(i => md5hex8(t.slice(i, i + k).mkString(" ")))
+        (0 to m - w).iterator.flatMap { i =>
+          val win = (i until i + w)
+          val mn = win.map(h).min
+          val p = win.filter(j => h(j) == mn).max // rightmost minimum
+          Iterator.single((id, (p + 1).toLong, h(p)))
+        }.toSet
+      }
+    }.toSet
+    val got = TextAnalysis.winnowingFingerprints(
+      docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
 }

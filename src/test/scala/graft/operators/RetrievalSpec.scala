@@ -79,4 +79,26 @@ class RetrievalSpec extends SparkSpec {
       assert(g.map(_._4).sorted.toSeq == (1 to 10))
     }
   }
+
+  test("phrase_search_positions matches a per-doc sequential scan and " +
+      "plans as an equi-join (no nested-loop/cartesian)") {
+    val df = Retrieval.phraseQ.run(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val got = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id", "text").collect()
+      .flatMap { r =>
+        val t = r.getString(1).trim.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+")
+        val hits = (0 until t.length - 1).filter(i =>
+          t(i) == Retrieval.PhraseW1 && t(i + 1) == Retrieval.PhraseW2)
+        if (hits.isEmpty) None
+        else Some(r.getLong(0) -> ((hits.length.toLong, hits.min + 1L)))
+      }.toMap
+    assert(want.nonEmpty, "fixture corpus contains no phrase hits")
+    assert(got == want)
+  }
 }
