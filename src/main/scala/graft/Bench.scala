@@ -34,8 +34,14 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         // untimed: release per-query caches (shingle/band indexes) so later
-        // queries aren't measured under accumulated executor storage pressure
+        // queries aren't measured under accumulated executor storage pressure.
+        // The GC hint matters as much as the cache drop: Spark frees
+        // broadcasts/shuffles via ContextCleaner only after their driver-side
+        // references are collected, so without it a long catalog run measures
+        // later queries under the heap pressure of every earlier query's
+        // leftovers (observed 9x inflation on queries run late in the pass).
         spark.catalog.clearCache()
+        System.gc()
         name -> dt
       }
     // best-of-N per query: a second pass removes scheduler/IO noise from a
