@@ -37,7 +37,7 @@ object SparkEntry {
       operators.Warehouse.defs ++ operators.Curation.defs ++
       operators.LmData.defs ++ operators.Retrieval.defs ++
       operators.Graph.defs ++ operators.MlPrep.defs ++
-      operators.Eval.defs ++
+      operators.Eval.defs ++ operators.TimeSeries.defs ++
       multimodal.Media.defs
 
   /** Flagship: the full AIS pipeline end-to-end — synthesized NMEA sentences

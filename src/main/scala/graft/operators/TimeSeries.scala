@@ -1,0 +1,229 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.Num
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series analytics over the event stream — exponential smoothing,
+  * autocorrelation, seasonal-naive forecast error, and a binary-segmentation
+  * changepoint scan. The monitoring companions to the anomaly reports in
+  * [[Analytics]] (events_daily_anomaly / events_daily_mad).
+  *
+  * Scale design (100 TB of events): every query here starts with ONE
+  * data-sized pass — the groupBy(event_type, day) count/sum — after which
+  * the series table is |types| x |days| rows (thousands, not billions).
+  * The window functions (lags, running sums, ranks) run on that tiny
+  * aggregate, partitioned by series key, so no window ever sees
+  * event-grain data and no global sort exists anywhere. This is the shape
+  * a 1000-executor run wants: the only shuffle that scales with the data
+  * is the first partial-aggregated count.
+  *
+  * Determinism: daily counts are integers (exact in doubles); daily means
+  * are pre-rounded via [[Num.pround]] before entering any weighted sum, so
+  * both engines chain IDENTICAL IEEE operations; every ranked output ranks
+  * on a rounded value with the day string as tiebreak.
+  */
+object TimeSeries {
+
+  /** 0.7^j as exact decimal literals (7^j / 10^j is exact in base 10) —
+    * shared verbatim by the Spark plan and the DuckDB oracle so both
+    * engines parse the SAME literal to the SAME double. */
+  private val alpha = BigDecimal("0.7")
+  private val wLit: IndexedSeq[String] =
+    (0 until 10).map(j => alpha.pow(j).bigDecimal.toPlainString)
+
+  /** Truncated (10-term) exponential smoothing of the daily mean event
+    * value, per type: ewma_t = Σ_{j<10} 0.7^j·x_{t-j} / Σ_{j<10} 0.7^j,
+    * renormalized over the lags that exist near the series head. The
+    * 10-term window carries 97% of the untruncated EWMA's mass
+    * (1 - 0.7^10) and — unlike the recursive form — is expressible as a
+    * fixed lag chain that both engines evaluate left-to-right with
+    * identical literals, so it is oracle-exact without recursion. */
+  val ewmaQ = QueryDef(
+    "ts_ewma",
+    "per-type truncated exponential smoothing (alpha=0.3) of daily mean value",
+    Some {
+      val num = (0 until 10).map { j =>
+        val x = if (j == 0) "x" else s"coalesce(x$j, 0)"
+        s"$x * ${wLit(j)}"
+      }.mkString(" + ")
+      val den = ("1.0" +: (1 until 10).map(j =>
+        s"CASE WHEN x$j IS NULL THEN 0 ELSE ${wLit(j)} END")).mkString(" + ")
+      val lags = (1 until 10).map(j => s"lag(x, $j) OVER w AS x$j").mkString(", ")
+      s"""WITH daily AS (
+            SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+                   ${Num.sql("sum(value) / count(*)", 6)} AS x
+            FROM events GROUP BY 1, 2),
+          lagged AS (
+            SELECT event_type, day, x, $lags
+            FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day))
+          SELECT event_type, day, ${Num.sql(s"($num) / ($den)", 4)} AS ewma
+          FROM lagged"""
+    },
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(Num.pround(sum(col("value")) / count(lit(1)), 6).as("x"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val lagged = (1 until 10).foldLeft(daily) { (df, j) =>
+        df.withColumn(s"x$j", lag(col("x"), j).over(w))
+      }
+      val num = (0 until 10).map { j =>
+        val x = if (j == 0) col("x") else coalesce(col(s"x$j"), lit(0))
+        x * expr(wLit(j))
+      }.reduceLeft(_ + _)
+      val den = (expr("1.0").cast("double") +: (1 until 10).map { j =>
+        when(col(s"x$j").isNull, lit(0.0)).otherwise(expr(wLit(j)))
+      }).reduceLeft(_ + _)
+      lagged.select(col("event_type"), col("day"),
+        Num.pround(num / den, 4).as("ewma"))
+    })
+
+  /** Lag-1/2/3 autocorrelation of the daily count series per type, from
+    * raw integer moments (counts and their products stay exact in doubles,
+    * so the Pearson r is bit-identical cross-engine before rounding). The
+    * lagged pairs come from one window pass + a 3-way union of projections
+    * — no self-join of the series against itself. */
+  val autocorrQ = QueryDef(
+    "ts_autocorr",
+    "lag-1..3 Pearson autocorrelation of daily event counts per type",
+    Some(s"""WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(count(*) AS DOUBLE) AS x
+              FROM events GROUP BY 1, 2),
+            l AS (
+              SELECT event_type, x, lag(x, 1) OVER w AS x1,
+                     lag(x, 2) OVER w AS x2, lag(x, 3) OVER w AS x3
+              FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+            pairs AS (
+              SELECT event_type, 1 AS lag_n, x, x1 AS y FROM l WHERE x1 IS NOT NULL
+              UNION ALL
+              SELECT event_type, 2, x, x2 FROM l WHERE x2 IS NOT NULL
+              UNION ALL
+              SELECT event_type, 3, x, x3 FROM l WHERE x3 IS NOT NULL),
+            m AS (SELECT event_type, lag_n, CAST(count(*) AS DOUBLE) AS n,
+                         sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+                         sum(y*y) AS syy, sum(x*y) AS sxy
+                  FROM pairs GROUP BY 1, 2)
+            SELECT event_type, lag_n,
+                   ${Num.sql(
+                     "(n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))",
+                     4)} AS r
+            FROM m"""),
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val l = daily
+        .withColumn("x1", lag(col("x"), 1).over(w))
+        .withColumn("x2", lag(col("x"), 2).over(w))
+        .withColumn("x3", lag(col("x"), 3).over(w))
+      val pairs = (1 to 3).map { j =>
+        l.filter(col(s"x$j").isNotNull)
+          .select(col("event_type"), lit(j).as("lag_n"),
+            col("x"), col(s"x$j").as("y"))
+      }.reduce(_ unionByName _)
+      pairs.groupBy(col("event_type"), col("lag_n"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("event_type"), col("lag_n"),
+          Num.pround((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("r"))
+    })
+
+  /** Seasonal-naive (lag-7) forecast error per type: MAE and sMAPE of
+    * predicting each day's count by the count one week earlier — the
+    * standard no-model baseline every real forecaster is judged against. */
+  val seasonalQ = QueryDef(
+    "ts_seasonal_error",
+    "seasonal-naive lag-7 forecast MAE and sMAPE of daily counts per type",
+    Some(s"""WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(count(*) AS DOUBLE) AS x
+              FROM events GROUP BY 1, 2),
+            l AS (SELECT event_type, x,
+                         lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS f
+                  FROM daily)
+            SELECT event_type, count(*) AS n_scored,
+                   ${Num.sql("sum(abs(x - f)) / count(*)", 4)} AS mae,
+                   ${Num.sql("sum(2 * abs(x - f) / (x + f)) / count(*)", 4)} AS smape
+            FROM l WHERE f IS NOT NULL GROUP BY 1"""),
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily.withColumn("f", lag(col("x"), 7).over(w))
+        .filter(col("f").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_scored"),
+          Num.pround(sum(abs(col("x") - col("f"))) / count(lit(1)), 4).as("mae"),
+          Num.pround(sum(lit(2) * abs(col("x") - col("f")) /
+            (col("x") + col("f"))) / count(lit(1)), 4).as("smape"))
+    })
+
+  /** Single-changepoint scan (binary segmentation step) per type: the day
+    * whose before/after split of the daily count series maximizes the
+    * absolute difference of segment means. Running and total sums are
+    * INTEGER (exact), so each candidate's gap is two exact divisions — the
+    * argmax ranks on the rounded gap with the day as tiebreak. At scale
+    * the candidate table is |days| rows per series; recursing into the
+    * winning segment (full binary segmentation) repeats this same tiny
+    * plan on a filtered range. */
+  val changepointQ = QueryDef(
+    "ts_changepoint",
+    "per-type day maximizing |mean_before - mean_after| of daily counts",
+    Some(s"""WITH daily AS (
+              SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+                     count(*) AS c
+              FROM events GROUP BY 1, 2),
+            r AS (
+              SELECT event_type, day, c,
+                     sum(c) OVER w AS cum, row_number() OVER w AS i,
+                     sum(c) OVER (PARTITION BY event_type) AS tot,
+                     count(*) OVER (PARTITION BY event_type) AS nd
+              FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+            d AS (
+              SELECT event_type, day,
+                     ${Num.sql(
+                       "abs(CAST(cum AS DOUBLE)/i - CAST(tot - cum AS DOUBLE)/(nd - i))",
+                       4)} AS gap
+              FROM r WHERE i < nd)
+            SELECT event_type, day AS change_day, gap FROM (
+              SELECT event_type, day, gap,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY gap DESC, day) AS rk
+              FROM d) WHERE rk = 1"""),
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val d = daily
+        .withColumn("cum", sum(col("c")).over(wOrd))
+        .withColumn("i", row_number().over(wOrd))
+        .withColumn("tot", sum(col("c")).over(wAll))
+        .withColumn("nd", count(lit(1)).over(wAll))
+        .filter(col("i") < col("nd"))
+        .select(col("event_type"), col("day"),
+          Num.pround(abs(col("cum").cast("double") / col("i") -
+            (col("tot") - col("cum")).cast("double") / (col("nd") - col("i"))), 4)
+            .as("gap"))
+      d.withColumn("rk", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("gap").desc, col("day"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("day").as("change_day"), col("gap"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(ewmaQ, autocorrQ, seasonalQ, changepointQ)
+}
