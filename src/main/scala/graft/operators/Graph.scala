@@ -178,5 +178,178 @@ object Graph {
         .select(col("ab.a").as("a"), col("ab.b").as("b"), col("ac.b").as("c"))
     })
 
-  val defs: Seq[QueryDef] = Seq(pagerankQ, pagerank10Q, trianglesQ)
+  /** The undirected weighted token graph: (a < b, summed bigram count).
+    * Vocabulary-sized (|V|² bound, |V| ~ tokens), NOT corpus-sized — the
+    * corpus-scale pass is the bigram count inside [[bigramEdges]]. */
+  private def undirectedEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    bigramEdges(s, dir).filter(col("src") =!= col("dst"))
+      .groupBy(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .agg(sum(col("w")).as("w"))
+
+  private val ccSql: String = {
+    raw"""WITH RECURSIVE toks AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+                            FROM documents),
+          e0 AS (SELECT t[i] AS src, t[i+1] AS dst, count(*) AS w
+                 FROM toks CROSS JOIN unnest(generate_series(1, len(t)-1)) AS u(i)
+                 WHERE len(t) >= 2 GROUP BY 1, 2),
+          u AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                       CAST(sum(w) AS BIGINT) AS w
+                FROM e0 WHERE src <> dst GROUP BY 1, 2),
+          top AS (SELECT a, b FROM (
+                    SELECT a, b, row_number() OVER (ORDER BY w DESC, a, b) AS rk
+                    FROM u) WHERE rk <= 25),
+          de AS (SELECT a AS s, b AS d FROM top UNION ALL SELECT b, a FROM top),
+          nodes AS (SELECT DISTINCT n FROM
+                      (SELECT a AS n FROM top UNION SELECT b FROM top)),
+          reach AS (
+            SELECT n AS node, n AS r FROM nodes
+            UNION
+            SELECT de.d AS node, reach.r FROM reach JOIN de ON de.s = reach.node),
+          comp AS (SELECT node, min(r) AS root FROM reach GROUP BY 1)
+          SELECT root, count(*) AS size FROM comp GROUP BY 1"""
+  }
+
+  /** Connected components of the top-25-weight edge backbone — "which token
+    * communities survive when only the strongest co-occurrences count". The
+    * backbone selection is scale-free (top-K by weight, not an absolute
+    * threshold, so the operator behaves identically as corpus counts grow
+    * 1000x), and the component labeling reuses [[Dedup.connectedComponents]]
+    * — size-gated driver union-find with the distributed label-propagation
+    * fixpoint as the large-graph path. Node ids are assigned in lexicographic
+    * token order, so the min-id component label IS the min token, matching
+    * the oracle's recursive min-reach exactly. The unpartitioned windows here
+    * rank VOCABULARY-sized tables (edges of the token graph), never corpus
+    * rows; at web-vocab scale the same top-K is a TakeOrdered, not a sort. */
+  val ccSizesQ = QueryDef(
+    "graph_cc_sizes",
+    "component sizes of the top-25-weight token co-occurrence backbone",
+    Some(ccSql),
+    (s, dir) => {
+      val u = undirectedEdges(s, dir)
+      val top = u.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("w").desc, col("a"), col("b"))))
+        .filter(col("rk") <= 25).select(col("a"), col("b"))
+      val nodes = top.select(col("a").as("node"))
+        .union(top.select(col("b"))).distinct()
+      val ids = nodes.withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("node")))
+        .cast("long"))
+      val pairs = top
+        .join(ids.as("ia"), col("a") === col("ia.node"))
+        .join(ids.as("ib"), col("b") === col("ib.node"))
+        .select(col("ia.id").as("i"), col("ib.id").as("j"))
+      val labels = Dedup.connectedComponents(pairs)
+      labels.groupBy(col("label")).agg(count(lit(1)).as("size"))
+        .join(ids, col("label") === col("id"))
+        .select(col("node").as("root"), col("size"))
+    })
+
+  /** Neighbor-set Jaccard per edge — the classic link-prediction /
+    * community-strength feature: for each edge (a,b), |N(a) ∩ N(b)| /
+    * |N(a) ∪ N(b)|. Common neighbors come from ONE equi-join of the edge
+    * list against the symmetrized adjacency on the shared endpoint (the
+    * same wedge join as [[trianglesQ]]), never a set materialization per
+    * node; arithmetic is integer counts and a single exact division. */
+  val jaccardQ = QueryDef(
+    "graph_jaccard_neighbors",
+    "top-20 edges by neighbor-set Jaccard over the token graph",
+    Some(s"""WITH toks AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+                           FROM documents),
+             e0 AS (SELECT t[i] AS src, t[i+1] AS dst, count(*) AS w
+                    FROM toks CROSS JOIN unnest(generate_series(1, len(t)-1)) AS u(i)
+                    WHERE len(t) >= 2 GROUP BY 1, 2),
+             u AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+                   FROM e0 WHERE src <> dst GROUP BY 1, 2),
+             de AS (SELECT a AS s, b AS d FROM u UNION ALL SELECT b, a FROM u),
+             deg AS (SELECT s, count(*) AS dg FROM de GROUP BY 1),
+             cm AS (SELECT e.a, e.b, count(*) AS n_common
+                    FROM u e JOIN de x ON x.s = e.a
+                    JOIN de y ON y.s = e.b AND y.d = x.d
+                    GROUP BY 1, 2)
+             SELECT a, b, n_common, jac FROM (
+               SELECT c.a, c.b, c.n_common,
+                      ${Num.sql("CAST(c.n_common AS DOUBLE) / (da.dg + db.dg - c.n_common)", 4)} AS jac,
+                      row_number() OVER (ORDER BY
+                        ${Num.sql("CAST(c.n_common AS DOUBLE) / (da.dg + db.dg - c.n_common)", 4)} DESC,
+                        c.a, c.b) AS rk
+               FROM cm c JOIN deg da ON da.s = c.a
+               JOIN deg db ON db.s = c.b)
+             WHERE rk <= 20"""),
+    (s, dir) => {
+      val u = undirectedEdges(s, dir).select(col("a"), col("b"))
+      val de = u.select(col("a").as("s"), col("b").as("d"))
+        .unionByName(u.select(col("b").as("s"), col("a").as("d")))
+      val deg = de.groupBy(col("s")).agg(count(lit(1)).as("dg"))
+      val common = u.as("e")
+        .join(de.as("x"), col("x.s") === col("e.a"))
+        .join(de.as("y"), col("y.s") === col("e.b") && col("y.d") === col("x.d"))
+        .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+        .agg(count(lit(1)).as("n_common"))
+      val jac = common
+        .join(deg.as("da"), col("da.s") === col("a"))
+        .join(deg.as("db"), col("db.s") === col("b"))
+        .select(col("a"), col("b"), col("n_common"),
+          Num.pround(col("n_common").cast("double") /
+            (col("da.dg") + col("db.dg") - col("n_common")), 4).as("jac"))
+      jac.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("jac").desc, col("a"), col("b"))))
+        .filter(col("rk") <= 20)
+        .select(col("a"), col("b"), col("n_common"), col("jac"))
+    })
+
+  /** Degree assortativity — Pearson r of endpoint degrees over every
+    * directed edge occurrence (each undirected edge counted in both
+    * directions, the standard Newman formulation). All moments are integer
+    * sums (exact in doubles), so r is bit-identical cross-engine. */
+  val assortativityQ = QueryDef(
+    "graph_degree_assortativity",
+    "degree-degree Pearson correlation over token graph edge endpoints",
+    Some(s"""WITH toks AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+                           FROM documents),
+             e0 AS (SELECT t[i] AS src, t[i+1] AS dst, count(*) AS w
+                    FROM toks CROSS JOIN unnest(generate_series(1, len(t)-1)) AS u(i)
+                    WHERE len(t) >= 2 GROUP BY 1, 2),
+             u AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+                   FROM e0 WHERE src <> dst GROUP BY 1, 2),
+             de AS (SELECT a AS s, b AS d FROM u UNION ALL SELECT b, a FROM u),
+             deg AS (SELECT s, CAST(count(*) AS DOUBLE) AS dg FROM de GROUP BY 1),
+             p AS (SELECT ds.dg AS x, dd.dg AS y
+                   FROM de JOIN deg ds ON ds.s = de.s
+                   JOIN deg dd ON dd.s = de.d),
+             m AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+                          sum(y) AS sy, sum(x*x) AS sxx, sum(y*y) AS syy,
+                          sum(x*y) AS sxy
+                   FROM p)
+             SELECT CAST(n AS BIGINT) AS n_endpoints,
+                    ${Num.sql(
+                      "(n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))",
+                      4)} AS r
+             FROM m"""),
+    (s, dir) => {
+      val u = undirectedEdges(s, dir).select(col("a"), col("b"))
+      val de = u.select(col("a").as("s"), col("b").as("d"))
+        .unionByName(u.select(col("b").as("s"), col("a").as("d")))
+      val deg = de.groupBy(col("s")).agg(count(lit(1)).cast("double").as("dg"))
+      // alias the edge columns first so the two deg joins can't collide
+      val p2 = de.select(col("s").as("de_s"), col("d").as("de_d"))
+        .join(deg.as("ds"), col("ds.s") === col("de_s"))
+        .join(deg.as("dd"), col("dd.s") === col("de_d"))
+        .select(col("ds.dg").as("x"), col("dd.dg").as("y"))
+      p2.agg(count(lit(1)).cast("double").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("n").cast("long").as("n_endpoints"),
+          Num.pround((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("r"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(pagerankQ, pagerank10Q, trianglesQ,
+    ccSizesQ, jaccardQ, assortativityQ)
 }
