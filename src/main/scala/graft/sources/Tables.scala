@@ -63,7 +63,16 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** `events` with `ts` as a proper microsecond TimestampType (UTC).
+  /** `events` with `ts` normalized to a proper microsecond TimestampType
+    * (UTC) regardless of how the generator encoded it. Observed layouts
+    * across driver data drops: parquet TIMESTAMP(NANOS) (bound as a raw
+    * nanosecond Long via `nanosAsLong`, truncated to micros — the same
+    * truncation DuckDB applies casting TIMESTAMP_NS to TIMESTAMP), and
+    * parquet TIMESTAMP(MICROS) without UTC adjustment (bound as
+    * TIMESTAMP_NTZ — cast to TimestampType under the UTC session zone, which
+    * is value-identical to DuckDB's naive read). Adapting on the READ schema
+    * rather than pinning one layout keeps every events query working across
+    * regenerations.
     *
     * NOTE (deliberate session-wide effect): `nanosAsLong` is a SQL conf, not a
     * per-read option, so setting it here affects every later parquet read in
@@ -73,7 +82,13 @@ object Tables {
     * idempotent and merely defensive. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 }
