@@ -173,7 +173,19 @@ object Dedup {
   }
 
   /** LSH banding: hash rowsPerBand signature slots per band; docs colliding
-    * in any band become candidate pairs (equi-join on (band, bandHash)). */
+    * in any band become candidate pairs.
+    *
+    * Bucket-aggregation form, not a self-join on (band, bandHash): group each
+    * band bucket, collect its (sorted) doc ids, and expand intra-bucket pairs
+    * with `posexplode` + `slice`. A self-join would evaluate the upstream
+    * MinHash signature aggregation TWICE (one per join side — Spark's
+    * exchange reuse does not fire across self-join aliases of an unmaterialized
+    * aggregate; measured ~2x the signature cost at sf0.1) and shuffle the
+    * banded table twice more. This form computes signatures once and pays one
+    * shuffle on the band key. Bucket populations are the quantity LSH is
+    * tuned to keep small (that is what banding is FOR), so the per-bucket
+    * collect_list is bounded by design; a bucket hot enough to matter would
+    * have made the self-join quadratic too. */
   def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandCols: Seq[Column] = (0 until bands).map { b =>
       xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
@@ -181,11 +193,14 @@ object Dedup {
     }
     val banded = sig.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
-    banded.as("x")
-      .join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+    banded.groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(posexplode(col("ids")).as(Seq("px", "i")), col("ids"))
+      // ids is ascending and px is 0-based: partners after position px are
+      // exactly the j > i of this bucket — each unordered pair emitted once
+      .select(col("i"),
+        explode(slice(col("ids"), col("px") + lit(2), size(col("ids")))).as("j"))
       .distinct()
   }
 
