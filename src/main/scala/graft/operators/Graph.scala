@@ -227,24 +227,33 @@ object Graph {
     "component sizes of the top-25-weight token co-occurrence backbone",
     Some(ccSql),
     (s, dir) => {
-      val u = undirectedEdges(s, dir)
-      val top = u.withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("w").desc, col("a"), col("b"))))
-        .filter(col("rk") <= 25).select(col("a"), col("b"))
-      val nodes = top.select(col("a").as("node"))
-        .union(top.select(col("b"))).distinct()
-      val ids = nodes.withColumn("id", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("node")))
-        .cast("long"))
-      val pairs = top
-        .join(ids.as("ia"), col("a") === col("ia.node"))
-        .join(ids.as("ib"), col("b") === col("ib.node"))
-        .select(col("ia.id").as("i"), col("ib.id").as("j"))
-      val labels = Dedup.connectedComponents(pairs)
-      labels.groupBy(col("label")).agg(count(lit(1)).as("size"))
-        .join(ids, col("label") === col("id"))
-        .select(col("node").as("root"), col("size"))
+      // connectedComponents runs driver-side actions (cache/count, fixpoint
+      // convergence checks), so an un-deferred builder would execute a graph
+      // fixpoint at catalog REGISTRATION — the exact hazard dedup_clusters'
+      // thunk documents. Same cure: declare the schema now, build on action.
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      graft.plans.Deferred.dataFrame(s, StructType(Seq(
+        StructField("root", StringType), StructField("size", LongType))),
+        () => {
+          val u = undirectedEdges(s, dir)
+          val top = u.withColumn("rk", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .orderBy(col("w").desc, col("a"), col("b"))))
+            .filter(col("rk") <= 25).select(col("a"), col("b"))
+          val nodes = top.select(col("a").as("node"))
+            .union(top.select(col("b"))).distinct()
+          val ids = nodes.withColumn("id", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("node")))
+            .cast("long"))
+          val pairs = top
+            .join(ids.as("ia"), col("a") === col("ia.node"))
+            .join(ids.as("ib"), col("b") === col("ib.node"))
+            .select(col("ia.id").as("i"), col("ib.id").as("j"))
+          val labels = Dedup.connectedComponents(pairs)
+          labels.groupBy(col("label")).agg(count(lit(1)).as("size"))
+            .join(ids, col("label") === col("id"))
+            .select(col("node").as("root"), col("size"))
+        })
     })
 
   /** Neighbor-set Jaccard per edge — the classic link-prediction /
