@@ -34,6 +34,15 @@ object Dedup {
     * only; on an uncurated corpus this re-opens the quadratic hot-key path. */
   val Uncapped = 0L
 
+  /** Default cap on LSH band-bucket population ([[lshCandidates]]). A bucket
+    * of d docs expands d²/2 candidate pairs from ONE aggregation row in ONE
+    * task, so an un-exact-deduped corpus (every byte-identical copy shares
+    * every band) concentrates the whole blowup in a single executor. 1000
+    * bounds the worst bucket at ~500k pairs — the same envelope as
+    * [[DefaultMaxDf]] — while any bucket that populous carries no locality
+    * signal a tuned banding would produce. */
+  val DefaultMaxBucket = 1000
+
   /** Exact duplicate groups: content hash → surviving id + multiplicity. */
   def exact(df: DataFrame, id: String, text: String): DataFrame =
     df.groupBy(md5(col(text)).as("text_hash"))
@@ -184,18 +193,29 @@ object Dedup {
     * banded table twice more. This form computes signatures once and pays one
     * shuffle on the band key. Bucket populations are the quantity LSH is
     * tuned to keep small (that is what banding is FOR), so the per-bucket
-    * collect_list is bounded by design; a bucket hot enough to matter would
-    * have made the self-join quadratic too. */
-  def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandCols: Seq[Column] = (0 until bands).map { b =>
-      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => col(s"h$i")): _*)
-    }
-    val banded = sig.select(col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
-    banded.groupBy(col("band"), col("bh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+    * collect_list is bounded by design on a corpus that has been
+    * exact-deduped first — but a corpus that HASN'T (millions of
+    * byte-identical docs land in the same bucket in EVERY band) would
+    * materialize one giant id array in a single task and expand d²/2 pairs
+    * from it, where the old self-join merely went quadratic. `maxBucket` is
+    * that guard: buckets above it are skipped entirely (standard LSH
+    * practice — a bucket that hot carries near-zero locality signal; its
+    * members are either exact dups, which exact-dedup upstream should have
+    * removed, or a degenerate band collision). [[lshDroppedBuckets]] is the
+    * matching diagnostic: run it to count/log what the cap discarded. Pass
+    * `maxBucket = 0` to disable (oracle baselines on known-clean corpora).
+    *
+    * `array_distinct` keeps self-pairs impossible even if a caller hands a
+    * `sig` with duplicate doc_id rows (the in-repo builders groupBy doc_id,
+    * but this is public API — a duplicate id inside one bucket would
+    * otherwise pair with itself via the slice expansion). */
+  def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val buckets0 = lshBuckets(sig, bands, rowsPerBand)
+    val buckets =
+      if (maxBucket <= 0) buckets0
+      else buckets0.filter(size(col("ids")) <= maxBucket)
+    buckets
       .select(posexplode(col("ids")).as(Seq("px", "i")), col("ids"))
       // ids is ascending and px is 0-based: partners after position px are
       // exactly the j > i of this bucket — each unordered pair emitted once
@@ -203,6 +223,31 @@ object Dedup {
         explode(slice(col("ids"), col("px") + lit(2), size(col("ids")))).as("j"))
       .distinct()
   }
+
+  /** Band buckets with >1 member: (band, bh, ids ascending + distinct). */
+  private def lshBuckets(sig: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bandCols: Seq[Column] = (0 until bands).map { b =>
+      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"h$i")): _*)
+    }
+    sig.select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+      .groupBy(col("band"), col("bh"))
+      .agg(array_distinct(sort_array(collect_list(col("doc_id")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+  }
+
+  /** Diagnostic twin of the [[lshCandidates]] `maxBucket` guard: the buckets
+    * the cap would skip, one row per (band, bh) with its population. Callers
+    * that cap should count/log this — a nonzero count on a supposedly
+    * exact-deduped corpus means upstream dedup is broken, not that LSH lost
+    * recall. */
+  def lshDroppedBuckets(sig: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    lshBuckets(sig, bands, rowsPerBand)
+      .filter(size(col("ids")) > maxBucket)
+      .select(col("band"), col("bh"), size(col("ids")).as("population"))
 
   /** Full MinHash+LSH near-dup pipeline: candidates from banding, then exact
     * Jaccard verification on candidates only (the whole point at scale: the

@@ -335,4 +335,44 @@ class DedupSimilaritySpec extends SparkSpec {
       else assert(!kept && dupOf == witnesses.min, s"vec $id")
     }
   }
+
+  test("lshCandidates maxBucket guard: a degenerate exact-duplicate corpus " +
+      "is skipped without expanding d^2 pairs; genuine near-dups survive") {
+    import spark.implicits._
+    // 50k byte-identical docs: un-exact-deduped worst case — every doc lands
+    // in the SAME bucket in EVERY band. Uncapped, that is one 50k-id array
+    // in one task expanding ~1.25e9 pairs; capped, the buckets are skipped.
+    val degenerate = (1L to 50000L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta"))
+    // plus one genuine near-dup pair in small buckets (distinct text, high
+    // 3-shingle overlap) that the cap must NOT disturb
+    val near = Seq(
+      100001L -> "one two three four five six seven eight nine ten",
+      100002L -> "one two three four five six seven eight nine eleven")
+    val docs = (degenerate ++ near).toDF("doc_id", "text")
+    val sh = Dedup.shingleIndexHashed(docs, "doc_id", "text", 3).cache()
+    val sig = Dedup.minHashSignatures(sh, 32)
+    val pairs = Dedup.lshCandidates(sig, bands = 8, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((100001L, 100002L)))
+    // the diagnostic twin reports exactly what the cap discarded: the
+    // degenerate group's bucket in each of the 8 bands, population 50k
+    val dropped = Dedup.lshDroppedBuckets(sig, bands = 8, rowsPerBand = 4)
+      .collect().map(r => (r.getInt(0), r.getInt(2)))
+    assert(dropped.length == 8 && dropped.forall(_._2 == 50000), dropped.toSeq)
+    sh.unpersist()
+  }
+
+  test("lshCandidates emits no self-pairs even when the signature input " +
+      "carries duplicate doc_id rows") {
+    import spark.implicits._
+    // public-API edge: callers owe one row per doc_id, but a duplicated row
+    // must degrade to the same pair set, never an (i,i) self-pair
+    val sig = Seq((1L, 7L, 7L, 7L, 7L), (1L, 7L, 7L, 7L, 7L),
+        (2L, 7L, 7L, 7L, 7L))
+      .toDF("doc_id", "h0", "h1", "h2", "h3")
+    val pairs = Dedup.lshCandidates(sig, bands = 2, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
 }
