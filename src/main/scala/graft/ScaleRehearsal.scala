@@ -231,6 +231,36 @@ object ScaleRehearsal {
       .agg(sum(expr("n * (n - 1) div 2"))).collect()(0).getLong(0)
   }
 
+  /** Wedge volume of graph_jaccard_neighbors under min-degree orientation
+    * (Σ_v C(outdeg⁺(v), 2) — the row count its triangle join enumerates)
+    * next to the Σ_edges (deg(a)+deg(b)) adjacency-join volume the naive
+    * edge x adjacency form would shuffle. The scale claim: on the token
+    * graph the oriented wedge count stays a small multiple of the edge
+    * count (arboricity bound) while the adjacency-join volume carries the
+    * hub's full deg² term; and BOTH saturate as the corpus grows because
+    * the graph is VOCABULARY-sized — corpus scale only raises edge
+    * weights, not the node/edge population. */
+  def jaccardWedgeCandidates(spark: SparkSession, dir: String): (Long, Long) = {
+    val u = graft.operators.Graph.undirectedEdges(spark, dir)
+      .select(col("a"), col("b")).cache()
+    val de = u.select(col("a").as("s"), col("b").as("d"))
+      .unionByName(u.select(col("b").as("s"), col("a").as("d")))
+    val deg = de.groupBy(col("s")).agg(count(lit(1)).as("dg"))
+    val aLower = col("da.dg") < col("db.dg") ||
+      (col("da.dg") === col("db.dg") && col("a") < col("b"))
+    val joined = u
+      .join(deg.as("da"), col("da.s") === col("a"))
+      .join(deg.as("db"), col("db.s") === col("b")).cache()
+    val wedges = joined
+      .select(when(aLower, col("a")).otherwise(col("b")).as("src"))
+      .groupBy(col("src")).agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) div 2"))).collect()(0).getLong(0)
+    val adjJoin = joined
+      .agg(sum(col("da.dg") + col("db.dg"))).collect()(0).getLong(0)
+    u.unpersist(); joined.unpersist()
+    (wedges, adjJoin)
+  }
+
   /** Cross-side band-bucket candidate volume for dedup_new_shard: sum over
     * (band, band-hash) buckets of n_new × n_old — the pair volume its
     * exact verifier sees. The scale claim: this tracks the SHARD's bucket
@@ -272,20 +302,30 @@ object ScaleRehearsal {
       "dedup_clusters", "dedup_minhash_lsh",
       "dedup_paragraphs", "semdedup_verdicts", "dsir_weights",
       "dedup_new_shard", "hybrid_search_rrf", "kmeans_train_3",
-      "curation_scorecard")
+      "curation_scorecard",
+      // graph family: vocabulary-bound after the linear bigram pass
+      "graph_triangles", "graph_jaccard_neighbors", "graph_cc_sizes",
+      "graph_degree_assortativity", "token_pagerank_10",
+      // time-series family: per-key linear window/aggregate plans
+      "ts_ewma", "ts_autocorr", "ts_seasonal_error", "ts_changepoint",
+      "ts_gapfill")
     mults.foreach { m =>
       val dir = s"$root/x$m"
       if (!new java.io.File(s"$dir/events.parquet").exists()) {
         generate(spark, dir, m)
         println(s"generated x$m at $dir")
       }
+      val (wedges, adjJoin) = jaccardWedgeCandidates(spark, dir)
+      println(s"""WEDGE {"mult":"x$m","oriented_wedges":$wedges,""" +
+        s""""adjacency_join_rows":$adjJoin}""")
       val cand = Map(
         "geo_encounters" -> encounterCandidates(spark, dir),
         "session_overlap_join" -> sessionCandidates(spark, dir),
         "simhash_hamming_pairs" -> simhashCandidates(spark, dir),
         "simhash_hamming_pairs_wide" -> simhashWideCandidates(spark, dir),
         "semdedup_verdicts" -> semdedupCandidates(spark, dir),
-        "dedup_new_shard" -> newShardCandidates(spark, dir))
+        "dedup_new_shard" -> newShardCandidates(spark, dir),
+        "graph_jaccard_neighbors" -> wedges)
       queries.foreach { q =>
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(q)(spark, dir).count()

@@ -181,7 +181,7 @@ object Graph {
   /** The undirected weighted token graph: (a < b, summed bigram count).
     * Vocabulary-sized (|V|² bound, |V| ~ tokens), NOT corpus-sized — the
     * corpus-scale pass is the bigram count inside [[bigramEdges]]. */
-  private def undirectedEdges(s: org.apache.spark.sql.SparkSession,
+  private[graft] def undirectedEdges(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
     bigramEdges(s, dir).filter(col("src") =!= col("dst"))
       .groupBy(least(col("src"), col("dst")).as("a"),
@@ -258,10 +258,21 @@ object Graph {
 
   /** Neighbor-set Jaccard per edge — the classic link-prediction /
     * community-strength feature: for each edge (a,b), |N(a) ∩ N(b)| /
-    * |N(a) ∪ N(b)|. Common neighbors come from ONE equi-join of the edge
-    * list against the symmetrized adjacency on the shared endpoint (the
-    * same wedge join as [[trianglesQ]]), never a set materialization per
-    * node; arithmetic is integer counts and a single exact division. */
+    * |N(a) ∪ N(b)|.
+    *
+    * |N(a) ∩ N(b)| for an edge is exactly the number of triangles through
+    * that edge, so it is counted by DEGREE-ORIENTED wedge enumeration: every
+    * edge is directed from its lower-(degree, node) endpoint to the higher,
+    * wedges are enumerated only at each triangle's minimum-degree vertex,
+    * and the closing edge is probed with one equi-join. Each triangle
+    * surfaces exactly once and contributes a common neighbor to each of its
+    * three edges. This bounds the join volume by Σ_v C(outdeg⁺(v), 2) under
+    * min-degree orientation — O(m·√m) on any graph (arboricity bound) —
+    * where joining the edge list straight against the symmetrized adjacency
+    * would carry a Σ deg² hub term that explodes on power-law token graphs
+    * (the same trick [[trianglesQ]] documents, here actually load-bearing
+    * because BOTH joined sides would otherwise be adjacency-sized).
+    * Arithmetic is integer counts and a single exact division. */
   val jaccardQ = QueryDef(
     "graph_jaccard_neighbors",
     "top-20 edges by neighbor-set Jaccard over the token graph",
@@ -288,13 +299,39 @@ object Graph {
                JOIN deg db ON db.s = c.b)
              WHERE rk <= 20"""),
     (s, dir) => {
-      val u = undirectedEdges(s, dir).select(col("a"), col("b"))
+      val u = undirectedEdges(s, dir).select(col("a"), col("b")).cache()
       val de = u.select(col("a").as("s"), col("b").as("d"))
         .unionByName(u.select(col("b").as("s"), col("a").as("d")))
       val deg = de.groupBy(col("s")).agg(count(lit(1)).as("dg"))
-      val common = u.as("e")
-        .join(de.as("x"), col("x.s") === col("e.a"))
-        .join(de.as("y"), col("y.s") === col("e.b") && col("y.d") === col("x.d"))
+      // orient every edge low -> high in the (degree, node) total order;
+      // carry the head's order key so the wedge join needs no re-join to deg
+      val aLower = col("da.dg") < col("db.dg") ||
+        (col("da.dg") === col("db.dg") && col("a") < col("b"))
+      val dir0 = u
+        .join(deg.as("da"), col("da.s") === col("a"))
+        .join(deg.as("db"), col("db.s") === col("b"))
+        .select(
+          when(aLower, col("a")).otherwise(col("b")).as("src"),
+          when(aLower, col("b")).otherwise(col("a")).as("dst"),
+          when(aLower, col("db.dg")).otherwise(col("da.dg")).as("dstdg"))
+        .cache()
+      // wedge at the min-degree vertex, heads ordered; the closing edge is
+      // oriented head1 -> head2 because head1 precedes head2 in the order
+      val tri = dir0.as("e1")
+        .join(dir0.as("e2"), col("e1.src") === col("e2.src") &&
+          (col("e1.dstdg") < col("e2.dstdg") ||
+            (col("e1.dstdg") === col("e2.dstdg") && col("e1.dst") < col("e2.dst"))))
+        .join(dir0.as("e3"), col("e3.src") === col("e1.dst") &&
+          col("e3.dst") === col("e2.dst"))
+        .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
+      // each triangle is one common neighbor for each of its three edges
+      val common = tri.select(explode(array(
+          struct(least(col("x"), col("y")).as("a"),
+            greatest(col("x"), col("y")).as("b")),
+          struct(least(col("x"), col("z")).as("a"),
+            greatest(col("x"), col("z")).as("b")),
+          struct(least(col("y"), col("z")).as("a"),
+            greatest(col("y"), col("z")).as("b")))).as("e"))
         .groupBy(col("e.a").as("a"), col("e.b").as("b"))
         .agg(count(lit(1)).as("n_common"))
       val jac = common

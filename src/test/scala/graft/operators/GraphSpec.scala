@@ -90,4 +90,35 @@ class GraphSpec extends SparkSpec {
     assert(got.toSet == brute.toSet)
     assert(brute.nonEmpty)
   }
+
+  test("jaccard neighbors: degree-oriented wedge count equals brute-force " +
+      "set intersection, including through a hub") {
+    // planted graph with a hub h touching everything (the Σ deg² shape the
+    // wedge orientation exists to avoid), written as fake 2-token docs so
+    // the query's own bigramEdges path builds the graph
+    val edges = Seq(
+      ("h", "a"), ("h", "b"), ("h", "c"), ("h", "d"), ("h", "e"), ("h", "f"),
+      ("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("d", "e"))
+    val tmp = java.nio.file.Files.createTempDirectory("jac_fixture").toString
+    edges.zipWithIndex
+      .map { case ((x, y), i) => (i.toLong, s"$x $y", "en", "src0", 3L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    val got = Graph.jaccardQ.run(spark, tmp).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    // brute force: neighbor sets over the undirected edge set
+    val und = edges.map { case (x, y) =>
+      (if (x < y) x else y, if (x < y) y else x) }.toSet
+    val nbr = und.toSeq.flatMap { case (x, y) => Seq(x -> y, y -> x) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = und.toSeq.flatMap { case (a, b) =>
+      val c = (nbr(a) & nbr(b)).size
+      if (c == 0) None
+      else Some((a, b) -> (c.toLong,
+        math.floor(c.toDouble / (nbr(a).size + nbr(b).size - c) * 1e4 + 0.5) / 1e4))
+    }.toMap
+    assert(got == brute, s"got $got\nwant $brute")
+    assert(brute.nonEmpty && brute.values.exists(_._1 > 1))
+  }
 }
