@@ -62,8 +62,19 @@ object Bench {
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // Full per-query map for humans / diffing (NOT the driver's line).
-    println(s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","queries":$qsFull,"sf":"$sfDir"}""")
+    // Full per-query map for humans / diffing (NOT the driver's line). The
+    // driver keeps only a short stdout tail, which is how round-over-round
+    // regressions in the alphabetical head went unseen — so ALSO persist the
+    // complete artifact (with a host-load note for adjudicating noise) where
+    // SPARK_GRAFT_BENCH_OUT points, e.g. BENCH_LOCAL_r9.json in the repo.
+    val load1m = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val detail = s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","load1m":${fmt(load1m)},"runs":$runs,"queries":$qsFull,"sf":"$sfDir"}"""
+    println(detail)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (detail + "\n").getBytes("UTF-8"))
+    }
     // The driver keeps only a ~2000-char tail of stdout and parses the final
     // JSON line from it, so this line must stay well under that: report the
     // catalog total plus a fixed headline subset (one per operator family).

@@ -37,11 +37,25 @@ object ScaleRehearsal {
     Iterator.iterate(x0 * 6364136223846793005L + 1442695040888963407L)(
       x => x * 6364136223846793005L + 1442695040888963407L)
 
+  /** murmur3 fmix64 finalizer: an LCG's LOW bits are short-period (mod-8
+    * classes of consecutive values form a functional graph), so taking
+    * `floorMod(raw, 40)` made consecutive tokens deterministic mod 8 — a
+    * bigram graph with NO 3-cycles, which degenerated the graph-family
+    * rehearsal (zero triangles at every mult). Mixing the high bits down
+    * restores full bigram coverage over the vocab. */
+  private def fmix(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
   /** Base text of a doc: 15-60 tokens from the vocab, seeded by id. */
   private def baseText(seed: Long): String = {
     val r = lcg(seed)
     val len = 15 + math.floorMod(r.next(), 46).toInt
-    r.take(len).map(x => vocab(math.floorMod(x, vocab.length).toInt))
+    r.take(len).map(x => vocab(math.floorMod(fmix(x), vocab.length).toInt))
       .mkString(" ")
   }
 

@@ -311,24 +311,45 @@ object Dedup {
     * IDENTICAL — candidates come from maxDist+1 equi-joins on band values,
     * then the exact distance filter keeps true pairs. Shuffle cost is
     * (maxDist+1)·|fp| narrow rows instead of |fp|² comparisons. */
-  def hammingPairs(fp: DataFrame, maxDist: Int, bits: Int = 60): DataFrame = {
+  def hammingPairs(fp: DataFrame, maxDist: Int, bits: Int = 60,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val nBands = maxDist + 1
     val width = bits / nBands
-    // one (band, value) row per band per doc, then a SINGLE self-join on the
-    // (band, value) pair — one shuffle per side — instead of maxDist+1
-    // separate joins unioned (which cost a shuffle pair per band and forced
-    // the banded table to be cached across 2(maxDist+1) branches); cached so
-    // the upstream fingerprint aggregation runs once across the two sides
-    // even when exchange reuse doesn't kick in under AQE
-    val banded = fp.select(col("doc_id"), col("simhash"),
+    // one (band, value) row per band per doc, then the same bucket-
+    // aggregation expansion as [[lshCandidates]] (round 8's lesson applied
+    // uniformly): group each (band, value) bucket, collect (doc_id, simhash)
+    // records, expand intra-bucket pairs via posexplode + slice. The old
+    // form self-joined the banded table and leaned on .cache() to stop the
+    // upstream fingerprint aggregation running twice — correct, but cache
+    // residency is a RUNTIME property (evicted under the memory pressure of
+    // a long sweep, infeasible for a 100 TB banded table), while this form
+    // structurally computes fingerprints once and pays one shuffle on the
+    // band key. Records carry the full fingerprint so the exact distance
+    // check runs inside the expansion. Same maxBucket hot-bucket guard.
+    val banded = fp.select(
+      struct(col("doc_id"), col("simhash")).as("rec"),
       posexplode(array((0 until nBands).map(b =>
         shiftright(col("simhash"), b * width)
           .bitwiseAND(lit((1L << width) - 1))): _*)).as(Seq("band", "bv")))
-      .cache()
-    banded.as("x")
-      .join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
+    hammingFromBuckets(banded, maxDist, maxBucket)
+  }
+
+  /** Shared pair expansion for the pigeonhole banding geometries: bucket by
+    * (band, bv), expand each bucket's ascending-distinct records into
+    * ordered pairs, verify exact hamming distance in place. */
+  private def hammingFromBuckets(banded: DataFrame, maxDist: Int,
+      maxBucket: Int): DataFrame = {
+    val buckets0 = banded.groupBy(col("band"), col("bv"))
+      .agg(array_distinct(sort_array(collect_list(col("rec")))).as("recs"))
+      .filter(size(col("recs")) > 1)
+    val buckets =
+      if (maxBucket <= 0) buckets0
+      else buckets0.filter(size(col("recs")) <= maxBucket)
+    buckets
+      .select(posexplode(col("recs")).as(Seq("px", "x")), col("recs"))
+      .select(col("x"),
+        explode(slice(col("recs"), col("px") + lit(2), size(col("recs"))))
+          .as("y"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
         hamming(col("x.simhash"), col("y.simhash")).as("dist"))
       .filter(col("dist") <= maxDist)
@@ -349,32 +370,25 @@ object Dedup {
     * instead of 4. Same exact-recall contract, same output; choose by
     * corpus size: n << sqrt(maxDist·2^width) single-band, else this. */
   def hammingPairsWide(fp: DataFrame, maxDist: Int, bits: Int = 60,
-      bands: Int = 0): DataFrame = {
+      bands: Int = 0, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val nBands = if (bands > 0) bands else maxDist + 2
     require(nBands >= maxDist + 2,
       s"band-pair keys need bands >= maxDist + 2 for pigeonhole recall")
     val width = bits / nBands
     def bandVal(b: Int) = shiftright(col("simhash"), b * width)
       .bitwiseAND(lit((1L << width) - 1))
-    // one row per band PAIR per doc, key = both band values packed; a
-    // single self-join on (combo, key) — same shape as hammingPairs, wider
-    // keys. Bits above width*nBands live in no band: they can only consume
+    // one row per band PAIR per doc, key = both band values packed; the
+    // same bucket-aggregation expansion as [[hammingPairs]], wider keys.
+    // Bits above width*nBands live in no band: they can only consume
     // distance budget, never break a band, so recall is unaffected.
     val combos = for { i <- 0 until nBands; j <- i + 1 until nBands }
       yield (i, j)
-    val banded = fp.select(col("doc_id"), col("simhash"),
+    val banded = fp.select(
+      struct(col("doc_id"), col("simhash")).as("rec"),
       posexplode(array(combos.map { case (i, j) =>
         bandVal(i) * (1L << width) + bandVal(j) }: _*))
-        .as(Seq("combo", "bv")))
-      .cache()
-    banded.as("x")
-      .join(banded.as("y"),
-        col("x.combo") === col("y.combo") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
-        hamming(col("x.simhash"), col("y.simhash")).as("dist"))
-      .filter(col("dist") <= maxDist)
-      .distinct()
+        .as(Seq("band", "bv")))
+    hammingFromBuckets(banded, maxDist, maxBucket)
   }
 
   /** Near-dup PAIRS → dedup CLUSTERS: connected components of the pair
