@@ -325,6 +325,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join"), p)
   }
 
+  test("hamming banding is pure bucket aggregation — no self-join in " +
+      "either geometry") {
+    // the r9 convergence: pairs expand from collect_list buckets, so the
+    // plan must contain NO join operator at all (the old form self-joined
+    // the banded table and leaned on cache residency); a Join reappearing
+    // here means the single-fingerprint-evaluation guarantee regressed
+    for (q <- Seq("simhash_hamming_pairs", "simhash_hamming_pairs_wide")) {
+      val p = plan(run(q))
+      assert(!p.contains("Join"), s"$q reacquired a join:\n$p")
+      assert(p.contains("Generate"), p) // posexplode pair expansion
+    }
+  }
+
+  test("jaccard wedge enumeration closes with equi-joins only — the " +
+      "degree-oriented form never falls back to a nested loop") {
+    val p = plan(run("graph_jaccard_neighbors"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("no catalog query degrades to a CartesianProduct") {
     // vector pair scans are deliberate *conditioned* nested-loop joins
     // (BroadcastNestedLoopJoin); a true CartesianProduct anywhere means a
