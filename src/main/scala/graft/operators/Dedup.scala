@@ -612,6 +612,91 @@ object Dedup {
         })
     })
 
+  private val enListSql: String =
+    Text.stopwords("en").map(w => s"'$w'").mkString(", ")
+
+  /** Quality-aware keeper selection — what production dedup actually ships:
+    * [[clustersQ]] keeps the MIN-ID doc per near-dup cluster (the
+    * arbitrary-but-deterministic choice the fixpoint hands out for free),
+    * while a curation pipeline keeps the BEST doc. This operator joins the
+    * component labels with the `text_quality` composite score and ranks
+    * within each cluster (quality DESC, doc_id tiebreak — both on the
+    * 4-decimal rounded score, so the ranking is engine-exact). Singleton
+    * docs (no near-dup pair) are their own cluster and keep themselves.
+    *
+    * Scale shape: everything [[clustersQ]] argues, plus one linear quality
+    * pass over the corpus and a window PARTITIONED BY cluster (cluster
+    * populations are near-dup group sizes — small by the same argument as
+    * LSH bucket populations, and capped upstream by `maxBucket`). */
+  val keepBestQ = QueryDef(
+    "dedup_keep_best",
+    "near-dup clusters keep the highest-quality doc, not the min id",
+    Some(s"""WITH RECURSIVE pairs AS (SELECT i, j FROM ($jaccardOracle) q),
+             edges AS (SELECT i, j FROM pairs UNION ALL SELECT j, i FROM pairs),
+             nodes AS (SELECT DISTINCT i AS id FROM edges),
+             reach(id, r) AS (
+               SELECT id, id FROM nodes
+               UNION
+               SELECT e.j AS id, w.r FROM reach w JOIN edges e ON e.i = w.id),
+             comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
+             t AS (SELECT doc_id,
+                          string_split_regex(trim(lower(text)), '\\s+') AS toks,
+                          length(regexp_replace(trim(text), '\\s+', '', 'g')) AS dense_len
+                   FROM documents),
+             f AS (SELECT doc_id, len(toks) AS n_tokens,
+                          CAST(dense_len AS DOUBLE) / len(toks) AS mean_len,
+                          CAST(len(list_filter(toks, x -> x IN ($enListSql))) AS DOUBLE)
+                            / len(toks) AS stop_ratio
+                   FROM t),
+             sc AS (SELECT doc_id,
+                           ${Num.sql("""least(CAST(n_tokens AS DOUBLE) / 200.0, 1.0) * 0.5 +
+                             least(mean_len / 8.0, 1.0) * 0.3 +
+                             (1.0 - least(stop_ratio * 2.0, 1.0)) * 0.2""", 4)} AS quality
+                    FROM f),
+             cl AS (SELECT s.doc_id, coalesce(c.root, s.doc_id) AS cluster,
+                           s.quality
+                    FROM sc s LEFT JOIN comp c ON c.id = s.doc_id)
+             SELECT doc_id, cluster, quality,
+                    (row_number() OVER (PARTITION BY cluster
+                       ORDER BY quality DESC, doc_id) = 1) AS is_keeper
+             FROM cl"""),
+    (s, dir) => {
+      // same Deferred discipline as dedup_clusters: the fixpoint's builder
+      // runs driver-side actions, so it must not fire at view registration
+      import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StructField, StructType}
+      graft.plans.Deferred.dataFrame(s, StructType(Seq(
+        StructField("doc_id", LongType), StructField("cluster", LongType),
+        StructField("quality", DoubleType),
+        StructField("is_keeper", BooleanType))),
+        () => {
+          val docs = Tables.documents(s, dir)
+          val pairs = minHashDedup(docs, "doc_id", "text",
+            n = 3, numHashes = 32, bands = 8, threshold = 0.8)
+          val labels = connectedComponents(pairs)
+            .withColumnRenamed("id", "doc_id")
+          val toks = Text.tokens(col("text"))
+          val sc = docs
+            .select(col("doc_id"), toks.as("toks"),
+              Text.denseLength(col("text")).as("dense_len"))
+            .select(col("doc_id"),
+              size(col("toks")).as("n_tokens"),
+              (col("dense_len").cast("double") / size(col("toks"))).as("mean_len"),
+              (Text.hitCount(col("toks"), Text.stopwords("en")).cast("double") /
+                size(col("toks"))).as("sr"))
+            .select(col("doc_id"),
+              Text.qualityScore(col("n_tokens"), col("mean_len"), col("sr"))
+                .as("quality"))
+          val cl = sc.join(labels, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("label"), col("doc_id")).as("cluster"),
+              col("quality"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cluster"))
+            .orderBy(col("quality").desc, col("doc_id"))
+          cl.withColumn("is_keeper", row_number().over(w) === 1)
+        })
+    })
+
   /** Banded hamming search under the oracle: the DuckDB side computes the
     * full quadratic answer; the engine's pigeonhole banding must return
     * exactly that set (recall is structural, not probabilistic). */
@@ -925,6 +1010,6 @@ object Dedup {
 
   val defs: Seq[QueryDef] =
     Seq(exactQ, jaccardQ, jaccardCappedQ, minHashQ, simHashQ, hammingQ,
-      hammingWideQ, clustersQ, spansQ, containmentQ, dedupRecallQ,
+      hammingWideQ, clustersQ, keepBestQ, spansQ, containmentQ, dedupRecallQ,
       paragraphsQ, newShardQ)
 }

@@ -363,6 +363,27 @@ class DedupSimilaritySpec extends SparkSpec {
     sh.unpersist()
   }
 
+  test("dedup_keep_best: one keeper per cluster, and it is the max-quality " +
+      "member (doc_id tiebreak); clusters agree with dedup_clusters") {
+    val rows = Dedup.keepBestQ.run(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val clusters = rows.groupBy(_._2)
+    clusters.foreach { case (c, members) =>
+      val keepers = members.filter(_._4)
+      assert(keepers.length == 1, s"cluster $c has ${keepers.length} keepers")
+      val best = members.minBy(m => (-m._3, m._1))
+      assert(keepers.head._1 == best._1,
+        s"cluster $c kept ${keepers.head._1}, best is ${best._1}")
+    }
+    // non-singleton clusters match dedup_clusters' component labels
+    val fromClusters = Dedup.clustersQ.run(spark, sf("sf0.001")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(r => clusters(r._2).length > 1).foreach { case (id, c, _, _) =>
+      assert(fromClusters(id) == c, s"doc $id cluster drifted")
+    }
+    assert(clusters.exists(_._2.length > 1)) // corpus has real near-dup groups
+  }
+
   test("lshCandidates emits no self-pairs even when the signature input " +
       "carries duplicate doc_id rows") {
     import spark.implicits._
