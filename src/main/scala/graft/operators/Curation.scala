@@ -452,7 +452,11 @@ object Curation {
     * index, and it costs one pass per method over the candidate buckets plus
     * one brute-force pass over queries × corpus — bounded by the query
     * SAMPLE, never corpus². */
-  def annRecallReport(e: DataFrame, k: Int = 10): DataFrame = {
+  def annRecallReport(e0: DataFrame, k: Int = 10): DataFrame = {
+    // cached: five independent retrieval pipelines (exact + 4 ANN paths)
+    // each scan the corpus several times — uncached this report planned 23
+    // parquet scans of embeddings
+    val e = e0.cache()
     val queries = e.filter(col("vec_id") < 5)
     val exact = Similarity.annBruteForce(queries, e, k)
       .select(col("q_id"), col("vec_id"))

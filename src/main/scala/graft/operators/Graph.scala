@@ -23,11 +23,17 @@ object Graph {
   /** One damped-PageRank step from the uniform distribution over a weighted
     * edge list: pr1(v) = d/N + (1-d) * Σ_{(u,v,w)} (1/N) * w / wout(u). */
   def pagerankStep(edges: DataFrame, damping: Double): DataFrame = {
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
+    // cached: the edge table feeds nodes (twice via the union), out-weights
+    // and the contribution join, and exchange reuse does not fire across
+    // unmaterialized subtree aliases — uncached, a corpus-derived edge list
+    // (bigramEdges) would re-run its corpus pass per consumer (measured 6
+    // parquet scans of documents in this one-step plan)
+    val e = edges.cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
     val nn = nodes.agg(count(lit(1)).as("n"))
-    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-    val contrib = edges.join(outw, "src")
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val contrib = e.join(outw, "src")
       .select(col("dst").as("node"),
         (col("w").cast("double") / col("wout")).as("c"))
       .groupBy(col("node")).agg(sum(col("c")).as("cs"))
@@ -376,7 +382,10 @@ object Graph {
                       4)} AS r
              FROM m"""),
     (s, dir) => {
-      val u = undirectedEdges(s, dir).select(col("a"), col("b"))
+      // cached: the symmetrized edge list feeds the degree aggregation AND
+      // the endpoint join, and each uncached read re-runs the corpus bigram
+      // pass (measured 6 documents scans in this plan uncached)
+      val u = undirectedEdges(s, dir).select(col("a"), col("b")).cache()
       val de = u.select(col("a").as("s"), col("b").as("d"))
         .unionByName(u.select(col("b").as("s"), col("a").as("d")))
       val deg = de.groupBy(col("s")).agg(count(lit(1)).cast("double").as("dg"))
