@@ -262,6 +262,92 @@ object Graph {
         })
     })
 
+  private val kcoreSql: String = {
+    // bounded unrolled peeling: every peeling round removes ALL current
+    // degree-<2 nodes at once, and the deepest structure a 25-edge backbone
+    // can hide is a 26-node path — ceil(26/2) = 13 rounds to empty — so 15
+    // unrolled steps are provably past any fixpoint; the tail steps are
+    // no-ops and both engines agree on the stable core. Each step: degree
+    // over the surviving symmetrized edges, keep nodes with deg >= 2, keep
+    // edges with both endpoints surviving. MATERIALIZED: each step is
+    // referenced three times downstream, and DuckDB's default CTE inlining
+    // would otherwise expand the chain exponentially.
+    val base =
+      raw"""WITH toks AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+                          FROM documents),
+          e0 AS (SELECT t[i] AS src, t[i+1] AS dst, count(*) AS w
+                 FROM toks CROSS JOIN unnest(generate_series(1, len(t)-1)) AS u(i)
+                 WHERE len(t) >= 2 GROUP BY 1, 2),
+          u AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                       CAST(sum(w) AS BIGINT) AS w
+                FROM e0 WHERE src <> dst GROUP BY 1, 2),
+          g0 AS (SELECT a, b FROM (
+                   SELECT a, b, row_number() OVER (ORDER BY w DESC, a, b) AS rk
+                   FROM u) WHERE rk <= 25)"""
+    val steps = (1 to 15).map { k =>
+      s""",
+          d$k AS MATERIALIZED (SELECT s, count(*) AS dg FROM (
+                    SELECT a AS s FROM g${k - 1}
+                    UNION ALL SELECT b FROM g${k - 1}) GROUP BY 1),
+          k$k AS MATERIALIZED (SELECT s FROM d$k WHERE dg >= 2),
+          g$k AS MATERIALIZED (SELECT g.a, g.b FROM g${k - 1} g
+                  JOIN k$k x ON x.s = g.a JOIN k$k y ON y.s = g.b)"""
+    }.mkString
+    base + steps +
+      raw"""
+          SELECT s AS node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS s FROM g15 UNION ALL SELECT b FROM g15)
+          GROUP BY 1"""
+  }
+
+  /** 2-core of the top-25-weight backbone — the classic "peel the leaves"
+    * graph kernel (nodes surviving repeated removal of degree-<2 nodes; the
+    * cycle-carrying skeleton of the strongest co-occurrences). Peeling is a
+    * driver fixpoint like [[Dedup.connectedComponents]]' label propagation:
+    * each iteration is one degree aggregation + two semi-joins on the
+    * (vocabulary-sized, here top-25) edge table, looped until the edge
+    * count is stable — at most |nodes| iterations structurally, a handful
+    * in practice. Deferred-wrapped because the loop runs driver-side counts.
+    * The oracle unrolls 15 peeling steps (provably past the fixpoint for a
+    * 25-edge backbone) as a generated MATERIALIZED-CTE chain. At web scale the same loop
+    * runs on the full vocabulary edge list: every step is linear in
+    * surviving edges, and the iteration count is bounded by the graph's
+    * degeneracy ordering depth, not corpus size. */
+  val kcoreQ = QueryDef(
+    "graph_kcore_backbone",
+    "2-core of the top-25-weight backbone: surviving nodes + in-core degree",
+    Some(kcoreSql),
+    (s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      graft.plans.Deferred.dataFrame(s, StructType(Seq(
+        StructField("node", StringType), StructField("deg", LongType))),
+        () => {
+          val u = undirectedEdges(s, dir)
+          var g = u.withColumn("rk", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .orderBy(col("w").desc, col("a"), col("b"))))
+            .filter(col("rk") <= 25).select(col("a"), col("b")).cache()
+          var n = g.count()
+          var stable = false
+          while (!stable && n > 0) {
+            val deg = g.select(col("a").as("s"))
+              .unionByName(g.select(col("b").as("s")))
+              .groupBy(col("s")).agg(count(lit(1)).as("dg"))
+            val keep = deg.filter(col("dg") >= 2).select(col("s"))
+            val g2 = g.join(keep.as("ka"), col("a") === col("ka.s"))
+              .join(keep.as("kb"), col("b") === col("kb.s"))
+              .select(col("a"), col("b")).cache()
+            val n2 = g2.count()
+            stable = n2 == n
+            g.unpersist()
+            g = g2; n = n2
+          }
+          g.select(col("a").as("s")).unionByName(g.select(col("b").as("s")))
+            .groupBy(col("s")).agg(count(lit(1)).as("deg"))
+            .select(col("s").as("node"), col("deg"))
+        })
+    })
+
   /** Neighbor-set Jaccard per edge — the classic link-prediction /
     * community-strength feature: for each edge (a,b), |N(a) ∩ N(b)| /
     * |N(a) ∪ N(b)|.
@@ -406,5 +492,5 @@ object Graph {
     })
 
   val defs: Seq[QueryDef] = Seq(pagerankQ, pagerank10Q, trianglesQ,
-    ccSizesQ, jaccardQ, assortativityQ)
+    ccSizesQ, kcoreQ, jaccardQ, assortativityQ)
 }

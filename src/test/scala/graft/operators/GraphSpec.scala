@@ -91,6 +91,40 @@ class GraphSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("kcore: planted cycle survives peeling, pendant chains peel away, " +
+      "and the result matches brute-force iterated peeling") {
+    // triangle (x,y,z) + square (p,q,r,s) with pendant chains hanging off:
+    // the 2-core is exactly the two cycles; the chains need several rounds
+    val edges = Seq(
+      ("x", "y"), ("y", "z"), ("x", "z"),            // triangle
+      ("p", "q"), ("q", "r"), ("r", "s"), ("p", "s"), // square
+      ("z", "c1"), ("c1", "c2"), ("c2", "c3"),        // 3-deep pendant chain
+      ("q", "d1"), ("d1", "d2"))                      // 2-deep pendant chain
+    val tmp = java.nio.file.Files.createTempDirectory("kcore_fixture").toString
+    edges.zipWithIndex
+      .map { case ((u, v), i) => (i.toLong, s"$u $v", "en", "src0", 3L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    val got = Graph.kcoreQ.run(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // brute-force iterated peeling over the undirected edge set
+    var es = edges.map { case (u, v) =>
+      (if (u < v) u else v, if (u < v) v else u) }.toSet
+    var done = false
+    while (!done) {
+      val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= 2).keySet
+      val next = es.filter(e => keep(e._1) && keep(e._2))
+      done = next == es; es = next
+    }
+    val want = es.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.keySet == Set("x", "y", "z", "p", "q", "r", "s"))
+    assert(got.values.forall(_ == 2L)) // both cores are pure cycles
+  }
+
   test("jaccard neighbors: degree-oriented wedge count equals brute-force " +
       "set intersection, including through a hub") {
     // planted graph with a hub h touching everything (the Σ deg² shape the
