@@ -319,7 +319,8 @@ object ScaleRehearsal {
       "curation_scorecard",
       // graph family: vocabulary-bound after the linear bigram pass
       "graph_triangles", "graph_jaccard_neighbors", "graph_cc_sizes",
-      "graph_degree_assortativity", "token_pagerank_10",
+      "graph_kcore_backbone", "graph_degree_assortativity",
+      "token_pagerank_10", "dedup_keep_best",
       // time-series family: per-key linear window/aggregate plans
       "ts_ewma", "ts_autocorr", "ts_seasonal_error", "ts_changepoint",
       "ts_gapfill")
