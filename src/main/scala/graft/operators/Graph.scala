@@ -300,19 +300,79 @@ object Graph {
           GROUP BY 1"""
   }
 
+  /** k-core of an undirected (a, b) edge list: the edges surviving repeated
+    * removal of nodes with degree < k, reported as surviving nodes with
+    * their in-core degree. Size-gated exactly like
+    * [[Dedup.connectedComponents]]: an edge list under the threshold
+    * collects and peels on the driver (one collect vs O(peeling depth)
+    * rounds of jobs — the same size-based decision AQE makes); above it,
+    * the distributed loop peels with one degree aggregation + two
+    * semi-joins per round, with each round's result EAGERLY
+    * `localCheckpoint`ed. The checkpoint is load-bearing, not an
+    * optimization: every round references the previous round's DataFrame
+    * ~4x, so an uncheckpointed loop grows the LOGICAL plan 4^rounds —
+    * measured as a driver OOM merely stringifying the plan tree once the
+    * sf0.1 backbone needed ~10 rounds. Truncating lineage each round keeps
+    * the plan constant-size; rounds are bounded by pendant-path depth
+    * (<= |nodes|/2 structurally, a handful in practice), each linear in
+    * surviving edges. */
+  def kcore(edges: DataFrame, k: Int,
+      broadcastThreshold: Long = 100000L): DataFrame = {
+    val e0 = edges.select(col("a"), col("b")).cache()
+    val n0 = e0.count()
+    if (n0 < broadcastThreshold) {
+      val rows = e0.collect().map(r => (r.get(0), r.get(1)))
+      val nodeType = e0.schema.head.dataType
+      e0.unpersist()
+      var es = rows.toSet
+      var done = false
+      while (!done) {
+        val deg = es.toSeq.flatMap(t => Seq(t._1, t._2))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = es.filter(t => keep(t._1) && keep(t._2))
+        done = next == es
+        es = next
+      }
+      val outDeg = es.toSeq.flatMap(t => Seq(t._1, t._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      import scala.jdk.CollectionConverters._
+      return edges.sparkSession.createDataFrame(
+        outDeg.map { case (nd, d) => org.apache.spark.sql.Row(nd, d) }.asJava,
+        StructType(Seq(StructField("node", nodeType),
+          StructField("deg", LongType, nullable = false))))
+    }
+    var g = e0.localCheckpoint(true)
+    e0.unpersist()
+    var n = n0
+    var stable = false
+    while (!stable && n > 0) {
+      val deg = g.select(col("a").as("s"))
+        .unionByName(g.select(col("b").as("s")))
+        .groupBy(col("s")).agg(count(lit(1)).as("dg"))
+      val keep = deg.filter(col("dg") >= k).select(col("s"))
+      val g2 = g.join(keep.as("ka"), col("a") === col("ka.s"))
+        .join(keep.as("kb"), col("b") === col("kb.s"))
+        .select(col("a"), col("b")).localCheckpoint(true)
+      val n2 = g2.count()
+      stable = n2 == n
+      g = g2; n = n2
+    }
+    g.select(col("a").as("s")).unionByName(g.select(col("b").as("s")))
+      .groupBy(col("s")).agg(count(lit(1)).as("deg"))
+      .select(col("s").as("node"), col("deg"))
+  }
+
   /** 2-core of the top-25-weight backbone — the classic "peel the leaves"
     * graph kernel (nodes surviving repeated removal of degree-<2 nodes; the
-    * cycle-carrying skeleton of the strongest co-occurrences). Peeling is a
-    * driver fixpoint like [[Dedup.connectedComponents]]' label propagation:
-    * each iteration is one degree aggregation + two semi-joins on the
-    * (vocabulary-sized, here top-25) edge table, looped until the edge
-    * count is stable — at most |nodes| iterations structurally, a handful
-    * in practice. Deferred-wrapped because the loop runs driver-side counts.
-    * The oracle unrolls 15 peeling steps (provably past the fixpoint for a
-    * 25-edge backbone) as a generated MATERIALIZED-CTE chain. At web scale the same loop
-    * runs on the full vocabulary edge list: every step is linear in
-    * surviving edges, and the iteration count is bounded by the graph's
-    * degeneracy ordering depth, not corpus size. */
+    * cycle-carrying skeleton of the strongest co-occurrences). Runs
+    * [[kcore]] on the backbone (<= 25 edges by construction, so the
+    * size-gated driver peel applies); Deferred-wrapped because the peel
+    * runs driver-side actions. The oracle unrolls 15 peeling steps
+    * (provably past the fixpoint for a 25-edge backbone: the deepest
+    * structure is a 26-node path needing 13 rounds) as a generated
+    * MATERIALIZED-CTE chain. */
   val kcoreQ = QueryDef(
     "graph_kcore_backbone",
     "2-core of the top-25-weight backbone: surviving nodes + in-core degree",
@@ -322,29 +382,12 @@ object Graph {
       graft.plans.Deferred.dataFrame(s, StructType(Seq(
         StructField("node", StringType), StructField("deg", LongType))),
         () => {
-          val u = undirectedEdges(s, dir)
-          var g = u.withColumn("rk", row_number().over(
+          val top = undirectedEdges(s, dir)
+            .withColumn("rk", row_number().over(
               org.apache.spark.sql.expressions.Window
                 .orderBy(col("w").desc, col("a"), col("b"))))
-            .filter(col("rk") <= 25).select(col("a"), col("b")).cache()
-          var n = g.count()
-          var stable = false
-          while (!stable && n > 0) {
-            val deg = g.select(col("a").as("s"))
-              .unionByName(g.select(col("b").as("s")))
-              .groupBy(col("s")).agg(count(lit(1)).as("dg"))
-            val keep = deg.filter(col("dg") >= 2).select(col("s"))
-            val g2 = g.join(keep.as("ka"), col("a") === col("ka.s"))
-              .join(keep.as("kb"), col("b") === col("kb.s"))
-              .select(col("a"), col("b")).cache()
-            val n2 = g2.count()
-            stable = n2 == n
-            g.unpersist()
-            g = g2; n = n2
-          }
-          g.select(col("a").as("s")).unionByName(g.select(col("b").as("s")))
-            .groupBy(col("s")).agg(count(lit(1)).as("deg"))
-            .select(col("s").as("node"), col("deg"))
+            .filter(col("rk") <= 25).select(col("a"), col("b"))
+          kcore(top, 2)
         })
     })
 

@@ -123,6 +123,16 @@ class GraphSpec extends SparkSpec {
     assert(got == want, s"got $got\nwant $want")
     assert(got.keySet == Set("x", "y", "z", "p", "q", "r", "s"))
     assert(got.values.forall(_ == 2L)) // both cores are pure cycles
+
+    // the distributed localCheckpoint loop (forced past the size gate)
+    // returns the identical core — and its per-round lineage truncation is
+    // what keeps the plan constant-size over ~3 peeling rounds here
+    val edgeDf = edges.map { case (u, v) =>
+      (if (u < v) u else v, if (u < v) v else u) }.distinct
+      .toDF("a", "b")
+    val dist = Graph.kcore(edgeDf, 2, broadcastThreshold = 0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dist == want, s"distributed path drifted: $dist")
   }
 
   test("jaccard neighbors: degree-oriented wedge count equals brute-force " +
