@@ -322,7 +322,8 @@ object ScaleRehearsal {
       "graph_kcore_backbone", "graph_degree_assortativity",
       "token_pagerank_10", "dedup_keep_best",
       // time-series family: per-key linear window/aggregate plans
-      "ts_ewma", "ts_autocorr", "ts_seasonal_error", "ts_changepoint",
+      "ts_ewma", "ts_autocorr", "ts_cross_corr", "ts_seasonal_error",
+      "ts_changepoint",
       "ts_gapfill")
     mults.foreach { m =>
       val dir = s"$root/x$m"

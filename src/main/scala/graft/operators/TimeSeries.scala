@@ -139,6 +139,64 @@ object TimeSeries {
               (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("r"))
     })
 
+  /** Lagged cross-correlation between every ordered pair of event-type
+    * daily-count series ("do purchases follow clicks by a day?") — the
+    * bivariate complement of [[autocorrQ]]: Pearson r between series a's
+    * count and series b's count lag_n days EARLIER, for lags 0..3. Pairs
+    * come from one equi-join of the daily table against its lag-shifted
+    * self on the day key (day arithmetic manufactures the join key — no
+    * window, no inequality join); moments are exact integer sums so r is
+    * bit-identical cross-engine before rounding. The daily table is cached:
+    * both join sides read it, and uncached each side would re-run the
+    * corpus-scale groupBy. The pair space is |types|² x 4 — bounded by the
+    * type vocabulary, never by corpus size. */
+  val crossCorrQ = QueryDef(
+    "ts_cross_corr",
+    "lag-0..3 Pearson cross-correlation between event-type daily series",
+    Some(s"""WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(count(*) AS DOUBLE) AS x
+              FROM events GROUP BY 1, 2),
+            lags AS (SELECT CAST(unnest(generate_series(0, 3)) AS INTEGER) AS lag_n),
+            p AS (
+              SELECT a.event_type AS ta, b.event_type AS tb, l.lag_n,
+                     a.x AS x, b.x AS y
+              FROM daily a CROSS JOIN lags l
+              JOIN daily b ON b.event_type > a.event_type
+                AND a.day = b.day + l.lag_n),
+            m AS (SELECT ta, tb, lag_n, CAST(count(*) AS DOUBLE) AS n,
+                         sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+                         sum(y*y) AS syy, sum(x*y) AS sxy
+                  FROM p GROUP BY 1, 2, 3)
+            SELECT ta, tb, lag_n,
+                   ${Num.sql(
+                     "(n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))",
+                     4)} AS r
+            FROM m"""),
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).cast("double").as("x"))
+        .cache()
+      val a = daily.select(col("event_type").as("ta"),
+        col("day").as("aday"), col("x"))
+      val b = daily.select(col("event_type").as("tb"),
+        col("day").as("bday"), col("x").as("y"))
+        .withColumn("lag_n", explode(array((0 to 3).map(lit(_)): _*)))
+        .withColumn("aday", expr("date_add(bday, lag_n)"))
+      a.join(b, Seq("aday")).filter(col("tb") > col("ta"))
+        .groupBy(col("ta"), col("tb"), col("lag_n"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("ta"), col("tb"), col("lag_n"),
+          Num.pround((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("r"))
+    })
+
   /** Seasonal-naive (lag-7) forecast error per type: MAE and sMAPE of
     * predicting each day's count by the count one week earlier — the
     * standard no-model baseline every real forecaster is judged against. */
@@ -225,5 +283,6 @@ object TimeSeries {
         .select(col("event_type"), col("day").as("change_day"), col("gap"))
     })
 
-  val defs: Seq[QueryDef] = Seq(ewmaQ, autocorrQ, seasonalQ, changepointQ)
+  val defs: Seq[QueryDef] = Seq(ewmaQ, autocorrQ, crossCorrQ, seasonalQ,
+    changepointQ)
 }
