@@ -466,7 +466,9 @@ object Curation {
         codebookK = 64, k = k),
       "lsh_bucketed" -> Similarity.annLsh(queries, e, numPlanes = 6, k = k,
         dim = 64),
-      "pq_adc" -> pqAdc(e, m = 16, subDim = 4, codebookK = 64, k = k))
+      "pq_adc" -> pqAdc(e, m = 16, subDim = 4, codebookK = 64, k = k),
+      "truncated_rerank" -> Similarity.annTruncatedRerank(queries, e,
+        prefixDim = 16, candK = 100, k = k))
     val reported = methods.map { case (nm, df) =>
       df.select(lit(nm).as("method"), col("q_id"), col("vec_id"))
     }.reduce(_ union _)
@@ -487,7 +489,8 @@ object Curation {
     "ann_recall_report",
     s"ANN methods with recall@10 >= $RecallFloor vs the exact baseline (index-quality gate)",
     Some("""SELECT method FROM (VALUES ('ivf_cells'), ('ivf_pq'),
-                   ('lsh_bucketed'), ('pq_adc')) AS t(method)
+                   ('lsh_bucketed'), ('pq_adc'), ('truncated_rerank'))
+                   AS t(method)
             ORDER BY method"""),
     (s, dir) => annRecallReport(Tables.embeddings(s, dir))
       .filter(col("recall_at_k") >= RecallFloor)

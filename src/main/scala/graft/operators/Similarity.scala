@@ -206,6 +206,77 @@ object Similarity {
       annBruteForce(e.filter(col("vec_id") < 5), e, 10)
     })
 
+  /** Two-stage truncated-dimension ANN — the Matryoshka/dimension-cascade
+    * production trick: stage 1 ranks the corpus by cosine over only the
+    * FIRST `prefixDim` dimensions (at scale this is the win — a separate
+    * narrow column/index holding the prefix means the coarse pass reads
+    * prefixDim/dim of the bytes and does prefixDim/dim of the multiplies),
+    * keeps `candK` candidates per query; stage 2 reranks only those by
+    * exact full-dimension cosine. Both stages rank on ROUNDED scores with
+    * id tiebreaks, so the whole cascade is deterministic and the oracle
+    * replays it exactly (unlike LSH/IVF this path needs no seeded
+    * geometry). Recall is corpus-dependent (prefix must carry signal);
+    * the recall report gates it alongside the other paths. */
+  def annTruncatedRerank(queries: DataFrame, corpus: DataFrame,
+      prefixDim: Int, candK: Int, k: Int): DataFrame = {
+    val q = withNorm(queries).select(col("vec_id").as("q_id"),
+        col("v").as("qv"), col("nrm").as("qn"))
+      .withColumn("qt", slice(col("qv"), 1, prefixDim))
+      .withColumn("qtn", Vec.norm(col("qt")))
+    val c = withNorm(corpus)
+      .withColumn("vt", slice(col("v"), 1, prefixDim))
+      .withColumn("vtn", Vec.norm(col("vt")))
+    val wCoarse = Window.partitionBy(col("q_id"))
+      .orderBy(col("t_cos").desc, col("vec_id"))
+    val cands = c.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .withColumn("t_cos", Num.pround(Vec.cosinePrenormed(
+        Vec.dot(col("qt"), col("vt")), col("qtn"), col("vtn")), 6))
+      .withColumn("crank", row_number().over(wCoarse))
+      .filter(col("crank") <= candK)
+    val wFull = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cands.select(col("q_id"), col("vec_id"),
+        Num.pround(Vec.cosinePrenormed(Vec.dot(col("qv"), col("v")),
+          col("qn"), col("nrm")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(wFull))
+      .filter(col("rank") <= k)
+  }
+
+  private val TruncPrefix = 16
+  private val TruncCandK = 100
+
+  val annTruncatedQ = QueryDef(
+    "ann_truncated_rerank",
+    s"two-stage ANN: rank on the first $TruncPrefix dims, exact-rerank top $TruncCandK",
+    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                        FROM embeddings),
+             n AS (SELECT vec_id, v, sqrt(${dotSql.format("v", "v")}) AS nrm,
+                          v[1:$TruncPrefix] AS vt
+                   FROM e),
+             n2 AS (SELECT vec_id, v, nrm, vt,
+                           sqrt(${dotSql.format("vt", "vt")}) AS vtn
+                    FROM n),
+             cand AS (SELECT q_id, vec_id, v, nrm, qv, qn FROM (
+                 SELECT q.vec_id AS q_id, c.vec_id, c.v, c.nrm,
+                        q.v AS qv, q.nrm AS qn,
+                        row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                          ${Num.sql(dotSql.format("q.vt", "c.vt") +
+                            " / (q.vtn * c.vtn)", 6)} DESC, c.vec_id) AS crank
+                 FROM n2 q JOIN n2 c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
+               WHERE crank <= $TruncCandK)
+             SELECT q_id, vec_id, cosine, rank FROM (
+               SELECT q_id, vec_id,
+                      ${Num.sql(dotSql.format("qv", "v") + " / (qn * nrm)", 6)} AS cosine,
+                      row_number() OVER (PARTITION BY q_id ORDER BY
+                        ${Num.sql(dotSql.format("qv", "v") + " / (qn * nrm)", 6)} DESC,
+                        vec_id) AS rank
+               FROM cand) WHERE rank <= 10"""),
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      annTruncatedRerank(e.filter(col("vec_id") < 5), e, TruncPrefix,
+        TruncCandK, 10)
+    })
+
   /** DuckDB replica of [[annLsh]] with the 6 hyperplanes inlined as literals
     * — the planes are deterministic (seeded java.util.Random), so the whole
     * approximate pipeline (bucket assignment, multi-probe, candidate rank)
@@ -609,6 +680,6 @@ object Similarity {
       tau = semDedupTau))
 
   val defs: Seq[QueryDef] =
-    Seq(pairsQ, annQ, annLshQ, annIvfQ, kmeansQ, kmeansTrainQ, nearDupQ,
-      quantQ, pcaStepQ, semDedupQ, outliersQ)
+    Seq(pairsQ, annQ, annTruncatedQ, annLshQ, annIvfQ, kmeansQ, kmeansTrainQ,
+      nearDupQ, quantQ, pcaStepQ, semDedupQ, outliersQ)
 }

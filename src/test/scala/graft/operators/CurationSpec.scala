@@ -101,21 +101,23 @@ class CurationSpec extends SparkSpec {
     } finally pruned.unpersist()
   }
 
-  test("ann_recall_report: all four ANN paths clear the structural floor, " +
+  test("ann_recall_report: all five ANN paths clear the structural floor, " +
     "and the gate output lists exactly them") {
+    val methods = Seq("ivf_cells", "ivf_pq", "lsh_bucketed", "pq_adc",
+      "truncated_rerank")
     val report = Curation.annRecallReport(emb).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(report.keySet ==
-      Set("ivf_cells", "ivf_pq", "lsh_bucketed", "pq_adc"))
-    // measured at sf0.001: lsh 0.26, ivf 0.44, ivf_pq 0.30, pq 0.48;
-    // chance level is k/(n-1) ~ 10/499 = 2% — the floor separates
-    // "index works" from "bucket assignment broken" with wide margin
+    assert(report.keySet == methods.toSet)
+    // measured at sf0.001: lsh 0.26, ivf 0.44, ivf_pq 0.30, pq 0.48,
+    // truncated_rerank ~0.9 (its candK is 20% of this corpus); chance
+    // level is k/(n-1) ~ 10/499 = 2% — the floor separates "index works"
+    // from "bucket assignment broken" with wide margin
     report.foreach { case (m, r) =>
       assert(r >= Curation.RecallFloor, s"$m recall collapsed: $r")
     }
     val gate = Curation.annRecallQ.run(spark, sf("sf0.001"))
       .collect().map(_.getString(0)).toSeq
-    assert(gate == Seq("ivf_cells", "ivf_pq", "lsh_bucketed", "pq_adc"))
+    assert(gate == methods)
   }
 
   test("native SumSqDiff expression matches the higher-order reference bit-for-bit") {

@@ -363,6 +363,22 @@ class DedupSimilaritySpec extends SparkSpec {
     sh.unpersist()
   }
 
+  test("truncated-rerank ANN: reported cosines are the exact full-dim " +
+      "values, and recall@10 vs brute force is high at candK=20% of corpus") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.annBruteForce(queries, emb, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = Similarity.annTruncatedRerank(queries, emb, 16, 100, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // stage 2 is exact: any (q, v) pair also in the exact top-10 must carry
+    // the identical rounded cosine
+    got.foreach { case (k, c) =>
+      exact.get(k).foreach(ec => assert(c == ec, s"$k: $c vs exact $ec"))
+    }
+    val recall = got.keySet.intersect(exact.keySet).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
   test("dedup_keep_best: one keeper per cluster, and it is the max-quality " +
       "member (doc_id tiebreak); clusters agree with dedup_clusters") {
     val rows = Dedup.keepBestQ.run(spark, sf("sf0.001")).collect()
