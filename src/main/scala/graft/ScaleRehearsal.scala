@@ -354,7 +354,7 @@ object ScaleRehearsal {
       // on the same corpus — the scaling claim here is linear runtime with
       // STABLE recall (the planted near-neighbor structure is scale-free)
       Seq("ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_cells",
-        "ann_pq_adc", "ann_ivf_pq").foreach { q =>
+        "ann_pq_adc", "ann_ivf_pq", "ann_truncated_rerank").foreach { q =>
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir).count()
         val sec = (System.nanoTime() - t0) / 1e9
