@@ -283,6 +283,145 @@ object TimeSeries {
         .select(col("event_type"), col("day").as("change_day"), col("gap"))
     })
 
+  /** Additive seasonal decomposition (STL-lite) of the daily count series
+    * per type: trend = centered 7-row moving average, seasonal = day-of-week
+    * mean of the detrended series, residual = what neither explains. The
+    * classical-decomposition shape every seasonal-anomaly monitor starts
+    * from; [[seasonalQ]] scores the no-model forecast, this explains WHERE
+    * the seasonality lives.
+    *
+    * Determinism: instead of averaging doubles (whose summation order is
+    * engine- and partition-dependent), every aggregate stays INTEGER until
+    * the final division — detrended_t is carried as d7 = 7·c_t − Σ₇c
+    * (exact), the seasonal numerator is Σ d7 over the (type, dow) group
+    * (exact), and trend/seasonal/resid are single exact-integer divisions
+    * both engines evaluate identically. dow is day-arithmetic
+    * ((day − 1970-01-04) mod 7, anchored on a Sunday), not a locale
+    * function, so both engines agree by construction.
+    *
+    * Scale: one event-grain aggregation, then windows/joins on the
+    * |types|×|days| series table; the seasonal profile is |types|×7 rows,
+    * broadcast back. Head/tail days without a full 7-row window are
+    * excluded (nw = 7), matching the classical definition. */
+  val stlQ = QueryDef(
+    "ts_stl_decompose",
+    "additive trend/seasonal/residual decomposition of daily counts per type",
+    Some(s"""WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+              FROM events GROUP BY 1, 2),
+            w AS (
+              SELECT event_type, day, c,
+                     sum(c) OVER win AS sum7, count(*) OVER win AS nw
+              FROM daily WINDOW win AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+            t AS (
+              SELECT event_type, day, sum7, 7*c - sum7 AS d7,
+                     (day - DATE '1970-01-04') % 7 AS dow
+              FROM w WHERE nw = 7),
+            s AS (
+              SELECT event_type, dow, CAST(sum(d7) AS DOUBLE) AS snum,
+                     CAST(count(*) AS DOUBLE) AS sn
+              FROM t GROUP BY 1, 2)
+            SELECT t.event_type, t.day,
+                   ${Num.sql("CAST(t.sum7 AS DOUBLE) / 7.0", 4)} AS trend,
+                   ${Num.sql("s.snum / (7.0 * s.sn)", 4)} AS seasonal,
+                   ${Num.sql(
+                     "CAST(t.d7 AS DOUBLE) / 7.0 - s.snum / (7.0 * s.sn)",
+                     4)} AS resid
+            FROM t JOIN s ON s.event_type = t.event_type AND s.dow = t.dow"""),
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val win = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-3, 3)
+      // cached: both the output rows and the seasonal profile consume this
+      // |types|x|days| table — uncached, the event-grain aggregation and
+      // the window pass would run once per consumer (the multi-consumer
+      // scan audit pattern, BENCH_NOTES round 9)
+      val t = daily
+        .withColumn("sum7", sum(col("c")).over(win))
+        .withColumn("nw", count(lit(1)).over(win))
+        .filter(col("nw") === 7)
+        .select(col("event_type"), col("day"), col("sum7"),
+          (lit(7) * col("c") - col("sum7")).as("d7"),
+          pmod(datediff(col("day"), to_date(lit("1970-01-04"))), lit(7))
+            .as("dow"))
+        .cache()
+      val season = t.groupBy(col("event_type"), col("dow"))
+        .agg(sum(col("d7")).cast("double").as("snum"),
+          count(lit(1)).cast("double").as("sn"))
+      t.join(broadcast(season), Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"),
+          Num.pround(col("sum7").cast("double") / 7.0, 4).as("trend"),
+          Num.pround(col("snum") / (lit(7.0) * col("sn")), 4).as("seasonal"),
+          Num.pround(col("d7").cast("double") / 7.0 -
+            col("snum") / (lit(7.0) * col("sn")), 4).as("resid"))
+    })
+
+  /** Holt's linear-trend exponential smoothing per type (α = β = 1/2):
+    * level/trend recursion over the daily count series, reporting the final
+    * state and the 7-day-ahead forecast l + 7·b — the simplest forecaster
+    * that beats seasonal-naive on trending series, and the genuinely
+    * SEQUENTIAL recurrence the truncated-window [[ewmaQ]] deliberately
+    * avoids. Here the recursion is embraced: the series table is
+    * |types|×|days| (thousands of rows), so each type's series packs into
+    * one sorted array and folds left in a single `aggregate` higher-order
+    * function — per-key state iteration WITHOUT mapGroups, streaming state,
+    * or a driver loop, and the corpus-sized pass remains the one groupBy.
+    * The oracle replays the identical fold as a recursive CTE.
+    *
+    * Determinism: counts are integers and both smoothing constants are 1/2
+    * (exact dyadic), so every intermediate is the SAME IEEE double in both
+    * engines — the fold and the CTE chain identical multiply/add sequences;
+    * rounding happens once, at the end. Init: l₁ = x₁, b₁ = 0 (the
+    * data-free choice both sides spell identically). */
+  val holtQ = QueryDef(
+    "ts_holt_linear",
+    "Holt linear-trend smoothing (alpha=beta=0.5) of daily counts per type",
+    Some(s"""WITH RECURSIVE daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(count(*) AS DOUBLE) AS x
+              FROM events GROUP BY 1, 2),
+            idx AS (
+              SELECT event_type, x,
+                     row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+                     count(*) OVER (PARTITION BY event_type) AS nd
+              FROM daily),
+            rec AS (
+              SELECT event_type, i, nd, x AS l, CAST(0.0 AS DOUBLE) AS b
+              FROM idx WHERE i = 1
+              UNION ALL
+              SELECT d.event_type, d.i, d.nd,
+                     0.5*d.x + 0.5*(r.l + r.b) AS l,
+                     0.5*((0.5*d.x + 0.5*(r.l + r.b)) - r.l) + 0.5*r.b AS b
+              FROM rec r JOIN idx d
+                ON d.event_type = r.event_type AND d.i = r.i + 1)
+            SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+                   ${Num.sql("l", 4)} AS level,
+                   ${Num.sql("b", 4)} AS trend,
+                   ${Num.sql("l + 7*b", 4)} AS forecast_7
+            FROM rec WHERE i = nd"""),
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      daily.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("s"))
+        .withColumn("hb", expr(
+          """aggregate(
+               slice(s, 2, greatest(size(s) - 1, 0)),
+               named_struct('l', element_at(s, 1).x, 'b', CAST(0.0 AS DOUBLE)),
+               (acc, e) -> named_struct(
+                 'l', 0.5D * e.x + 0.5D * (acc.l + acc.b),
+                 'b', 0.5D * ((0.5D * e.x + 0.5D * (acc.l + acc.b)) - acc.l)
+                      + 0.5D * acc.b))"""))
+        .select(col("event_type"), size(col("s")).cast("long").as("n_days"),
+          Num.pround(col("hb.l"), 4).as("level"),
+          Num.pround(col("hb.b"), 4).as("trend"),
+          Num.pround(col("hb.l") + lit(7) * col("hb.b"), 4).as("forecast_7"))
+    })
+
   val defs: Seq[QueryDef] = Seq(ewmaQ, autocorrQ, crossCorrQ, seasonalQ,
-    changepointQ)
+    changepointQ, stlQ, holtQ)
 }

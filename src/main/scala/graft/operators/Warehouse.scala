@@ -398,7 +398,46 @@ object Warehouse {
             col("prev_revenue"), 4).as("yoy_growth"))
     })
 
+  /** l-diversity audit (distinct-l, l=3) — the governance companion to
+    * [[kAnonymity]]: k-anonymity bounds re-identification of a ROW, but a
+    * quasi-identifier class whose rows all share one sensitive value still
+    * leaks the attribute; l-diversity requires ≥ l distinct sensitive
+    * values per class. Sensitive attribute here: the order priorities a
+    * customer's orders carry, over the same (nationkey, mktsegment)
+    * quasi-identifier classes the k-audit uses. Cost at 100 TB: one
+    * fact-dim equi-join on the customer key, then a two-level aggregation —
+    * the distinct count runs as a (class, priority) pre-aggregation, so no
+    * per-class distinct set ever materializes. */
+  val lDiversity = QueryDef(
+    "l_diversity_report",
+    "l-diversity (l=3) audit of order priority over customer quasi-id classes",
+    Some("""WITH j AS (SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority
+                       FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey),
+            g AS (SELECT c_nationkey, c_mktsegment,
+                         count(DISTINCT o_orderpriority) AS l_div,
+                         count(*) AS n_rows
+                  FROM j GROUP BY 1, 2)
+            SELECT count(*) AS n_classes, min(l_div) AS min_l,
+                   count(CASE WHEN l_div < 3 THEN 1 END) AS classes_below_l,
+                   CAST(sum(CASE WHEN l_div < 3 THEN n_rows ELSE 0 END)
+                     AS BIGINT) AS n_rows_below_l
+            FROM g"""),
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      val j = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderpriority"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+      j.groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(countDistinct(col("o_orderpriority")).as("l_div"),
+          count(lit(1)).as("n_rows"))
+        .agg(count(lit(1)).as("n_classes"), min(col("l_div")).as("min_l"),
+          count(when(col("l_div") < 3, 1)).as("classes_below_l"),
+          sum(when(col("l_div") < 3, col("n_rows")).otherwise(0L))
+            .as("n_rows_below_l"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(scd2, merge, markov, zorder, tableStats, compaction, dqReport,
-      snapshotDiff, kAnonymity, yoyGrowth)
+      snapshotDiff, kAnonymity, lDiversity, yoyGrowth)
 }

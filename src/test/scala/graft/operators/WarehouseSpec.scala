@@ -164,6 +164,25 @@ class WarehouseSpec extends SparkSpec {
     assert(r.getLong(3) == sizes.filter(_ < 5).sum)
   }
 
+  test("l-diversity report agrees with a direct distinct-sensitive count") {
+    val r = Warehouse.lDiversity.run(spark, sf("sf0.001")).head()
+    val c = graft.sources.Tables.customer(spark, sf("sf0.001"))
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+    val cls = graft.sources.Tables.orders(spark, sf("sf0.001"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("o_orderpriority"))
+      .collect()
+      .groupBy(row => (row.getInt(0), row.getString(1)))
+      .toSeq // BEFORE map: mapping a Map to (l_div, n) pairs would dedupe
+      .map { case (_, rows) =>
+        (rows.map(_.getString(2)).distinct.length.toLong, rows.length.toLong)
+      }
+    assert(r.getLong(0) == cls.length)
+    assert(r.getLong(1) == cls.map(_._1).min)
+    assert(r.getLong(2) == cls.count(_._1 < 3))
+    assert(r.getLong(3) == cls.filter(_._1 < 3).map(_._2).sum)
+  }
+
   test("dq_report counts agree with directly-filtered counts") {
     val got = Warehouse.dqReport.run(spark, sf("sf0.001")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
