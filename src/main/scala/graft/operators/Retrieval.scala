@@ -170,20 +170,27 @@ object Retrieval {
     // explodes ONLY into the broadcast query-term semi-join, so the tf
     // aggregation sees |q-terms| postings, never the full stream (the same
     // filter-before-shuffle discipline as bm25TopK's term filter)
-    val withDl = docs.select(col("doc_id").cast("long").as("doc_id"),
-      col("text"), size(graft.functions.Text.tokens(col("text")))
-        .cast("long").as("dl"))
-    val dls = withDl.select(col("doc_id"), col("dl"))
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    // doc lengths in their OWN slim pass (cached: stats + the tf join both
+    // read it) so the explode pass below evaluates tokens() exactly once —
+    // carrying dl through the explode made Catalyst inline tokens() twice
+    // per row (once for size, once for the generator), a 3rd corpus
+    // tokenization this query doesn't need
+    val dls = base.select(col("doc_id"),
+      size(graft.functions.Text.tokens(col("text"))).cast("long").as("dl"))
+      .cache()
     val stats = dls.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
-    val qt = withDl.filter(col("doc_id").isin(qIds: _*))
+    val qt = base.filter(col("doc_id").isin(qIds: _*))
       .select(col("doc_id").as("q_id"),
         explode(graft.functions.Text.tokens(col("text"))).as("tok")).distinct()
-    val tf = withDl
-      .select(col("doc_id"), col("dl"),
+    val tf = base
+      .select(col("doc_id"),
         explode(graft.functions.Text.tokens(col("text"))).as("tok"))
       .join(broadcast(qt.select(col("tok")).distinct()), "tok")
-      .groupBy(col("doc_id"), col("dl"), col("tok"))
-      .agg(count(lit(1)).as("tf")).cache()
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .join(dls, "doc_id") // |q-terms| postings vs the doc-grain dl table
+      .cache()
     val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val perTerm = qt.join(tf, "tok")
       .filter(col("doc_id") =!= col("q_id"))
