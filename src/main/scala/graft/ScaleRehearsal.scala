@@ -324,7 +324,7 @@ object ScaleRehearsal {
       // time-series family: per-key linear window/aggregate plans
       "ts_ewma", "ts_autocorr", "ts_cross_corr", "ts_seasonal_error",
       "ts_changepoint",
-      "ts_gapfill")
+      "ts_gapfill", "ts_stl_decompose", "ts_holt_linear")
     mults.foreach { m =>
       val dir = s"$root/x$m"
       if (!new java.io.File(s"$dir/events.parquet").exists()) {

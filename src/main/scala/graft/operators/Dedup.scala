@@ -253,8 +253,17 @@ object Dedup {
     * Jaccard verification on candidates only (the whole point at scale: the
     * quadratic verify runs on the tiny candidate set). */
   def minHashDedup(df: DataFrame, id: String, text: String, n: Int,
-      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
-    val sh = shingleIndexHashed(df, id, text, n).cache()
+      numHashes: Int, bands: Int, threshold: Double): DataFrame =
+    minHashDedupFromIndex(shingleIndexHashed(df, id, text, n).cache(),
+      numHashes, bands, threshold)
+
+  /** [[minHashDedup]] over a PREBUILT uncapped (doc_id, s) hashed shingle
+    * index — the [[jaccardFromIndex]] discipline applied to MinHash: callers
+    * holding the index already (e.g. [[dedupRecallReport]], which shares ONE
+    * shingle pass across the ground truth and every method) skip the
+    * per-call corpus re-shingle. Caller owns caching of `sh`. */
+  def minHashDedupFromIndex(sh: DataFrame, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame = {
     val sig = minHashSignatures(sh, numHashes)
     val cands = lshCandidates(sig, bands, numHashes / bands)
     val cnt = shingleCounts(sh)
@@ -976,7 +985,9 @@ object Dedup {
     val capped = base.join(broadcast(hot), Seq("s"), "left_anti").cache()
     val exact = jaccardFromIndex(base, 0.8).select(col("i"), col("j"))
     val methods: Seq[(String, DataFrame)] = Seq(
-      "minhash_lsh" -> minHashDedup(docs, "doc_id", "text", 3, 32, 8, 0.8)
+      // FromIndex: the minhash leg reuses the same cached shingle pass as
+      // the ground truth and the capped variant — one corpus shingle, not two
+      "minhash_lsh" -> minHashDedupFromIndex(base, 32, 8, 0.8)
         .select(col("i"), col("j")),
       "jaccard_capped" -> jaccardFromIndex(capped, 0.8)
         .select(col("i"), col("j")),

@@ -345,6 +345,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ts_stl_decompose: one cached corpus pass feeds both consumers; the " +
+      "seasonal profile joins back by broadcast") {
+    val p = plan(run("ts_stl_decompose"))
+    assert(p.contains("InMemoryTableScan"), p) // the cached series table
+    assert(p.contains("BroadcastHashJoin"), p) // |types|x7 profile join
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("ts_holt_linear: the recursion folds in-plan — one corpus scan, no " +
+      "join, no window, sequential state inside aggregate()") {
+    val p = run("ts_holt_linear").queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p) // the packed-series build
+  }
+
+  test("l_diversity_report: the distinct runs as a (class, sensitive) " +
+      "pre-aggregation — no Expand, and the dim side broadcasts") {
+    val p = plan(run("l_diversity_report"))
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("no catalog query degrades to a CartesianProduct") {
     // vector pair scans are deliberate *conditioned* nested-loop joins
     // (BroadcastNestedLoopJoin); a true CartesianProduct anywhere means a
