@@ -329,35 +329,40 @@ object TimeSeries {
                      "CAST(t.d7 AS DOUBLE) / 7.0 - s.snum / (7.0 * s.sn)",
                      4)} AS resid
             FROM t JOIN s ON s.event_type = t.event_type AND s.dow = t.dow"""),
-    (s, dir) => {
-      val daily = Tables.events(s, dir)
-        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
-        .agg(count(lit(1)).as("c"))
-      val win = Window.partitionBy(col("event_type")).orderBy(col("day"))
-        .rowsBetween(-3, 3)
-      // cached: both the output rows and the seasonal profile consume this
-      // |types|x|days| table — uncached, the event-grain aggregation and
-      // the window pass would run once per consumer (the multi-consumer
-      // scan audit pattern, BENCH_NOTES round 9)
-      val t = daily
-        .withColumn("sum7", sum(col("c")).over(win))
-        .withColumn("nw", count(lit(1)).over(win))
-        .filter(col("nw") === 7)
-        .select(col("event_type"), col("day"), col("sum7"),
-          (lit(7) * col("c") - col("sum7")).as("d7"),
-          pmod(datediff(col("day"), to_date(lit("1970-01-04"))), lit(7))
-            .as("dow"))
-        .cache()
-      val season = t.groupBy(col("event_type"), col("dow"))
-        .agg(sum(col("d7")).cast("double").as("snum"),
-          count(lit(1)).cast("double").as("sn"))
-      t.join(broadcast(season), Seq("event_type", "dow"))
-        .select(col("event_type"), col("day"),
-          Num.pround(col("sum7").cast("double") / 7.0, 4).as("trend"),
-          Num.pround(col("snum") / (lit(7.0) * col("sn")), 4).as("seasonal"),
-          Num.pround(col("d7").cast("double") / 7.0 -
-            col("snum") / (lit(7.0) * col("sn")), 4).as("resid"))
-    })
+    (s, dir) => stlDecompose(Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("c"))))
+
+  /** [[stlQ]] over an arbitrary integer-valued daily series table
+    * (event_type, day DATE, c BIGINT) — the series source is pluggable so
+    * planted-series properties (pure weekly signal → residual EXACTLY zero)
+    * can pin the arithmetic. */
+  def stlDecompose(daily: DataFrame): DataFrame = {
+    val win = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    // cached: both the output rows and the seasonal profile consume this
+    // |types|x|days| table — uncached, the event-grain aggregation and
+    // the window pass would run once per consumer (the multi-consumer
+    // scan audit pattern, BENCH_NOTES round 9)
+    val t = daily
+      .withColumn("sum7", sum(col("c")).over(win))
+      .withColumn("nw", count(lit(1)).over(win))
+      .filter(col("nw") === 7)
+      .select(col("event_type"), col("day"), col("sum7"),
+        (lit(7) * col("c") - col("sum7")).as("d7"),
+        pmod(datediff(col("day"), to_date(lit("1970-01-04"))), lit(7))
+          .as("dow"))
+      .cache()
+    val season = t.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("d7")).cast("double").as("snum"),
+        count(lit(1)).cast("double").as("sn"))
+    t.join(broadcast(season), Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"),
+        Num.pround(col("sum7").cast("double") / 7.0, 4).as("trend"),
+        Num.pround(col("snum") / (lit(7.0) * col("sn")), 4).as("seasonal"),
+        Num.pround(col("d7").cast("double") / 7.0 -
+          col("snum") / (lit(7.0) * col("sn")), 4).as("resid"))
+  }
 
   /** Holt's linear-trend exponential smoothing per type (α = β = 1/2):
     * level/trend recursion over the daily count series, reporting the final
@@ -402,25 +407,28 @@ object TimeSeries {
                    ${Num.sql("b", 4)} AS trend,
                    ${Num.sql("l + 7*b", 4)} AS forecast_7
             FROM rec WHERE i = nd"""),
-    (s, dir) => {
-      val daily = Tables.events(s, dir)
-        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
-        .agg(count(lit(1)).cast("double").as("x"))
-      daily.groupBy(col("event_type"))
-        .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("s"))
-        .withColumn("hb", expr(
-          """aggregate(
-               slice(s, 2, greatest(size(s) - 1, 0)),
-               named_struct('l', element_at(s, 1).x, 'b', CAST(0.0 AS DOUBLE)),
-               (acc, e) -> named_struct(
-                 'l', 0.5D * e.x + 0.5D * (acc.l + acc.b),
-                 'b', 0.5D * ((0.5D * e.x + 0.5D * (acc.l + acc.b)) - acc.l)
-                      + 0.5D * acc.b))"""))
-        .select(col("event_type"), size(col("s")).cast("long").as("n_days"),
-          Num.pround(col("hb.l"), 4).as("level"),
-          Num.pround(col("hb.b"), 4).as("trend"),
-          Num.pround(col("hb.l") + lit(7) * col("hb.b"), 4).as("forecast_7"))
-    })
+    (s, dir) => holtLinear(Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))))
+
+  /** [[holtQ]] over an arbitrary daily series table (event_type, day, x
+    * DOUBLE) — pluggable source; on a CONSTANT series the fold is exact
+    * (level = the constant, trend = 0, every intermediate dyadic). */
+  def holtLinear(daily: DataFrame): DataFrame =
+    daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("s"))
+      .withColumn("hb", expr(
+        """aggregate(
+             slice(s, 2, greatest(size(s) - 1, 0)),
+             named_struct('l', element_at(s, 1).x, 'b', CAST(0.0 AS DOUBLE)),
+             (acc, e) -> named_struct(
+               'l', 0.5D * e.x + 0.5D * (acc.l + acc.b),
+               'b', 0.5D * ((0.5D * e.x + 0.5D * (acc.l + acc.b)) - acc.l)
+                    + 0.5D * acc.b))"""))
+      .select(col("event_type"), size(col("s")).cast("long").as("n_days"),
+        Num.pround(col("hb.l"), 4).as("level"),
+        Num.pround(col("hb.b"), 4).as("trend"),
+        Num.pround(col("hb.l") + lit(7) * col("hb.b"), 4).as("forecast_7"))
 
   val defs: Seq[QueryDef] = Seq(ewmaQ, autocorrQ, crossCorrQ, seasonalQ,
     changepointQ, stlQ, holtQ)

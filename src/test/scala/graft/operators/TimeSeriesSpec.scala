@@ -117,4 +117,32 @@ class TimeSeriesSpec extends SparkSpec {
     }
     assert(l == 2.375 && b == 0.5625)
   }
+
+  test("planted series: stl residual is EXACTLY zero on a pure weekly " +
+      "signal, and holt is exact on a constant series") {
+    import spark.implicits._
+    val pattern = Seq(3L, 9L, 4L, 12L, 5L, 8L, 1L) // one week, sum 42
+    val d0 = java.time.LocalDate.of(2024, 1, 1)
+    val weekly = (0 until 28).map(i =>
+      ("weekly", java.sql.Date.valueOf(d0.plusDays(i)), pattern(i % 7)))
+      .toDF("event_type", "day", "c")
+    val stl = TimeSeries.stlDecompose(weekly).collect()
+    assert(stl.length == 22) // 28 days minus 3 head + 3 tail
+    stl.foreach { r =>
+      assert(r.getDouble(2) == 6.0, s"trend ${r.getDouble(2)}") // 42/7
+      assert(r.getDouble(4) == 0.0, s"resid ${r.getDouble(4)}")
+    }
+    // seasonal reconstructs the pattern around the 6.0 trend
+    val season = stl.map(r => (r.getDate(1).toLocalDate.getDayOfWeek,
+      r.getDouble(3))).distinct
+    assert(season.length == 7)
+
+    val const = (0 until 30).map(i =>
+      ("const", java.sql.Date.valueOf(d0.plusDays(i)), 17.0))
+      .toDF("event_type", "day", "x")
+    val h = TimeSeries.holtLinear(const).head()
+    assert(h.getLong(1) == 30L)
+    assert(h.getDouble(2) == 17.0 && h.getDouble(3) == 0.0 &&
+      h.getDouble(4) == 17.0)
+  }
 }
