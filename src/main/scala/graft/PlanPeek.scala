@@ -13,10 +13,10 @@ object PlanPeek {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     val dir = "/root/testdata/sf0.001"
-    for (n <- Seq("dedup_paragraphs", "semdedup_verdicts", "dsir_weights",
-        "simhash_hamming_pairs_wide", "ann_recall_report",
-        "dedup_ngram_jaccard", "bm25_topk", "dedup_containment",
-        "basket_lift", "ts_gapfill", "compaction_plan", "dq_report")) {
+    for (n <- Seq("t_closeness_report", "graph_clustering_coeff",
+        "ts_stl_decompose", "ts_holt_linear", "l_diversity_report",
+        "ann_truncated_rerank", "dedup_keep_best", "graph_kcore_backbone",
+        "ts_cross_corr", "hybrid_search_rrf", "dedup_recall_report")) {
       val df = SparkEntry.queries(n)(spark, dir)
       val s = df.queryExecution.executedPlan.toString
       println(s"=== $n")

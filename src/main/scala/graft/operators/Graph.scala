@@ -534,6 +534,76 @@ object Graph {
               (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("r"))
     })
 
+  /** Degree-resolved clustering spectrum C(k) — for each degree class k, the
+    * average local clustering coefficient of its nodes: how much more (or
+    * less) clustered hubs are than leaves, the classic hierarchical-structure
+    * diagnostic read off a log-log C(k) plot. Per node, C_v = 2·T_v /
+    * (deg_v·(deg_v−1)); averaged inside a fixed degree class the denominator
+    * is constant, so the class average is (2·Σ T_v) / (n_k·k·(k−1)) — all
+    * sums stay INTEGER and the only floating-point op is one final division
+    * under the shared rounding formula. (Averaging per class is also what
+    * makes a deterministic oracle possible at all: a direct mean over
+    * per-node double ratios would be summation-order-dependent.)
+    *
+    * Cost: the triangle enumeration is [[trianglesQ]]'s two node-ordered
+    * equi-joins (per-node work bounded by ordered out-neighborhood²); the
+    * spectrum itself adds two linear aggregations over the vocabulary-sized
+    * edge/triangle tables. The edge set is cached: the three join aliases
+    * plus the degree pass would otherwise re-run the corpus bigram pass. */
+  val clusteringQ = QueryDef(
+    "graph_clustering_coeff",
+    "per-degree-class average local clustering coefficient of the token graph",
+    Some(s"""WITH toks AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+                           FROM documents),
+             e0 AS (SELECT t[i] AS src, t[i+1] AS dst
+                    FROM toks CROSS JOIN unnest(generate_series(1, len(t)-1)) AS u(i)
+                    WHERE len(t) >= 2),
+             u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                   FROM e0 WHERE src <> dst),
+             tri AS (SELECT ab.a, ab.b, ac.b AS c
+                     FROM u ab JOIN u ac ON ab.a = ac.a AND ab.b < ac.b
+                     JOIN u bc ON bc.a = ab.b AND bc.b = ac.b),
+             tn AS (SELECT node, count(*) AS t FROM
+                      (SELECT a AS node FROM tri UNION ALL
+                       SELECT b FROM tri UNION ALL
+                       SELECT c FROM tri) x GROUP BY 1),
+             deg AS (SELECT node, count(*) AS deg FROM
+                       (SELECT a AS node FROM u UNION ALL
+                        SELECT b FROM u) y GROUP BY 1)
+             SELECT d.deg, count(*) AS n_nodes,
+                    CAST(sum(COALESCE(tn.t, 0)) AS BIGINT) AS triangles,
+                    ${Num.sql(
+                      "CAST(2 * sum(COALESCE(tn.t, 0)) AS DOUBLE) / " +
+                        "(count(*) * d.deg * (d.deg - 1))", 6)} AS avg_cc
+             FROM deg d LEFT JOIN tn ON tn.node = d.node
+             WHERE d.deg >= 2
+             GROUP BY 1"""),
+    (s, dir) => {
+      // cached: the triangle join reads u through three aliases and the
+      // degree pass a fourth time — uncached, each re-runs the corpus
+      // bigram tokenization (the multi-consumer scan audit pattern)
+      val u = undirectedEdges(s, dir).select(col("a"), col("b")).cache()
+      val tri = u.as("ab").join(u.as("ac"),
+          col("ab.a") === col("ac.a") && col("ab.b") < col("ac.b"))
+        .join(u.as("bc"),
+          col("bc.a") === col("ab.b") && col("bc.b") === col("ac.b"))
+        .select(col("ab.a").as("a"), col("ab.b").as("b"), col("ac.b").as("c"))
+      val tn = tri.select(explode(array(col("a"), col("b"), col("c")))
+          .as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("t"))
+      val deg = u.select(col("a").as("node"))
+        .unionAll(u.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      deg.filter(col("deg") >= 2)
+        .join(tn, Seq("node"), "left_outer")
+        .groupBy(col("deg"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(coalesce(col("t"), lit(0L))).as("triangles"))
+        .select(col("deg"), col("n_nodes"), col("triangles"),
+          Num.pround((lit(2L) * col("triangles")).cast("double") /
+            (col("n_nodes") * col("deg") * (col("deg") - 1)), 6).as("avg_cc"))
+    })
+
   val defs: Seq[QueryDef] = Seq(pagerankQ, pagerank10Q, trianglesQ,
-    ccSizesQ, kcoreQ, jaccardQ, assortativityQ)
+    ccSizesQ, kcoreQ, jaccardQ, assortativityQ, clusteringQ)
 }

@@ -437,7 +437,98 @@ object Warehouse {
             .as("n_rows_below_l"))
     })
 
+  /** t-closeness audit (t = 0.2, total-variation distance) — the third rung
+    * of the governance ladder after [[kAnonymity]] and [[lDiversity]]:
+    * l-diversity counts distinct sensitive values per quasi-identifier class,
+    * but a class can hold l distinct values in wildly skewed proportions and
+    * still reveal the attribute with high confidence; t-closeness bounds the
+    * DISTANCE between each class's sensitive-value distribution and the
+    * global one. For a nominal attribute the earth-mover distance reduces to
+    * total variation: TVD_c = ½·Σ_v |n_cv/n_c − n_v/N|.
+    *
+    * Determinism: the TVD numerator is kept exact — Σ_v |n_cv·N − n_v·n_c|
+    * accumulates as DECIMAL products of counts (order-independent, exact up
+    * to 1e15-row tables), and only the final per-class division runs in
+    * doubles via the shared IEEE rounding formula ([[Num.pround]]), so both
+    * engines compare identical bit patterns against the t = 0.2 gate.
+    *
+    * Cost at 100 TB: the same fact-dim equi-join + (class, value) aggregation
+    * l-diversity pays; everything after the first groupBy operates on the
+    * |classes|·|values| table (≤ a few hundred rows), so the class×value
+    * grid, the marginals, and the report are driver-trivial broadcast work. */
+  val tCloseness = QueryDef(
+    "t_closeness_report",
+    "t-closeness (t=0.2, total variation) audit of order priority over customer quasi-id classes",
+    Some(s"""WITH j AS (SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority
+                        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey),
+             cv AS (SELECT c_nationkey, c_mktsegment, o_orderpriority,
+                           count(*) AS n_cv
+                    FROM j GROUP BY 1, 2, 3),
+             cls AS (SELECT c_nationkey, c_mktsegment,
+                            CAST(sum(n_cv) AS BIGINT) AS n_c
+                     FROM cv GROUP BY 1, 2),
+             vals AS (SELECT o_orderpriority, CAST(sum(n_cv) AS BIGINT) AS n_v
+                      FROM cv GROUP BY 1),
+             tot AS (SELECT CAST(sum(n_cv) AS BIGINT) AS n FROM cv),
+             tvd AS (SELECT cls.c_nationkey, cls.c_mktsegment,
+                            max(cls.n_c) AS n_c, max(tot.n) AS n,
+                            sum(abs(CAST(COALESCE(g.n_cv, 0) AS DECIMAL(15,0))
+                                      * CAST(tot.n AS DECIMAL(15,0))
+                                  - CAST(vals.n_v AS DECIMAL(15,0))
+                                      * CAST(cls.n_c AS DECIMAL(15,0)))) AS num
+                     FROM cls CROSS JOIN vals CROSS JOIN tot
+                     LEFT JOIN cv g ON g.c_nationkey = cls.c_nationkey
+                                   AND g.c_mktsegment = cls.c_mktsegment
+                                   AND g.o_orderpriority = vals.o_orderpriority
+                     GROUP BY 1, 2),
+             r AS (SELECT n_c,
+                          ${Num.sql("CAST(num AS DOUBLE) / (2.0 * n_c * n)", 4)}
+                            AS tvd
+                   FROM tvd)
+             SELECT count(*) AS n_classes, max(tvd) AS max_tvd,
+                    count(CASE WHEN tvd > 0.2 THEN 1 END) AS classes_above_t,
+                    CAST(sum(CASE WHEN tvd > 0.2 THEN n_c ELSE 0 END) AS BIGINT)
+                      AS n_rows_above_t
+             FROM r"""),
+    (s, dir) => {
+      val d = "decimal(15,0)"
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      // cached: four consumers (class totals, value marginals, grand total,
+      // and the grid join) would otherwise each re-run the fact-dim join
+      val cv = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderpriority"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_cv"))
+        .cache()
+      val cls = cv.groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(sum(col("n_cv")).as("n_c"))
+      val vals = cv.groupBy(col("o_orderpriority"))
+        .agg(sum(col("n_cv")).as("n_v"))
+      val tot = cv.agg(sum(col("n_cv")).as("n"))
+      val tvd = cls.crossJoin(broadcast(vals)).crossJoin(broadcast(tot))
+        .join(cv.select(col("c_nationkey").as("g_nat"),
+            col("c_mktsegment").as("g_seg"),
+            col("o_orderpriority").as("g_pri"), col("n_cv")),
+          col("c_nationkey") === col("g_nat") &&
+            col("c_mktsegment") === col("g_seg") &&
+            col("o_orderpriority") === col("g_pri"), "left_outer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(max(col("n_c")).as("n_c"), max(col("n")).as("n"),
+          sum(abs(coalesce(col("n_cv"), lit(0L)).cast(d) * col("n").cast(d) -
+            col("n_v").cast(d) * col("n_c").cast(d))).as("num"))
+      tvd.select(col("n_c"),
+          Num.pround(col("num").cast("double") /
+            (lit(2.0) * col("n_c") * col("n")), 4).as("tvd"))
+        .agg(count(lit(1)).as("n_classes"), max(col("tvd")).as("max_tvd"),
+          count(when(col("tvd") > 0.2, 1)).as("classes_above_t"),
+          sum(when(col("tvd") > 0.2, col("n_c")).otherwise(0L))
+            .as("n_rows_above_t"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(scd2, merge, markov, zorder, tableStats, compaction, dqReport,
-      snapshotDiff, kAnonymity, lDiversity, yoyGrowth)
+      snapshotDiff, kAnonymity, lDiversity, tCloseness, yoyGrowth)
 }

@@ -91,6 +91,50 @@ class GraphSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("clustering spectrum: planted K4+pendant gives C(3)=1, C(4)=0.5, " +
+      "and sf0.001 matches per-node brute force") {
+    // K4 on {a,b,c,d} (4 triangles, every pair an edge) + pendant e on a:
+    // deg(a)=4 with T_a=3 -> C=0.5; deg(b,c,d)=3 with T=3 each -> C=1.0;
+    // e has deg 1 and is excluded from the spectrum
+    val pe = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+      ("c", "d"), ("a", "e"))
+    val tmp = java.nio.file.Files.createTempDirectory("ccoef_fixture").toString
+    pe.zipWithIndex
+      .map { case ((u, v), i) => (i.toLong, s"$u $v", "en", "src0", 3L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    val got = Graph.clusteringQ.run(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map(3L -> ((3L, 9L, 1.0)), 4L -> ((1L, 3L, 0.5))), s"$got")
+
+    // sf0.001: spectrum recomputed from brute-force triangles and degrees
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+      .select(col("text")).as[String].collect()
+    val edges = docs.flatMap(_.trim.toLowerCase.split("\\s+").sliding(2)
+      .collect { case Array(x, y) if x != y =>
+        (if (x < y) x else y, if (x < y) y else x) }).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val tPer = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    for {
+      a <- nodes; b <- nodes if a < b && edges((a, b))
+      c <- nodes if b < c && edges((a, c)) && edges((b, c))
+    } { tPer(a) += 1; tPer(b) += 1; tPer(c) += 1 }
+    val degOf = nodes.map(n => n -> edges.count(e => e._1 == n || e._2 == n))
+    val want = degOf.filter(_._2 >= 2).groupBy(_._2).map { case (k, g) =>
+      val ts = g.map(p => tPer(p._1)).sum
+      val n = g.length.toLong
+      k.toLong -> ((n, ts,
+        math.floor(2.0 * ts / (n * k * (k - 1)) * 1e6 + 0.5) / 1e6))
+    }
+    val sfGot = Graph.clusteringQ.run(spark, sf("sf0.001")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(sfGot == want, s"spectrum drifted")
+    assert(want.nonEmpty)
+  }
+
   test("kcore: planted cycle survives peeling, pendant chains peel away, " +
       "and the result matches brute-force iterated peeling") {
     // triangle (x,y,z) + square (p,q,r,s) with pendant chains hanging off:

@@ -183,6 +183,37 @@ class WarehouseSpec extends SparkSpec {
     assert(r.getLong(3) == cls.filter(_._1 < 3).map(_._2).sum)
   }
 
+  test("t-closeness report agrees with a direct TVD computation") {
+    val r = Warehouse.tCloseness.run(spark, sf("sf0.001")).head()
+    val c = graft.sources.Tables.customer(spark, sf("sf0.001"))
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+    val rows = graft.sources.Tables.orders(spark, sf("sf0.001"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("o_orderpriority"))
+      .collect()
+      .map(row => ((row.getInt(0), row.getString(1)), row.getString(2)))
+    val n = rows.length.toLong
+    val nV = rows.groupBy(_._2).map { case (v, g) => v -> g.length.toLong }
+    val perClass = rows.groupBy(_._1).toSeq.map { case (_, g) =>
+      val nC = g.length.toLong
+      val nCv = g.groupBy(_._2).map { case (v, h) => v -> h.length.toLong }
+      // exact numerator Σ_v |n_cv·N − n_v·n_c|, then the one pinned division
+      val num = nV.map { case (v, nv) =>
+        math.abs(nCv.getOrElse(v, 0L) * n - nv * nC).toDouble
+      }.sum
+      val tvd = math.floor(num / (2.0 * nC * n) * 1e4 + 0.5) / 1e4
+      (tvd, nC)
+    }
+    assert(r.getLong(0) == perClass.length)
+    assert(r.getDouble(1) == perClass.map(_._1).max)
+    assert(r.getLong(2) == perClass.count(_._1 > 0.2))
+    assert(r.getLong(3) == perClass.filter(_._1 > 0.2).map(_._2).sum)
+    // TVD is a distance: every class lands in [0, 1], and the audited table
+    // is not degenerate (some class differs from the global distribution)
+    assert(perClass.forall(p => p._1 >= 0.0 && p._1 <= 1.0))
+    assert(r.getDouble(1) > 0.0)
+  }
+
   test("dq_report counts agree with directly-filtered counts") {
     val got = Warehouse.dqReport.run(spark, sf("sf0.001")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
