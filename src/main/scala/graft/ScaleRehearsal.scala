@@ -320,6 +320,7 @@ object ScaleRehearsal {
       // graph family: vocabulary-bound after the linear bigram pass
       "graph_triangles", "graph_jaccard_neighbors", "graph_cc_sizes",
       "graph_kcore_backbone", "graph_degree_assortativity",
+      "graph_clustering_coeff",
       "token_pagerank_10", "dedup_keep_best",
       // time-series family: per-key linear window/aggregate plans
       "ts_ewma", "ts_autocorr", "ts_cross_corr", "ts_seasonal_error",

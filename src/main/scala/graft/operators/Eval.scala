@@ -328,7 +328,104 @@ object Eval {
           Num.pround(col("tp").cast("double") / col("p"), 6).as("recall"))
     })
 
+  private val BootB = 32
+
+  /** Poisson-bootstrap confidence interval for the thresholded accuracy —
+    * the uncertainty companion to [[confusionQ]]: is a measured eval delta
+    * real or resampling noise? The classic bootstrap resamples the corpus
+    * with replacement B times, which is undistributable as stated (each
+    * replicate is a global multinomial draw); the Poisson bootstrap replaces
+    * the draw with an independent per-row Poisson(1) weight, which is
+    * embarrassingly parallel and the standard large-scale substitute.
+    *
+    * Determinism (no RNG): the weight for (doc, replicate) comes from a
+    * two-step LCG over integer arithmetic both engines execute identically
+    * (all products < 2^62, so no overflow divergence; the high bits are
+    * taken before the mod-10⁴ bucket because an LCG's low bits cycle), fed
+    * through the Poisson(1) CDF ladder. Replicate accuracies are exact
+    * integer-sum ratios; the CI bounds are order statistics (rank 2 and
+    * B−1 of B=32 → a ~90% interval), so no summation over doubles exists
+    * anywhere.
+    *
+    * Scale: ONE corpus pass — the per-doc correctness bit is computed once,
+    * the ×B explosion happens after scoring, and partial aggregation
+    * collapses each partition to ≤B rows before the only shuffle (B groups
+    * is not a skew hazard precisely because map-side combine has already
+    * reduced the volume to B rows per partition). Everything after is a
+    * B-row table. */
+  val bootstrapQ = QueryDef(
+    "eval_bootstrap_ci",
+    "Poisson-bootstrap ~90% CI of thresholded accuracy, 32 deterministic replicates",
+    Some(scoredSql + s""",
+        c AS (SELECT doc_id,
+                (CASE WHEN (q >= 5000) = label THEN 1 ELSE 0 END) AS correct
+              FROM g),
+        rep AS (SELECT c.doc_id, c.correct, b
+                FROM c CROSS JOIN unnest(generate_series(1, $BootB)) AS r(b)),
+        hashed AS (SELECT correct, b,
+            ((((doc_id * 1000003 + b * 97 + 12345) % 2147483647)
+              * 1103515245 + 12345) % 2147483648) AS x1
+          FROM rep),
+        mixed AS (SELECT correct, b,
+            CAST(floor(((x1 * 1103515245 + 12345) % 2147483648) / 1024)
+              AS BIGINT) % 10000 AS u
+          FROM hashed),
+        wtd AS (SELECT correct, b,
+            CASE WHEN u < 3679 THEN 0 WHEN u < 7358 THEN 1
+                 WHEN u < 9197 THEN 2 WHEN u < 9810 THEN 3
+                 WHEN u < 9963 THEN 4 WHEN u < 9994 THEN 5
+                 ELSE 6 END AS w
+          FROM mixed),
+        accs AS (SELECT b,
+                   CAST(sum(w * correct) AS DOUBLE) / sum(w) AS acc_raw,
+                   CAST(sum(correct) AS DOUBLE) / count(*) AS point_raw
+                 FROM wtd GROUP BY 1),
+        ranked AS (SELECT acc_raw,
+                     row_number() OVER (ORDER BY acc_raw) AS rn FROM accs)
+        SELECT (SELECT ${Num.sql("point_raw", 6)} FROM accs WHERE b = 1)
+                 AS acc_point,
+               (SELECT ${Num.sql("acc_raw", 6)} FROM ranked WHERE rn = 2)
+                 AS ci_lo,
+               (SELECT ${Num.sql("acc_raw", 6)} FROM ranked
+                  WHERE rn = ${BootB - 1}) AS ci_hi,
+               (SELECT count(*) FROM ranked) AS n_replicates"""),
+    (s, dir) => {
+      val c = scored(s, dir).select(col("doc_id"),
+        when((col("q") >= 5000) === col("label"), 1L).otherwise(0L)
+          .as("correct"))
+      val rep = c.withColumn("b", explode(sequence(lit(1), lit(BootB))))
+      val x1 = pmod(pmod(col("doc_id") * lit(1000003L) + col("b") * lit(97L)
+        + lit(12345L), lit(2147483647L)) * lit(1103515245L) + lit(12345L),
+        lit(2147483648L))
+      val u = pmod(floor((x1 * lit(1103515245L) + lit(12345L)) %
+        lit(2147483648L) / lit(1024)).cast("long"), lit(10000L))
+      val w = when(u < 3679, 0L).when(u < 7358, 1L).when(u < 9197, 2L)
+        .when(u < 9810, 3L).when(u < 9963, 4L).when(u < 9994, 5L)
+        .otherwise(6L)
+      // cached: the B-row replicate table feeds the rank window, both CI
+      // order-stat filters, the point row, and the count
+      val accs = rep.select(col("b"), col("correct"), w.as("w"))
+        .groupBy(col("b"))
+        .agg((sum(col("w") * col("correct")).cast("double") / sum(col("w")))
+          .as("acc_raw"),
+          (sum(col("correct")).cast("double") / count(lit(1)))
+            .as("point_raw"))
+        .cache()
+      // unpartitioned window over exactly B rows — bounded at any corpus size
+      val ranked = accs.withColumn("rn",
+        row_number().over(Window.orderBy(col("acc_raw"))))
+      val pt = accs.filter(col("b") === 1)
+        .select(Num.pround(col("point_raw"), 6).as("acc_point"))
+      val lo = ranked.filter(col("rn") === 2)
+        .select(Num.pround(col("acc_raw"), 6).as("ci_lo"))
+      val hi = ranked.filter(col("rn") === BootB - 1)
+        .select(Num.pround(col("acc_raw"), 6).as("ci_hi"))
+      val nrep = accs.agg(count(lit(1)).as("n_replicates"))
+      pt.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .crossJoin(broadcast(nrep))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(aucQ, confusionQ, langidConfusionQ, rankMetricsQ, calibrationQ,
-      prCurveQ)
+      prCurveQ, bootstrapQ)
 }

@@ -44,8 +44,20 @@ object Retrieval {
     * the token stream) is cached and feeds both corpus stats and tf, and dl
     * rides along in the tf group-by so no length join is ever needed. */
   def bm25TopK(docs: DataFrame, id: String, text: String,
-      terms: Seq[String], k: Int): DataFrame = {
-    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+      terms: Seq[String], k: Int): DataFrame =
+    bm25TopKWeighted(docs, id, text, terms.map(_ -> 1.0), k)
+
+  /** [[bm25TopK]] generalized to per-term query weights (the Rocchio /
+    * RM3 shape: original terms at weight 1, expansion terms discounted).
+    * The weight multiplies the per-term score row as `(w · idf) · sat` —
+    * the same association the oracle SQL uses — and summation stays in the
+    * given term order via the conditional-sum chain, so weighting does not
+    * disturb the cross-engine determinism argument. `bm25TopK` delegates
+    * here with weight 1.0 (IEEE-exact: `1.0 * x == x`). */
+  def bm25TopKWeighted(docs: DataFrame, id: String, text: String,
+      termWeights: Seq[(String, Double)], k: Int): DataFrame = {
+    require(termWeights.nonEmpty, "bm25TopKWeighted needs at least one term")
+    val terms = termWeights.map(_._1)
     import docs.sparkSession.implicits._
     val termSet = terms.toSet
     val base = docs.select(col(id).cast("long").as("doc_id"), col(text).as("t"))
@@ -63,10 +75,14 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"))
     // one row per (term present anywhere) — broadcast side of the probe
     val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = termWeights.tail.foldLeft(
+      when(col("tok") === termWeights.head._1, lit(termWeights.head._2))) {
+      case (acc, (t, tw)) => acc.when(col("tok") === t, lit(tw))
+    }
     val perTerm = tf.join(broadcast(dfs), "tok")
       .crossJoin(broadcast(stats))
       .withColumn("s",
-        ((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        w * ((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
           ((col("tf") * lit(K1 + 1)) /
             (col("tf") + lit(K1) *
               (lit(1.0) - lit(B) + (lit(B) * col("dl")) / col("avgdl")))))
@@ -318,5 +334,135 @@ object Retrieval {
        FROM hits GROUP BY doc_id"""),
     (s, dir) => phraseSearch(Tables.documents(s, dir), PhraseW1, PhraseW2))
 
-  val defs: Seq[QueryDef] = Seq(bm25Q, postingsQ, hybridQ, phraseQ)
+  private val PrfFeedbackK = 10
+  private val PrfExpandE = 2
+  private val PrfWeight = 0.5
+  private val PrfTopK = 10
+
+  /** RM3-style expansion-term selection: the `e` terms of the top-`f`
+    * feedback docs with the highest feedback-frequency × rational-rarity
+    * score fb_df·(N−df+0.5)/(df+0.5), original query terms excluded, ties
+    * by term. Runs two corpus passes beyond stage 1 — feedback-doc
+    * tokenization is a broadcast semi-join (tokenizes only `f` docs) and
+    * the global-df pass filters the token stream against the broadcast
+    * candidate set before its shuffle. The returned list is `e` strings —
+    * a control-flow decision, collected on the driver like the size gate
+    * in [[Dedup.connectedComponents]]; callers wrap in a Deferred plan so
+    * the collection runs at first action, not at catalog registration. */
+  private def prfExpansionTerms(docs: DataFrame, id: String, text: String,
+      terms: Seq[String], f: Int, e: Int): Seq[String] = {
+    val fb = bm25TopK(docs, id, text, terms, f)
+      .select(col("doc_id").as("fb_id"))
+    val fbTok = docs.join(broadcast(fb), col(id).cast("long") === col("fb_id"))
+      .select(col(id).cast("long").as("did"),
+        explode(graft.functions.Text.tokens(col(text))).as("tok"))
+    val cand = fbTok.filter(!col("tok").isin(terms: _*))
+      .groupBy(col("tok")).agg(countDistinct(col("did")).as("fb_df"))
+    val corpusTok = docs.select(col(id).cast("long").as("did"),
+      explode(graft.functions.Text.tokens(col(text))).as("tok"))
+    val cdf = corpusTok.join(broadcast(cand.select(col("tok"))), "tok")
+      .groupBy(col("tok")).agg(countDistinct(col("did")).as("df"))
+    val n = docs.count()
+    cand.join(cdf, "tok")
+      .select(col("tok"), ((col("fb_df") * (lit(n) - col("df") + lit(0.5))) /
+        (col("df") + lit(0.5))).as("cs"))
+      .orderBy(desc("cs"), col("tok")).limit(e)
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  private def prfOracleSql: String = {
+    val inList = QueryTerms.map(t => s"'$t'").mkString(", ")
+    val condSums = QueryTerms
+      .map(t => s"coalesce(sum(CASE WHEN tok = '$t' THEN s END), 0)")
+      .mkString("\n                   + ")
+    val origVals = QueryTerms.zipWithIndex
+      .map { case (t, i) => s"('$t', 1.0, ${i + 1})" }.mkString(", ")
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+                   FROM documents),
+        dls AS (SELECT doc_id, len(toks) AS dl FROM t),
+        stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dls),
+        tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        tf1 AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+                WHERE tok IN ($inList) GROUP BY 1, 2),
+        df1 AS (SELECT tok, count(*) AS df FROM tf1 GROUP BY 1),
+        sc1 AS (SELECT f.doc_id, f.tok,
+                  ((stats.n - d.df + 0.5) / (d.df + 0.5)) *
+                  ((f.tf * ${K1 + 1}) /
+                   (f.tf + $K1 * (1.0 - $B + ($B * dls.dl) / stats.avgdl))) AS s
+                FROM tf1 f JOIN df1 d USING (tok)
+                JOIN dls ON f.doc_id = dls.doc_id CROSS JOIN stats),
+        piv1 AS (SELECT doc_id,
+                   $condSums AS score
+                 FROM sc1 GROUP BY 1),
+        fb AS (SELECT doc_id, ${Num.sql("score", 4)} AS score
+               FROM piv1 ORDER BY 2 DESC, 1 LIMIT $PrfFeedbackK),
+        fbtok AS (SELECT g.doc_id, g.tok FROM tok g JOIN fb ON g.doc_id = fb.doc_id),
+        cand AS (SELECT tok, count(DISTINCT doc_id) AS fb_df FROM fbtok
+                 WHERE tok NOT IN ($inList) GROUP BY 1),
+        canddf AS (SELECT g.tok, count(DISTINCT g.doc_id) AS df
+                   FROM tok g JOIN cand USING (tok) GROUP BY 1),
+        exp AS (SELECT c.tok,
+                  (c.fb_df * (stats.n - d.df + 0.5)) / (d.df + 0.5) AS cs
+                FROM cand c JOIN canddf d USING (tok) CROSS JOIN stats
+                ORDER BY 2 DESC, 1 LIMIT $PrfExpandE),
+        expo AS (SELECT tok, $PrfWeight AS w,
+                   ${QueryTerms.length} + row_number() OVER (ORDER BY cs DESC, tok)
+                     AS ord FROM exp),
+        terms AS (SELECT * FROM (VALUES $origVals) v(tok, w, ord)
+                  UNION ALL SELECT tok, w, ord FROM expo),
+        tf2 AS (SELECT g.doc_id, g.tok, count(*) AS tf
+                FROM tok g JOIN terms USING (tok) GROUP BY 1, 2),
+        df2 AS (SELECT tok, count(*) AS df FROM tf2 GROUP BY 1),
+        sc2 AS (SELECT f.doc_id, terms.ord,
+                  terms.w * ((stats.n - d.df + 0.5) / (d.df + 0.5)) *
+                  ((f.tf * ${K1 + 1}) /
+                   (f.tf + $K1 * (1.0 - $B + ($B * dls.dl) / stats.avgdl))) AS s
+                FROM tf2 f JOIN df2 d USING (tok) JOIN terms USING (tok)
+                JOIN dls ON f.doc_id = dls.doc_id CROSS JOIN stats),
+        agg2 AS (SELECT doc_id,
+                   list_reduce(list(s ORDER BY ord), (acc, x) -> acc + x) AS score
+                 FROM sc2 GROUP BY 1)
+        SELECT doc_id, ${Num.sql("score", 4)} AS score
+        FROM agg2 ORDER BY 2 DESC, 1 LIMIT $PrfTopK"""
+  }
+
+  /** Pseudo-relevance-feedback query expansion (RM3 shape): BM25 stage 1
+    * picks the top-[[PrfFeedbackK]] feedback docs, the strongest
+    * feedback-set terms (by fb-frequency × rational rarity) expand the
+    * query at weight [[PrfWeight]], and a weighted BM25 stage 2 produces
+    * the final ranking — the classic two-pass retrieval refinement a
+    * corpus-inspection surface needs when the literal query undershoots.
+    *
+    * Determinism with a DYNAMIC term set: stage 2's summation order is the
+    * explicit term ordinal (originals in query order, then expansion terms
+    * by selection rank), which Spark realizes as the ordered conditional-sum
+    * chain and the oracle replays as an ordered-list fold (`list_reduce` over
+    * `list(s ORDER BY ord)` — IEEE-identical since `0.0 + x == x`). The
+    * expansion choice itself is deterministic: rational rarity scores, ties
+    * by term.
+    *
+    * Scale: three filtered corpus passes (stage-1 postings, candidate global
+    * df, stage-2 postings), each discarding non-matching tokens before any
+    * shuffle; feedback tokenization touches only [[PrfFeedbackK]] docs via a
+    * broadcast semi-join. The 2-row expansion collect is a driver control
+    * decision inside a Deferred plan (first-action, not registration). */
+  val prfQ = QueryDef(
+    "query_expansion_prf",
+    "pseudo-relevance-feedback BM25: feedback docs pick 2 expansion terms, weighted requery",
+    Some(prfOracleSql),
+    (s, dir) => graft.plans.Deferred.dataFrame(s,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType))),
+      () => {
+        val docs = Tables.documents(s, dir)
+        val exp = prfExpansionTerms(docs, "doc_id", "text", QueryTerms,
+          PrfFeedbackK, PrfExpandE)
+        bm25TopKWeighted(docs, "doc_id", "text",
+          QueryTerms.map(_ -> 1.0) ++ exp.map(_ -> PrfWeight), PrfTopK)
+      }))
+
+  val defs: Seq[QueryDef] = Seq(bm25Q, postingsQ, hybridQ, phraseQ, prfQ)
 }

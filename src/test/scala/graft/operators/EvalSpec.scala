@@ -88,4 +88,25 @@ class EvalSpec extends SparkSpec {
     assert(r.getDouble(4) == rnd(tp.toDouble / math.max(tp + fp, 1L)))
     assert(r.getDouble(5) == rnd(tp.toDouble / math.max(tp + fn, 1L)))
   }
+
+  test("bootstrap CI brackets the point accuracy, matches the confusion " +
+      "matrix, and is rerun-deterministic") {
+    val r = Eval.bootstrapQ.run(spark, sf("sf0.001")).head()
+    val (pt, lo, hi, b) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getLong(3))
+    assert(b == 32L)
+    // the replicate distribution centers on the point estimate: with 32
+    // replicates the rank-2/rank-31 interval excludes it with prob ~1e-8,
+    // and the inputs are fixed, so this is a stable structural assertion
+    assert(lo < hi && lo <= pt && pt <= hi, s"($lo, $pt, $hi)")
+    // the unweighted point accuracy is exactly the confusion matrix's
+    val c = Eval.confusionQ.run(spark, sf("sf0.001")).head()
+    val n = c.getLong(0) + c.getLong(1) + c.getLong(2) + c.getLong(3)
+    val want = math.floor(
+      (c.getLong(0) + c.getLong(3)).toDouble / n * 1e6 + 0.5) / 1e6
+    assert(pt == want)
+    // no RNG anywhere: a second run reproduces the interval bit-for-bit
+    val again = Eval.bootstrapQ.run(spark, sf("sf0.001")).head()
+    assert(again.getDouble(1) == lo && again.getDouble(2) == hi)
+  }
 }

@@ -80,6 +80,47 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("weighted bm25: half weight halves a term's contribution") {
+    val docs = Seq(
+      1L -> "alpha beta gamma", 2L -> "alpha alpha delta", 3L -> "beta beta beta")
+    val full = rank(docs, Seq("alpha")).toMap
+    val half = Retrieval.bm25TopKWeighted(docs.toDF("doc_id", "text"),
+        "doc_id", "text", Seq("alpha" -> 0.5), 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    full.foreach { case (id, s) =>
+      assert(math.abs(half(id) - 0.5 * s) <= 1e-4, s"doc $id")
+    }
+  }
+
+  test("prf expansion surfaces a doc that shares no literal query term") {
+    // feedback docs carry all three query terms plus the marker "assoc";
+    // doc 100 contains ONLY the marker, so stage-1 BM25 scores it zero and
+    // PRF must rank it through the learned expansion term
+    // 8 feedback docs: they all fit in the final top-10 alongside the
+    // marker-only doc (their literal-term scores dominate its expanded one)
+    val docs =
+      (0L until 8L).map(i => (i, "vector stream window assoc")) ++
+        Seq(100L -> "assoc assoc assoc") ++
+        (200L until 230L).map(i => (i, "noise filler text"))
+    val tmp = java.nio.file.Files.createTempDirectory("prf_fixture").toString
+    docs.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    val res = Retrieval.prfQ.run(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // descending score, doc_id tiebreak, at most the configured top-k
+    assert(res.length <= 10)
+    res.sliding(2).foreach {
+      case Array((i1, s1), (i2, s2)) =>
+        assert(s1 > s2 || (s1 == s2 && i1 < i2), s"order at $i1/$i2")
+      case _ =>
+    }
+    val ids = res.map(_._1).toSet
+    assert(ids.contains(100L), s"expansion missed the marker-only doc: $ids")
+    // pure-noise docs share no term with the expanded query: never ranked
+    assert(ids.forall(_ < 200L), s"noise doc ranked: $ids")
+  }
+
   test("phrase_search_positions matches a per-doc sequential scan and " +
       "plans as an equi-join (no nested-loop/cartesian)") {
     val df = Retrieval.phraseQ.run(spark, sf("sf0.001"))
