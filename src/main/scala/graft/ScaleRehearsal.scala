@@ -316,7 +316,7 @@ object ScaleRehearsal {
       "dedup_clusters", "dedup_minhash_lsh",
       "dedup_paragraphs", "semdedup_verdicts", "dsir_weights",
       "dedup_new_shard", "hybrid_search_rrf", "kmeans_train_3",
-      "curation_scorecard",
+      "curation_scorecard", "query_expansion_prf", "eval_bootstrap_ci",
       // graph family: vocabulary-bound after the linear bigram pass
       "graph_triangles", "graph_jaccard_neighbors", "graph_cc_sizes",
       "graph_kcore_backbone", "graph_degree_assortativity",

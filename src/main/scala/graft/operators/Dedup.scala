@@ -983,7 +983,10 @@ object Dedup {
     val hot = base.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > 50).select(col("s"))
     val capped = base.join(broadcast(hot), Seq("s"), "left_anti").cache()
-    val exact = jaccardFromIndex(base, 0.8).select(col("i"), col("j"))
+    // cached: the ground-truth pair table has two consumers (the per-method
+    // hits join and the denominator count) — uncached, the uncapped
+    // shingle self-join (the report's single heaviest subtree) runs twice
+    val exact = jaccardFromIndex(base, 0.8).select(col("i"), col("j")).cache()
     val methods: Seq[(String, DataFrame)] = Seq(
       // FromIndex: the minhash leg reuses the same cached shingle pass as
       // the ground truth and the capped variant — one corpus shingle, not two
