@@ -384,4 +384,25 @@ class PropertySpec extends SparkSpec {
     assert(want.nonEmpty)
     assert(got == want)
   }
+
+  test("property: weight-1.0 weighted bm25 is bit-identical to bm25TopK " +
+      "on random corpora (pins the delegation refactor)") {
+    import spark.implicits._
+    val vocab = Vector("ab", "cd", "ef", "gh", "ij", "kl")
+    val docGen = Gen.chooseNum(2, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val corpora = Seq(11L, 22L, 33L).map(seed =>
+      sample(docGen, 25, seed).zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    corpora.foreach { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val terms = Seq("ab", "ef", "kl")
+      val a = Retrieval.bm25TopK(df, "doc_id", "text", terms, 15)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = Retrieval.bm25TopKWeighted(df, "doc_id", "text",
+        terms.map(_ -> 1.0), 15)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a == b)
+      assert(a.nonEmpty)
+    }
+  }
 }
