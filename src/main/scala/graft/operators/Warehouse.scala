@@ -528,7 +528,84 @@ object Warehouse {
             .as("n_rows_above_t"))
     })
 
+  /** Two-sided-geometric (discrete Laplace, ε = 1) noise ladder: cumulative
+    * millionth-thresholds → noise value, for noise in [−8, 8] (the tail mass
+    * beyond ±8 is < 3e-4 and folds into the extremes). Computed ONCE here
+    * and inlined as the SAME literals into both the Column chain and the
+    * oracle SQL — the engines never evaluate exp(), so the usual
+    * transcendental cross-engine drift cannot exist. */
+  private val DpNoise: Seq[(Long, Int)] = {
+    val alpha = math.exp(-1.0)
+    val c = (1 - alpha) / (1 + alpha)
+    val ks = (-8 to 8).toSeq
+    val cums = ks.map(k => c * math.pow(alpha, math.abs(k)))
+      .scanLeft(0.0)(_ + _).tail
+    val ts = cums.init.map(x => math.round(x * 1e6)) :+ 1000000L
+    ts.zip(ks)
+  }
+
+  /** Differentially-private release of the quasi-identifier class-size
+    * histogram — what a governance pipeline actually PUBLISHES after the
+    * [[kAnonymity]]/[[lDiversity]]/[[tCloseness]] audits gate the raw table:
+    * each class count + discrete-Laplace noise (two-sided geometric, ε = 1,
+    * the integer-valued mechanism of Ghosh-Roughgarden-Sundararajan), then
+    * clamped at 0. Sensitivity of a class-size histogram is 1 (one person
+    * moves one class), so ε = 1 per release.
+    *
+    * Deterministic by design: the noise draw is a fixed-seed LCG over the
+    * class key (reproducible-release variant — a production deployment
+    * rotates the seed per release epoch and pays ε from its budget each
+    * time; the MECHANISM is what this operator pins, and a seeded draw is
+    * how a release is made re-runnable/auditable). The uniform variate is
+    * taken by SCALING the LCG state (floor(x·10⁶ / 2³¹) — exact: the
+    * product stays under 2⁵³ and the divisor is a power of two), not by a
+    * modulus, so no low-bit cycling or wrap bias enters the ladder.
+    *
+    * Cost at 100 TB: the k-anonymity groupBy plus per-class literal
+    * arithmetic — noise is applied to the |classes| table, never to rows. */
+  val dpRelease = QueryDef(
+    "dp_release_class_sizes",
+    "DP (discrete-Laplace, eps=1) release of customer quasi-id class sizes",
+    Some {
+      val ladder = DpNoise.init
+        .map { case (t, k) => s"WHEN u < $t THEN $k" }
+        .mkString("\n                   ")
+      s"""WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+                     FROM customer GROUP BY 1, 2),
+          h AS (SELECT c_nationkey, c_mktsegment, n,
+                  ((CAST(c_nationkey AS BIGINT) * 1000003
+                    + ascii(substr(c_mktsegment, 1, 1)) * 97 + 12345)
+                   % 2147483647) AS x0
+                FROM g),
+          m AS (SELECT c_nationkey, c_mktsegment, n,
+                  CAST(floor(((((x0 * 1103515245 + 12345) % 2147483648)
+                                * 1103515245 + 12345) % 2147483648)
+                             * 1000000 / 2147483648) AS BIGINT) AS u
+                FROM h)
+          SELECT c_nationkey, c_mktsegment,
+                 greatest(n + CASE $ladder
+                   ELSE ${DpNoise.last._2} END, 0) AS n_released
+          FROM m"""
+    },
+    (s, dir) => {
+      val g = Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+      val x0 = (col("c_nationkey").cast("long") * lit(1000003L) +
+        ascii(substring(col("c_mktsegment"), 1, 1)) * lit(97L) +
+        lit(12345L)) % lit(2147483647L)
+      val x2 = ((x0 * lit(1103515245L) + lit(12345L)) % lit(2147483648L) *
+        lit(1103515245L) + lit(12345L)) % lit(2147483648L)
+      val u = floor(x2 * lit(1000000L) / lit(2147483648L)).cast("long")
+      val noise = DpNoise.init.tail.foldLeft(
+        when(u < DpNoise.head._1, lit(DpNoise.head._2))) {
+        case (acc, (t, k)) => acc.when(u < t, lit(k))
+      }.otherwise(lit(DpNoise.last._2))
+      g.select(col("c_nationkey"), col("c_mktsegment"),
+        greatest(col("n") + noise, lit(0L)).as("n_released"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(scd2, merge, markov, zorder, tableStats, compaction, dqReport,
-      snapshotDiff, kAnonymity, lDiversity, tCloseness, yoyGrowth)
+      snapshotDiff, kAnonymity, lDiversity, tCloseness, dpRelease, yoyGrowth)
 }

@@ -214,6 +214,27 @@ class WarehouseSpec extends SparkSpec {
     assert(r.getDouble(1) > 0.0)
   }
 
+  test("dp release: noise bounded by the ladder, nonzero somewhere, " +
+      "clamped at zero, and rerun-identical") {
+    val key = (r: org.apache.spark.sql.Row) => (r.getInt(0), r.getString(1))
+    val got = Warehouse.dpRelease.run(spark, sf("sf0.001")).collect()
+      .map(r => key(r) -> r.getLong(2)).toMap
+    val truth = graft.sources.Tables.customer(spark, sf("sf0.001"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment")).count()
+      .collect().map(r => key(r) -> r.getLong(2)).toMap
+    assert(got.keySet == truth.keySet)
+    // discrete-Laplace ladder folds its tail into ±8; released counts are
+    // post-processed to >= 0
+    got.foreach { case (k, rel) =>
+      assert(rel >= 0L && math.abs(rel - truth(k)) <= 8L, s"$k: $rel")
+    }
+    // the mechanism actually perturbs: ~54% of classes get nonzero noise
+    assert(got.exists { case (k, rel) => rel != truth(k) })
+    val again = Warehouse.dpRelease.run(spark, sf("sf0.001")).collect()
+      .map(r => key(r) -> r.getLong(2)).toMap
+    assert(again == got)
+  }
+
   test("dq_report counts agree with directly-filtered counts") {
     val got = Warehouse.dqReport.run(spark, sf("sf0.001")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
