@@ -13,7 +13,8 @@ object PlanPeek {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     val dir = "/root/testdata/sf0.001"
-    for (n <- Seq("t_closeness_report", "graph_clustering_coeff",
+    for (n <- Seq("dp_release_class_sizes",
+        "t_closeness_report", "graph_clustering_coeff",
         "ts_stl_decompose", "ts_holt_linear", "l_diversity_report",
         "ann_truncated_rerank", "dedup_keep_best", "graph_kcore_backbone",
         "ts_cross_corr", "hybrid_search_rrf", "dedup_recall_report")) {
