@@ -3,7 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.functions.{Num, ZValue}
 import graft.sources.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -299,6 +299,24 @@ object Warehouse {
           li.select(col("l_orderkey")), "l_orderkey",
           o.select(col("o_orderkey")), "o_orderkey"))
     })
+
+  /** [[dqReport]]'s single-table checks as FREE-RIDER metrics on an existing
+    * pass (`Dataset.observe` + [[org.apache.spark.sql.Observation]]): the
+    * conditional counts piggyback on whatever job next executes the returned
+    * frame, so at 100 TB the quality gate costs ZERO extra scans — the
+    * mechanism behind production ingest metrics, vs dqReport's standalone
+    * audit pass. The caller runs any action on the returned DataFrame and
+    * then reads the metric row from the Observation. */
+  def observedLineitemChecks(li: DataFrame): (DataFrame, Observation) = {
+    val obs = Observation("dq_lineitem")
+    val observed = li.observe(obs,
+      count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1))
+        .as("qty_out_of_range"),
+      count(when(col("l_extendedprice") <= 0, 1)).as("price_nonpositive"),
+      count(when(col("l_discount") > 0.05, 1)).as("discount_gt_5pct"),
+      count(lit(1)).as("n_rows"))
+    (observed, obs)
+  }
 
   /** CDC snapshot diff: the per-key change report between the state as of a
     * cutoff and the current state (latest event_type per user on both sides,

@@ -214,6 +214,27 @@ class WarehouseSpec extends SparkSpec {
     assert(r.getDouble(1) > 0.0)
   }
 
+  test("observed DQ metrics ride an unrelated action and equal dq_report's " +
+      "standalone counts") {
+    val li = graft.sources.Tables.lineitem(spark, sf("sf0.001"))
+    val (observed, obs) = Warehouse.observedLineitemChecks(li)
+    // the action is a DIFFERENT aggregation — the metrics are free riders
+    val revenue = observed.agg(sum(col("l_extendedprice"))).head().getDouble(0)
+    assert(revenue > 0)
+    val m = obs.get
+    assert(m("n_rows") == li.count())
+    assert(m("qty_out_of_range") ==
+      li.filter(col("l_quantity") < 1 || col("l_quantity") > 50).count())
+    assert(m("price_nonpositive") == 0L)
+    assert(m("discount_gt_5pct") ==
+      li.filter(col("l_discount") > 0.05).count())
+    // agrees with the standalone dq_report audit rows
+    val dq = Warehouse.dqReport.run(spark, sf("sf0.001")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("qty_out_of_range") == dq("lineitem_qty_out_of_range"))
+    assert(m("discount_gt_5pct") == dq("lineitem_discount_gt_5pct"))
+  }
+
   test("dp release: noise bounded by the ladder, nonzero somewhere, " +
       "clamped at zero, and rerun-identical") {
     val key = (r: org.apache.spark.sql.Row) => (r.getInt(0), r.getString(1))
