@@ -377,7 +377,8 @@ object Eval {
                  ELSE 6 END AS w
           FROM mixed),
         accs AS (SELECT b,
-                   CAST(sum(w * correct) AS DOUBLE) / sum(w) AS acc_raw,
+                   CAST(sum(w * correct) AS DOUBLE)
+                     / greatest(sum(w), 1) AS acc_raw,
                    CAST(sum(correct) AS DOUBLE) / count(*) AS point_raw
                  FROM wtd GROUP BY 1),
         ranked AS (SELECT acc_raw,
@@ -406,8 +407,11 @@ object Eval {
       // order-stat filters, the point row, and the count
       val accs = rep.select(col("b"), col("correct"), w.as("w"))
         .groupBy(col("b"))
-        .agg((sum(col("w") * col("correct")).cast("double") / sum(col("w")))
-          .as("acc_raw"),
+        // greatest(.,1): a replicate drawing all-zero weights (prob 0.368^n,
+        // real only on toy corpora) would make acc_raw NULL, and the two
+        // engines rank NULLs at opposite ends — the guard pins it to 0.0
+        .agg((sum(col("w") * col("correct")).cast("double") /
+          greatest(sum(col("w")), lit(1L))).as("acc_raw"),
           (sum(col("correct")).cast("double") / count(lit(1)))
             .as("point_raw"))
         .cache()

@@ -58,6 +58,11 @@ object Retrieval {
       termWeights: Seq[(String, Double)], k: Int): DataFrame = {
     require(termWeights.nonEmpty, "bm25TopKWeighted needs at least one term")
     val terms = termWeights.map(_._1)
+    // a duplicated term would build two conditional sums over the SAME rows
+    // (silently double-counting the term) while the weight chain resolves
+    // only the first occurrence — reject rather than mis-score
+    require(terms.distinct == terms,
+      s"bm25TopKWeighted terms must be distinct: $terms")
     import docs.sparkSession.implicits._
     val termSet = terms.toSet
     val base = docs.select(col(id).cast("long").as("doc_id"), col(text).as("t"))
@@ -101,31 +106,45 @@ object Retrieval {
       .limit(k)
   }
 
-  private def bm25OracleSql(terms: Seq[String], k: Int): String = {
+  /** Shared oracle scaffolding: corpus tokenization, per-doc lengths,
+    * corpus stats, and the flat token stream — the CTEs every BM25-shaped
+    * oracle starts from (one definition; [[bm25OracleSql]] and
+    * [[prfOracleSql]] both splice it, so the tokenization spelling and the
+    * K1/B formula can never drift between them). */
+  private def bm25BaseCtesSql: String =
+    raw"""t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+               FROM documents),
+        dls AS (SELECT doc_id, len(toks) AS dl FROM t),
+        stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dls),
+        tok AS (SELECT doc_id, unnest(toks) AS tok FROM t)"""
+
+  /** One BM25 scoring stage over [[bm25BaseCtesSql]]'s `tok` stream for a
+    * fixed term list: defines tf/df/sc/piv CTEs with the given suffix;
+    * `piv<sfx>` holds (doc_id, score) with the fixed-order conditional sum. */
+  private def bm25StageCtesSql(terms: Seq[String], sfx: String): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
     val condSums = terms
       .map(t => s"coalesce(sum(CASE WHEN tok = '$t' THEN s END), 0)")
       .mkString("\n                   + ")
-    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
-                   FROM documents),
-        dls AS (SELECT doc_id, len(toks) AS dl FROM t),
-        stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dls),
-        tf AS (SELECT doc_id, tok, count(*) AS tf
-               FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
-               WHERE tok IN ($inList) GROUP BY 1, 2),
-        dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
-        sc AS (SELECT f.doc_id, f.tok,
-                 ((stats.n - d.df + 0.5) / (d.df + 0.5)) *
-                 ((f.tf * ${K1 + 1}) /
-                  (f.tf + $K1 * (1.0 - $B + ($B * dls.dl) / stats.avgdl))) AS s
-               FROM tf f JOIN dfs d USING (tok)
-               JOIN dls ON f.doc_id = dls.doc_id CROSS JOIN stats),
-        piv AS (SELECT doc_id,
-                  $condSums AS score
-                FROM sc GROUP BY 1)
-        SELECT doc_id, ${Num.sql("score", 4)} AS score
-        FROM piv ORDER BY score DESC, doc_id LIMIT $k"""
+    s"""tf$sfx AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+                WHERE tok IN ($inList) GROUP BY 1, 2),
+        df$sfx AS (SELECT tok, count(*) AS df FROM tf$sfx GROUP BY 1),
+        sc$sfx AS (SELECT f.doc_id, f.tok,
+                  ((stats.n - d.df + 0.5) / (d.df + 0.5)) *
+                  ((f.tf * ${K1 + 1}) /
+                   (f.tf + $K1 * (1.0 - $B + ($B * dls.dl) / stats.avgdl))) AS s
+                FROM tf$sfx f JOIN df$sfx d USING (tok)
+                JOIN dls ON f.doc_id = dls.doc_id CROSS JOIN stats),
+        piv$sfx AS (SELECT doc_id,
+                   $condSums AS score
+                 FROM sc$sfx GROUP BY 1)"""
   }
+
+  private def bm25OracleSql(terms: Seq[String], k: Int): String =
+    s"""WITH $bm25BaseCtesSql,
+        ${bm25StageCtesSql(terms, "1")}
+        SELECT doc_id, ${Num.sql("score", 4)} AS score
+        FROM piv1 ORDER BY score DESC, doc_id LIMIT $k"""
 
   val bm25Q = QueryDef(
     "bm25_topk",
@@ -356,8 +375,12 @@ object Retrieval {
     val fbTok = docs.join(broadcast(fb), col(id).cast("long") === col("fb_id"))
       .select(col(id).cast("long").as("did"),
         explode(graft.functions.Text.tokens(col(text))).as("tok"))
+    // cached: cand has two consumers (the broadcast filter feeding the
+    // global-df pass and the probe side of the scoring join) — uncached,
+    // each re-runs the stage-1 ranking and the feedback tokenization
     val cand = fbTok.filter(!col("tok").isin(terms: _*))
       .groupBy(col("tok")).agg(countDistinct(col("did")).as("fb_df"))
+      .cache()
     val corpusTok = docs.select(col(id).cast("long").as("did"),
       explode(graft.functions.Text.tokens(col(text))).as("tok"))
     val cdf = corpusTok.join(broadcast(cand.select(col("tok"))), "tok")
@@ -372,28 +395,10 @@ object Retrieval {
 
   private def prfOracleSql: String = {
     val inList = QueryTerms.map(t => s"'$t'").mkString(", ")
-    val condSums = QueryTerms
-      .map(t => s"coalesce(sum(CASE WHEN tok = '$t' THEN s END), 0)")
-      .mkString("\n                   + ")
     val origVals = QueryTerms.zipWithIndex
       .map { case (t, i) => s"('$t', 1.0, ${i + 1})" }.mkString(", ")
-    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
-                   FROM documents),
-        dls AS (SELECT doc_id, len(toks) AS dl FROM t),
-        stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dls),
-        tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
-        tf1 AS (SELECT doc_id, tok, count(*) AS tf FROM tok
-                WHERE tok IN ($inList) GROUP BY 1, 2),
-        df1 AS (SELECT tok, count(*) AS df FROM tf1 GROUP BY 1),
-        sc1 AS (SELECT f.doc_id, f.tok,
-                  ((stats.n - d.df + 0.5) / (d.df + 0.5)) *
-                  ((f.tf * ${K1 + 1}) /
-                   (f.tf + $K1 * (1.0 - $B + ($B * dls.dl) / stats.avgdl))) AS s
-                FROM tf1 f JOIN df1 d USING (tok)
-                JOIN dls ON f.doc_id = dls.doc_id CROSS JOIN stats),
-        piv1 AS (SELECT doc_id,
-                   $condSums AS score
-                 FROM sc1 GROUP BY 1),
+    s"""WITH $bm25BaseCtesSql,
+        ${bm25StageCtesSql(QueryTerms, "1")},
         fb AS (SELECT doc_id, ${Num.sql("score", 4)} AS score
                FROM piv1 ORDER BY 2 DESC, 1 LIMIT $PrfFeedbackK),
         fbtok AS (SELECT g.doc_id, g.tok FROM tok g JOIN fb ON g.doc_id = fb.doc_id),

@@ -592,7 +592,12 @@ object Warehouse {
                      FROM customer GROUP BY 1, 2),
           h AS (SELECT c_nationkey, c_mktsegment, n,
                   ((CAST(c_nationkey AS BIGINT) * 1000003
-                    + ascii(substr(c_mktsegment, 1, 1)) * 97 + 12345)
+                    + CAST(ascii(substr(c_mktsegment, 1, 1)) AS BIGINT)
+                      * 486187739
+                    + CAST(ascii(substr(c_mktsegment, 2, 1)) AS BIGINT)
+                      * 2654435
+                    + ascii(substr(c_mktsegment, 3, 1)) * 8191
+                    + length(c_mktsegment) * 127 + 12345)
                    % 2147483647) AS x0
                 FROM g),
           m AS (SELECT c_nationkey, c_mktsegment, n,
@@ -609,8 +614,16 @@ object Warehouse {
       val g = Tables.customer(s, dir)
         .groupBy(col("c_nationkey"), col("c_mktsegment"))
         .agg(count(lit(1)).as("n"))
+      // the seed mixes nation, the first THREE segment characters, and the
+      // length — one character alone would hand identical (correlated) noise
+      // to any two segments sharing an initial; segments identical in all
+      // four components would still share a draw (swap in a full-string hash
+      // once both engines agree on one)
       val x0 = (col("c_nationkey").cast("long") * lit(1000003L) +
-        ascii(substring(col("c_mktsegment"), 1, 1)) * lit(97L) +
+        ascii(substring(col("c_mktsegment"), 1, 1)) * lit(486187739L) +
+        ascii(substring(col("c_mktsegment"), 2, 1)) * lit(2654435L) +
+        ascii(substring(col("c_mktsegment"), 3, 1)) * lit(8191L) +
+        length(col("c_mktsegment")) * lit(127L) +
         lit(12345L)) % lit(2147483647L)
       val x2 = ((x0 * lit(1103515245L) + lit(12345L)) % lit(2147483648L) *
         lit(1103515245L) + lit(12345L)) % lit(2147483648L)

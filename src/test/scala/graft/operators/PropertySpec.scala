@@ -385,24 +385,57 @@ class PropertySpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("property: weight-1.0 weighted bm25 is bit-identical to bm25TopK " +
-      "on random corpora (pins the delegation refactor)") {
+  test("property: weighted bm25 equals an independent local reference " +
+      "bit-for-bit on random corpora (unweighted AND fractional weights)") {
     import spark.implicits._
+    // driver-side BM25 replaying the exact engine arithmetic: per-term
+    // (w * idf) * saturation in the given order, zeros for absent terms,
+    // same IEEE association and final rounding
+    def local(docs: Seq[(Long, String)], tw: Seq[(String, Double)],
+        k: Int): Seq[(Long, Double)] = {
+      val toks = docs.map { case (i, t) =>
+        i -> t.trim.toLowerCase.split("\\s+").toSeq }
+      val n = toks.length.toDouble
+      val avgdl = toks.map(_._2.length.toLong).sum.toDouble / n
+      val dfm = tw.map(_._1).map(t =>
+        t -> toks.count(_._2.contains(t)).toDouble).toMap
+      toks.flatMap { case (id, tk) =>
+        val dl = tk.length.toDouble
+        var any = false
+        val s = tw.foldLeft(0.0) { case (acc, (t, w)) =>
+          val tf = tk.count(_ == t).toDouble
+          if (tf == 0) acc + 0.0
+          else {
+            any = true
+            val df = dfm(t)
+            acc + w * ((n - df + 0.5) / (df + 0.5)) *
+              ((tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + (0.75 * dl) / avgdl)))
+          }
+        }
+        if (!any) None else Some(id -> (math.floor(s * 1e4 + 0.5) / 1e4))
+      }.sortBy { case (id, sc) => (-sc, id) }.take(k)
+    }
     val vocab = Vector("ab", "cd", "ef", "gh", "ij", "kl")
     val docGen = Gen.chooseNum(2, 12)
       .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
-    val corpora = Seq(11L, 22L, 33L).map(seed =>
-      sample(docGen, 25, seed).zipWithIndex.map { case (t, i) => (i.toLong, t) })
-    corpora.foreach { docs =>
+    Seq(11L, 22L, 33L).foreach { seed =>
+      val docs = sample(docGen, 25, seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
       val df = docs.toDF("doc_id", "text")
-      val terms = Seq("ab", "ef", "kl")
-      val a = Retrieval.bm25TopK(df, "doc_id", "text", terms, 15)
+      val plain = Retrieval.bm25TopK(df, "doc_id", "text",
+        Seq("ab", "ef", "kl"), 15)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-      val b = Retrieval.bm25TopKWeighted(df, "doc_id", "text",
-        terms.map(_ -> 1.0), 15)
+      assert(plain == local(docs, Seq("ab", "ef", "kl").map(_ -> 1.0), 15))
+      val tw = Seq("ab" -> 1.0, "ef" -> 0.5, "kl" -> 0.25)
+      val weighted = Retrieval.bm25TopKWeighted(df, "doc_id", "text", tw, 15)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-      assert(a == b)
-      assert(a.nonEmpty)
+      assert(weighted == local(docs, tw, 15))
+      assert(plain.nonEmpty && weighted.nonEmpty)
+    }
+    // the duplicate-term guard rejects rather than double-counting
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopKWeighted(Seq((1L, "ab")).toDF("doc_id", "text"),
+        "doc_id", "text", Seq("ab" -> 1.0, "ab" -> 0.5), 5)
     }
   }
 }
