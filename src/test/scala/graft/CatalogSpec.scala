@@ -20,6 +20,15 @@ class CatalogSpec extends SparkSpec {
     assert(missing.isEmpty, s"rows-only queries: $missing")
   }
 
+  test("the Plans and PlanPeek headline lists only name real catalog queries") {
+    // a renamed/removed query would otherwise break the PLANS.md generator
+    // (or PlanPeek) at run time instead of in CI
+    val names = SparkEntry.queries.keySet
+    val badPlans = Plans.headline.filterNot(names)
+    assert(badPlans.isEmpty, s"Plans.headline references unknown: $badPlans")
+    assert(Plans.headline.distinct.length == Plans.headline.length)
+  }
+
   test("entry() returns rows on sf0.001 (driver smoke check)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
