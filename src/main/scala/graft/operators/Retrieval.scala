@@ -63,9 +63,17 @@ object Retrieval {
     // only the first occurrence — reject rather than mis-score
     require(terms.distinct == terms,
       s"bm25TopKWeighted terms must be distinct: $terms")
+    val base = bm25Base(docs, id, text, terms.toSet)
+    bm25ScoreFromParts(bm25Stats(base), bm25Tf(base), termWeights, k)
+  }
+
+  /** The one typed corpus pass behind BM25: a per-doc stats row (tok = null,
+    * carrying dl) plus one row per occurrence of a `termSet` term. Cached —
+    * the stats and tf consumers share it. */
+  private def bm25Base(docs: DataFrame, id: String, text: String,
+      termSet: Set[String]): DataFrame = {
     import docs.sparkSession.implicits._
-    val termSet = terms.toSet
-    val base = docs.select(col(id).cast("long").as("doc_id"), col(text).as("t"))
+    docs.select(col(id).cast("long").as("doc_id"), col(text).as("t"))
       .as[(Long, String)]
       .flatMap { case (did, t) =>
         val toks = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
@@ -73,11 +81,26 @@ object Retrieval {
         Iterator.single((did, dl, null: String)) ++
           toks.iterator.filter(termSet).map(tok => (did, dl, tok))
       }.toDF("doc_id", "dl", "tok").cache()
-    val stats = base.filter(col("tok").isNull)
+  }
+
+  private def bm25Stats(base: DataFrame): DataFrame =
+    base.filter(col("tok").isNull)
       .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
-    val tf = base.filter(col("tok").isNotNull)
+
+  private def bm25Tf(base: DataFrame): DataFrame =
+    base.filter(col("tok").isNotNull)
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
+
+  /** The scoring tail from precomputed parts: `tf` must be the
+    * (doc_id, dl, tok, tf) posting table covering, for EVERY term in
+    * `termWeights`, all docs containing it — df derives from tf, so a
+    * partial posting list would silently understate df. Exposed separately
+    * so [[prfQ]] can assemble stage 2 from already-paid passes instead of
+    * tokenizing the corpus a third time. */
+  private def bm25ScoreFromParts(stats: DataFrame, tf: DataFrame,
+      termWeights: Seq[(String, Double)], k: Int): DataFrame = {
+    val terms = termWeights.map(_._1)
     // one row per (term present anywhere) — broadcast side of the probe
     val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = termWeights.tail.foldLeft(
@@ -358,39 +381,55 @@ object Retrieval {
   private val PrfWeight = 0.5
   private val PrfTopK = 10
 
-  /** RM3-style expansion-term selection: the `e` terms of the top-`f`
-    * feedback docs with the highest feedback-frequency × rational-rarity
-    * score fb_df·(N−df+0.5)/(df+0.5), original query terms excluded, ties
-    * by term. Runs two corpus passes beyond stage 1 — feedback-doc
-    * tokenization is a broadcast semi-join (tokenizes only `f` docs) and
-    * the global-df pass filters the token stream against the broadcast
-    * candidate set before its shuffle. The returned list is `e` strings —
-    * a control-flow decision, collected on the driver like the size gate
-    * in [[Dedup.connectedComponents]]; callers wrap in a Deferred plan so
-    * the collection runs at first action, not at catalog registration. */
-  private def prfExpansionTerms(docs: DataFrame, id: String, text: String,
-      terms: Seq[String], f: Int, e: Int): Seq[String] = {
-    val fb = bm25TopK(docs, id, text, terms, f)
+  /** The PRF pipeline body: TWO corpus tokenizations total. Pass 1 is the
+    * shared [[bm25Base]] over the original terms — its postings and stats
+    * serve stage 1 AND reappear as the original-term half of stage 2. The
+    * feedback-doc tokenization is a broadcast semi-join (touches only `f`
+    * docs). Pass 2 emits the full token stream but broadcast-filters it to
+    * the candidate set before the only shuffle; its (doc, dl, term, tf)
+    * posting table is cached and serves BOTH the global-df expansion
+    * ranking and the expansion-term half of stage 2 — the naive form's
+    * third corpus pass (re-tokenizing for stage-2 postings) never runs.
+    * The `e`-row expansion collect is a driver control decision like the
+    * [[Dedup.connectedComponents]] size gate; the Deferred wrapper moves
+    * it to first action. */
+  private def prfRanked(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    import docs.sparkSession.implicits._
+    val baseA = bm25Base(docs, "doc_id", "text", terms.toSet)
+    val stats = bm25Stats(baseA)
+    val tfA = bm25Tf(baseA)
+    val fb = bm25ScoreFromParts(stats, tfA, terms.map(_ -> 1.0), PrfFeedbackK)
       .select(col("doc_id").as("fb_id"))
-    val fbTok = docs.join(broadcast(fb), col(id).cast("long") === col("fb_id"))
-      .select(col(id).cast("long").as("did"),
-        explode(graft.functions.Text.tokens(col(text))).as("tok"))
-    // cached: cand has two consumers (the broadcast filter feeding the
-    // global-df pass and the probe side of the scoring join) — uncached,
-    // each re-runs the stage-1 ranking and the feedback tokenization
+    val fbTok = docs
+      .join(broadcast(fb), col("doc_id").cast("long") === col("fb_id"))
+      .select(col("doc_id").cast("long").as("did"),
+        explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+    // cached: cand feeds the candidate-set collect and the expansion
+    // scoring join — uncached, each re-runs stage 1 + feedback tokenization
     val cand = fbTok.filter(!col("tok").isin(terms: _*))
       .groupBy(col("tok")).agg(countDistinct(col("did")).as("fb_df"))
       .cache()
-    val corpusTok = docs.select(col(id).cast("long").as("did"),
-      explode(graft.functions.Text.tokens(col(text))).as("tok"))
-    val cdf = corpusTok.join(broadcast(cand.select(col("tok"))), "tok")
-      .groupBy(col("tok")).agg(countDistinct(col("did")).as("df"))
-    val n = docs.count()
-    cand.join(cdf, "tok")
+    // the candidate vocabulary is bounded by the token count of the f
+    // feedback docs (a few hundred strings at any corpus size) — a driver
+    // control decision like the expansion choice below, and collecting it
+    // lets pass 2 reuse the audited bm25Base machinery (dl rides the same
+    // typed pass; no posting-grain length join, no second tokenization of
+    // anything but the corpus itself)
+    val candTerms = cand.select(col("tok")).collect().map(_.getString(0))
+    val baseB = bm25Base(docs, "doc_id", "text", candTerms.toSet)
+    val tfB = bm25Tf(baseB)
+    val dfB = tfB.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = stats.select(col("n")).head().getLong(0)
+    val exp = cand.join(dfB, "tok")
       .select(col("tok"), ((col("fb_df") * (lit(n) - col("df") + lit(0.5))) /
         (col("df") + lit(0.5))).as("cs"))
-      .orderBy(desc("cs"), col("tok")).limit(e)
+      .orderBy(desc("cs"), col("tok")).limit(PrfExpandE)
       .collect().map(_.getString(0)).toSeq
+    val tf2 =
+      if (exp.isEmpty) tfA
+      else tfA.unionAll(tfB.filter(col("tok").isin(exp: _*)))
+    bm25ScoreFromParts(stats, tf2,
+      terms.map(_ -> 1.0) ++ exp.map(_ -> PrfWeight), PrfTopK)
   }
 
   private def prfOracleSql: String = {
@@ -446,11 +485,13 @@ object Retrieval {
     * expansion choice itself is deterministic: rational rarity scores, ties
     * by term.
     *
-    * Scale: three filtered corpus passes (stage-1 postings, candidate global
-    * df, stage-2 postings), each discarding non-matching tokens before any
-    * shuffle; feedback tokenization touches only [[PrfFeedbackK]] docs via a
-    * broadcast semi-join. The 2-row expansion collect is a driver control
-    * decision inside a Deferred plan (first-action, not registration). */
+    * Scale: TWO corpus tokenizations ([[prfRanked]] — stage 2 is assembled
+    * from the stage-1 postings plus the candidate-df pass's cached posting
+    * table, so the naive third pass never runs), each discarding
+    * non-matching tokens before any shuffle; feedback tokenization touches
+    * only [[PrfFeedbackK]] docs via a broadcast semi-join. The 2-row
+    * expansion collect is a driver control decision inside a Deferred plan
+    * (first-action, not registration). */
   val prfQ = QueryDef(
     "query_expansion_prf",
     "pseudo-relevance-feedback BM25: feedback docs pick 2 expansion terms, weighted requery",
@@ -462,11 +503,7 @@ object Retrieval {
         org.apache.spark.sql.types.StructField("score",
           org.apache.spark.sql.types.DoubleType))),
       () => {
-        val docs = Tables.documents(s, dir)
-        val exp = prfExpansionTerms(docs, "doc_id", "text", QueryTerms,
-          PrfFeedbackK, PrfExpandE)
-        bm25TopKWeighted(docs, "doc_id", "text",
-          QueryTerms.map(_ -> 1.0) ++ exp.map(_ -> PrfWeight), PrfTopK)
+        prfRanked(Tables.documents(s, dir), QueryTerms)
       }))
 
   val defs: Seq[QueryDef] = Seq(bm25Q, postingsQ, hybridQ, phraseQ, prfQ)
