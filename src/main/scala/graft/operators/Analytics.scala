@@ -482,8 +482,11 @@ object Analytics {
              FROM t CROSS JOIN tot"""),
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // cached: two consumers (the grand total + the share projection) —
+      // uncached, the corpus-scale revenue aggregation runs twice
       val t = Tables.events(s, dir).groupBy(col("event_type"))
         .agg(Num.pround(sum(col("value")), 2).as("revenue"))
+        .cache()
       val tot = t.agg(sum(col("revenue")).as("tot"))
       val w = Window.orderBy(col("revenue").desc, col("event_type"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

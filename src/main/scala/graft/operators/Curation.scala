@@ -458,8 +458,11 @@ object Curation {
     // parquet scans of embeddings
     val e = e0.cache()
     val queries = e.filter(col("vec_id") < 5)
+    // cached: the exact baseline has two consumers (per-method hits join +
+    // the denominator count) — uncached, the brute-force corpus scoring
+    // pass runs twice (the dedup_recall_report pattern)
     val exact = Similarity.annBruteForce(queries, e, k)
-      .select(col("q_id"), col("vec_id"))
+      .select(col("q_id"), col("vec_id")).cache()
     val methods: Seq[(String, DataFrame)] = Seq(
       "ivf_cells" -> Similarity.annIvf(queries, e, stride = 25, nProbe = 3, k = k),
       "ivf_pq" -> ivfPq(e, stride = 25, nProbe = 3, m = 16, subDim = 4,
@@ -543,10 +546,13 @@ object Curation {
   private def dsirProfileOf(perDoc: DataFrame,
       targetLang: String): DataFrame = {
     val b = lit(DsirBuckets)
+    // cached: two consumers (the corpus totals + the per-bucket log-ratio
+    // projection) — uncached, the per-doc bucket aggregation runs twice
     val prof = perDoc.groupBy(col("bucket")).agg(
       sum(col("cnt")).as("raw_b"),
       sum(when(col("lang") === targetLang, col("cnt")).otherwise(0L))
         .as("tgt_b"))
+      .cache()
     val tot = prof.agg(sum(col("raw_b")).as("raw_tot"),
       sum(col("tgt_b")).as("tgt_tot"))
     prof.crossJoin(broadcast(tot))

@@ -81,8 +81,11 @@ object Eval {
                  6)} AS auc
         FROM sr CROSS JOIN tot"""),
     (s, dir) => {
+      // cached: two consumers (the midrank chain + the class totals) —
+      // uncached, the corpus-scale scoring pass runs twice
       val byq = scored(s, dir).groupBy(col("q"))
         .agg(count(lit(1)).as("cnt"), count(when(col("label"), 1)).as("pos"))
+        .cache()
       // bounded window: |distinct qmilli| <= 10001 rows at any corpus size
       val w = Window.orderBy(col("q"))
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -315,8 +318,11 @@ object Eval {
                ${Num.sql("CAST(tp AS DOUBLE) / tot.p", 6)} AS recall
         FROM cum CROSS JOIN tot"""),
     (s, dir) => {
+      // cached: two consumers (the threshold sweep + the positive total) —
+      // uncached, the corpus-scale scoring pass runs twice
       val byq = scored(s, dir).groupBy(col("q"))
         .agg(count(lit(1)).as("cnt"), count(when(col("label"), 1)).as("pos"))
+        .cache()
       val w = Window.orderBy(col("q").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = byq.agg(sum(col("pos")).as("p"))

@@ -219,7 +219,10 @@ object MlPrep {
         .select(col("doc_id"), col("lang"),
           explode(Text.tokens(col("text"))).as("tok"))
         .distinct()
+      // cached: two consumers (the per-token rollup + the grid join) —
+      // uncached, the corpus explode+distinct behind it runs twice
       val tl = pres.groupBy(col("tok"), col("lang")).agg(count(lit(1)).as("n_ts"))
+        .cache()
       val nt = tl.groupBy(col("tok")).agg(sum(col("n_ts")).as("n_t"))
       val ls = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
       val tot = docs.agg(count(lit(1)).as("n"))

@@ -58,8 +58,11 @@ object Skew {
              FROM k, t
              ORDER BY n DESC, l_suppkey LIMIT 20"""),
     (s, dir) => {
+      // cached: two consumers (the grand total + the top-20 ranking) —
+      // uncached, the corpus-scale key-count aggregation runs twice
       val k = Tables.lineitem(s, dir)
         .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+        .cache()
       val total = k.agg(sum(col("n")).as("total"))
       // top-20 FIRST (TakeOrdered — per-partition heaps, no global sort or
       // single-partition window over the whole key set), then rank the 20

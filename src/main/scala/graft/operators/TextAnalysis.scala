@@ -291,7 +291,11 @@ object TextAnalysis {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), col("text"),
           size(Text.tokens(col("text"))).cast("long").as("nt"))
+      // cached: two consumers (the corpus totals + the rate projection) —
+      // uncached, the corpus tokenization behind the per-source counts runs
+      // twice (the final doc join prunes nt, so it does not tokenize)
       val cnt = docs.groupBy(col("source")).agg(sum(col("nt")).as("n_s"))
+        .cache()
       val tot = cnt.agg(sum(col("n_s")).as("n_tot"),
         sum(sqrt(col("n_s").cast("double"))).as("sum_w"))
       val rates = cnt.crossJoin(broadcast(tot))
