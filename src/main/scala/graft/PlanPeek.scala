@@ -13,11 +13,17 @@ object PlanPeek {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     val dir = "/root/testdata/sf0.001"
-    for (n <- Seq("dp_release_class_sizes",
+    // default: the newest catalog queries; `--all` sweeps the whole catalog
+    // (red-flag hunt); explicit names peek exactly those
+    val names: Seq[String] =
+      if (args.contains("--all")) SparkEntry.catalog.map(_.name)
+      else if (args.nonEmpty) args.toSeq
+      else Seq("dp_release_class_sizes",
         "t_closeness_report", "graph_clustering_coeff",
         "ts_stl_decompose", "ts_holt_linear", "l_diversity_report",
         "ann_truncated_rerank", "dedup_keep_best", "graph_kcore_backbone",
-        "ts_cross_corr", "hybrid_search_rrf", "dedup_recall_report")) {
+        "ts_cross_corr", "hybrid_search_rrf", "dedup_recall_report")
+    for (n <- names) {
       val df = SparkEntry.queries(n)(spark, dir)
       val s = df.queryExecution.executedPlan.toString
       println(s"=== $n")
