@@ -83,16 +83,21 @@ object Dedup {
         if (toks.length < n) Iterator.empty
         else toks.sliding(n).map(g => (docId, shingle(g.mkString(" ")))).toSeq.distinct
       }.toDF("doc_id", "s")
+    capMaxDf(sh, maxDf)
+  }
+
+  /** `maxDf` skew guard shared by the index builders: drops shingles hotter
+    * than the cap via a broadcast anti join. The base index feeds both the
+    * hot-shingle aggregation and the anti join — cache it or the index pass
+    * runs twice. */
+  private def capMaxDf(sh: DataFrame, maxDf: Long): DataFrame =
     if (maxDf <= 0) sh
     else {
-      // base index feeds both the hot-shingle aggregation and the anti join:
-      // cache it or the flatMap runs twice
       val cached = sh.cache()
       val hot = cached.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDf).select(col("s"))
       cached.join(broadcast(hot), Seq("s"), "left_anti")
     }
-  }
 
   def shingleIndex(df: DataFrame, id: String, text: String, n: Int,
       maxDf: Long = 0L): DataFrame = {
@@ -102,11 +107,18 @@ object Dedup {
 
   /** [[shingleIndex]] with shingles pre-hashed to longs — the set-similarity
     * pipelines never need the n-gram text, only set membership, so they
-    * join/aggregate on 8-byte keys. */
+    * join/aggregate on 8-byte keys. Runs on the native codegen
+    * [[graft.functions.ShingleHashes]] expression (identical FNV stream to
+    * [[fnv64]] over the joined window — hashes and oracles unchanged), so
+    * the hottest dedup pass stays inside WholeStageCodegen instead of
+    * paying the typed flatMap's per-doc serialization boundary. */
   def shingleIndexHashed(df: DataFrame, id: String, text: String, n: Int,
       maxDf: Long = 0L): DataFrame = {
-    import df.sparkSession.implicits._
-    shingleIndexAs(df, id, text, n, maxDf, fnv64)
+    import org.apache.spark.sql.GraftExpressionBridge
+    val sh = df.select(col(id).cast("long").as("doc_id"),
+      explode(GraftExpressionBridge.column(graft.functions.ShingleHashes(
+        GraftExpressionBridge.expression(col(text)), n))).as("s"))
+    capMaxDf(sh, maxDf)
   }
 
   private def shingleCounts(sh: DataFrame): DataFrame =

@@ -11,6 +11,40 @@ class DedupSimilaritySpec extends SparkSpec {
   private lazy val docs = Tables.documents(spark, sf("sf0.001")).cache()
   private lazy val emb = Tables.embeddings(spark, sf("sf0.001")).cache()
 
+  test("native ShingleHashes equals the typed fnv64 reference, per-doc " +
+      "distinct, on edge cases and the real corpus") {
+    def fnv64(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+      h
+    }
+    def reference(t: String, n: Int): Set[Long] = {
+      val toks = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+      if (toks.length < n) Set.empty
+      else toks.sliding(n).map(g => fnv64(g.mkString(" "))).toSet
+    }
+    val cases = Seq(
+      ("a b c d e", 3), ("  Mixed CASE   spacing\ttabs  ", 2),
+      ("short", 3), ("", 3), ("x x x x x", 2), // duplicate windows collapse
+      ("Ünïcode ÅÄÖ tokens here", 2), ("one two", 2))
+    cases.foreach { case (t, n) =>
+      val got = graft.functions.ShingleHashes.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), n)
+        .toLongArray().toSet
+      assert(got == reference(t, n), s"'$t' n=$n")
+    }
+    // full corpus, through the Spark pipeline (codegen path)
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+    val got = Dedup.shingleIndexHashed(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = docs.select(col("doc_id"), col("text")).collect()
+      .flatMap(r => reference(r.getString(1), 3).map(h => (r.getLong(0), h)))
+      .toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("minhash+LSH finds the exact-jaccard pair set on this corpus") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8,
         maxDf = Dedup.Uncapped)
