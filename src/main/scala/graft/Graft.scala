@@ -39,7 +39,10 @@ object Graft {
     ("dot_product", 2, exprs => functions.DotProduct(exprs(0), exprs(1))),
     ("haversine_km", 4, exprs =>
       operators.Geo.haversineExpr(exprs(0), exprs(1), exprs(2), exprs(3))),
-    ("zvalue", 2, exprs => functions.ZValue(exprs(0), exprs(1))))
+    ("zvalue", 2, exprs => functions.ZValue(exprs(0), exprs(1))),
+    // n must be a literal: the window width is a codegen-time constant
+    ("shingle_hashes", 2, exprs => functions.ShingleHashes(exprs(0),
+      exprs(1).eval().asInstanceOf[Number].intValue())))
 
   /** Arity-checking wrapper shared by both registration paths. */
   def checkedBuilder(name: String, n: Int,

@@ -106,4 +106,16 @@ class GraftFacadeSpec extends SparkSpec {
     assert(r.getLong(2) == (('a'.toInt * 131 + 'b') % 998244353L * 131 + 'c') % 998244353L)
     assert(r.getLong(3) == 14L) // interleave(0b10, 0b11) = 0b1110
   }
+
+  test("shingle_hashes SQL function matches the fnv64 window reference") {
+    Graft.init(spark)
+    val got = spark.sql("SELECT shingle_hashes('a b c d', 3) AS hs").head()
+      .getSeq[Long](0).toSet
+    def fnv64(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      s.foreach { c => h ^= c; h *= 0x100000001b3L }
+      h
+    }
+    assert(got == Set(fnv64("a b c"), fnv64("b c d")))
+  }
 }
