@@ -83,6 +83,31 @@ object CorpusIngest {
       .select(col("doc_id"), col("text")).as[CorpusDedup.StreamDoc]
   }
 
+  /** Streaming SEMANTIC decontamination — the embedding-space companion to
+    * [[decontaminationGate]]: the n-gram Bloom gate needs verbatim w-token
+    * overlap, so a paraphrased benchmark item sails through it; this gate
+    * drops any arriving document whose embedding lies within
+    * `cosine >= minCos` of a watchlist vector. The watchlist broadcasts
+    * with precomputed norms and the stream side is a stateless broadcast
+    * anti-join probe (native [[graft.functions.DotProduct]] per candidate)
+    * — no streaming state, no stream-side shuffle; per-row cost is
+    * |watchlist| dot products, the same economics as the batch
+    * `semdedup_verdicts` verify stage. Emits the surviving (doc_id,
+    * embedding) rows. */
+  def semanticDecontaminationGate(stream: DataFrame, watchlist: DataFrame,
+      minCos: Double): DataFrame = {
+    import graft.functions.Vec
+    val w = broadcast(watchlist
+      .select(Vec.toDouble(col("embedding")).as("wv"))
+      .withColumn("wn", Vec.norm(col("wv"))))
+    stream
+      .withColumn("sv", Vec.toDouble(col("embedding")))
+      .withColumn("sn", Vec.norm(col("sv")))
+      .join(w, Vec.cosinePrenormed(Vec.dot(col("sv"), col("wv")),
+        col("sn"), col("wn")) >= minCos, "left_anti")
+      .select(col("doc_id"), col("embedding"))
+  }
+
   /** The full composed ingest: decontaminate (stateless broadcast probe) →
     * quality gate (stateless) → incremental near-dup dedup (stateful) —
     * stateless stages first so the band-bucket state only ever holds clean,

@@ -335,6 +335,38 @@ class EncounterAlertsSpec extends graft.SparkSpec {
     } finally q.stop()
   }
 
+  test("semantic decontamination gate: near-watchlist embeddings drop, " +
+      "orthogonal ones pass, and the stream holds no state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 8
+    def vec(hot: Int, v: Float): Seq[Float] =
+      Seq.tabulate(dim)(i => if (i == hot) v else 0.0f)
+    val watchlist = Seq((100L, vec(0, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val input = MemoryStream[(Long, Seq[Float])]
+    val stream = input.toDF().toDF("doc_id", "embedding")
+    val q = CorpusIngest
+      .semanticDecontaminationGate(stream, watchlist, minCos = 0.95)
+      .select(col("doc_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sem_decon_t").start()
+    try {
+      input.addData(
+        (1L, vec(0, 7.0f)),                          // cos = 1.0 -> dropped
+        (2L, vec(1, 3.0f)),                          // orthogonal -> passes
+        (3L, Seq.tabulate(dim)(i =>                  // cos ~ 0.995 -> dropped
+          if (i == 0) 1.0f else if (i == 1) 0.1f else 0.0f)),
+        (4L, vec(2, 1.0f)))                          // orthogonal -> passes
+      q.processAllAvailable()
+      val got = spark.table("sem_decon_t").collect()
+        .map(_.getLong(0)).toSet
+      assert(got == Set(2L, 4L), got)
+      // the gate is a stateless broadcast probe: no stateful operator
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("withinRadius runs on a streaming feed unchanged (stateless broadcast side)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
