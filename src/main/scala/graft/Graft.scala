@@ -41,8 +41,21 @@ object Graft {
       operators.Geo.haversineExpr(exprs(0), exprs(1), exprs(2), exprs(3))),
     ("zvalue", 2, exprs => functions.ZValue(exprs(0), exprs(1))),
     // n must be a literal: the window width is a codegen-time constant
-    ("shingle_hashes", 2, exprs => functions.ShingleHashes(exprs(0),
-      exprs(1).eval().asInstanceOf[Number].intValue())))
+    ("shingle_hashes", 2, exprs => {
+      val nExpr = exprs(1)
+      def bad(detail: String) = new IllegalArgumentException(
+        s"shingle_hashes(text, n): n must be a positive integer literal; $detail")
+      if (!nExpr.foldable) throw bad(s"got non-foldable ${nExpr.sql}")
+      val n = nExpr.eval() match {
+        case i: java.lang.Integer => i.intValue()
+        case l: java.lang.Long => l.intValue()
+        case s: java.lang.Short => s.intValue()
+        case b: java.lang.Byte => b.intValue()
+        case other => throw bad(s"got ${if (other == null) "NULL" else other.toString}")
+      }
+      if (n <= 0) throw bad(s"got $n")
+      functions.ShingleHashes(exprs(0), n)
+    }))
 
   /** Arity-checking wrapper shared by both registration paths. */
   def checkedBuilder(name: String, n: Int,

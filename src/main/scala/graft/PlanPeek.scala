@@ -7,6 +7,15 @@ import org.apache.spark.sql.SparkSession
   * queries — the quick way to check a new operator's physical shape without
   * spelunking full explain output. */
 object PlanPeek {
+  /** Default peek set (newest catalog queries) — a constant so CatalogSpec
+    * can assert every name still exists in the catalog (ADVICE r9: inline
+    * names drifted unchecked when a query was renamed/removed). */
+  val defaultNames: Seq[String] = Seq("dp_release_class_sizes",
+    "t_closeness_report", "graph_clustering_coeff",
+    "ts_stl_decompose", "ts_holt_linear", "l_diversity_report",
+    "ann_truncated_rerank", "dedup_keep_best", "graph_kcore_backbone",
+    "ts_cross_corr", "hybrid_search_rrf", "dedup_recall_report")
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -18,11 +27,7 @@ object PlanPeek {
     val names: Seq[String] =
       if (args.contains("--all")) SparkEntry.catalog.map(_.name)
       else if (args.nonEmpty) args.toSeq
-      else Seq("dp_release_class_sizes",
-        "t_closeness_report", "graph_clustering_coeff",
-        "ts_stl_decompose", "ts_holt_linear", "l_diversity_report",
-        "ann_truncated_rerank", "dedup_keep_best", "graph_kcore_backbone",
-        "ts_cross_corr", "hybrid_search_rrf", "dedup_recall_report")
+      else defaultNames
     for (n <- names) {
       val df = SparkEntry.queries(n)(spark, dir)
       val s = df.queryExecution.executedPlan.toString

@@ -465,8 +465,12 @@ object Warehouse {
     * total variation: TVD_c = ½·Σ_v |n_cv/n_c − n_v/N|.
     *
     * Determinism: the TVD numerator is kept exact — Σ_v |n_cv·N − n_v·n_c|
-    * accumulates as DECIMAL products of counts (order-independent, exact up
-    * to 1e15-row tables), and only the final per-class division runs in
+    * accumulates as DECIMAL(18,0) products of counts (order-independent,
+    * exact for tables below 1e18 rows: the 36-digit product plus the
+    * subtraction's carry digit stays inside DuckDB's width-38 decimal cap,
+    * whereas DECIMAL(19,0) products would overflow it — ADVICE r9 flagged
+    * the earlier DECIMAL(15,0) cast as overflowing AT the documented 1e15
+    * bound), and only the final per-class division runs in
     * doubles via the shared IEEE rounding formula ([[Num.pround]]), so both
     * engines compare identical bit patterns against the t = 0.2 gate.
     *
@@ -490,10 +494,10 @@ object Warehouse {
              tot AS (SELECT CAST(sum(n_cv) AS BIGINT) AS n FROM cv),
              tvd AS (SELECT cls.c_nationkey, cls.c_mktsegment,
                             max(cls.n_c) AS n_c, max(tot.n) AS n,
-                            sum(abs(CAST(COALESCE(g.n_cv, 0) AS DECIMAL(15,0))
-                                      * CAST(tot.n AS DECIMAL(15,0))
-                                  - CAST(vals.n_v AS DECIMAL(15,0))
-                                      * CAST(cls.n_c AS DECIMAL(15,0)))) AS num
+                            sum(abs(CAST(COALESCE(g.n_cv, 0) AS DECIMAL(18,0))
+                                      * CAST(tot.n AS DECIMAL(18,0))
+                                  - CAST(vals.n_v AS DECIMAL(18,0))
+                                      * CAST(cls.n_c AS DECIMAL(18,0)))) AS num
                      FROM cls CROSS JOIN vals CROSS JOIN tot
                      LEFT JOIN cv g ON g.c_nationkey = cls.c_nationkey
                                    AND g.c_mktsegment = cls.c_mktsegment
@@ -509,7 +513,7 @@ object Warehouse {
                       AS n_rows_above_t
              FROM r"""),
     (s, dir) => {
-      val d = "decimal(15,0)"
+      val d = "decimal(18,0)"
       val c = Tables.customer(s, dir)
         .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
       // cached: four consumers (class totals, value marginals, grand total,

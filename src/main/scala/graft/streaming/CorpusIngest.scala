@@ -93,18 +93,28 @@ object CorpusIngest {
     * — no streaming state, no stream-side shuffle; per-row cost is
     * |watchlist| dot products, the same economics as the batch
     * `semdedup_verdicts` verify stage. Emits the surviving (doc_id,
-    * embedding) rows. */
+    * embedding) rows.
+    *
+    * Degenerate embeddings (ADVICE r9): a null or zero-norm vector has no
+    * direction, so cosine is undefined for it. Watchlist entries like that
+    * are dropped up front (they could never match; keeping them would only
+    * make the NaN reach the predicate). Stream rows like that PASS THROUGH
+    * deliberately — the predicate is guarded with `sn > 0` so the NaN/NULL
+    * never decides the anti-join implicitly; a caller wanting to quarantine
+    * directionless rows instead should filter them before the gate. */
   def semanticDecontaminationGate(stream: DataFrame, watchlist: DataFrame,
       minCos: Double): DataFrame = {
     import graft.functions.Vec
     val w = broadcast(watchlist
       .select(Vec.toDouble(col("embedding")).as("wv"))
-      .withColumn("wn", Vec.norm(col("wv"))))
+      .withColumn("wn", Vec.norm(col("wv")))
+      .filter(col("wn") > 0))
     stream
       .withColumn("sv", Vec.toDouble(col("embedding")))
       .withColumn("sn", Vec.norm(col("sv")))
-      .join(w, Vec.cosinePrenormed(Vec.dot(col("sv"), col("wv")),
-        col("sn"), col("wn")) >= minCos, "left_anti")
+      .join(w, col("sn") > 0 &&
+        Vec.cosinePrenormed(Vec.dot(col("sv"), col("wv")),
+          col("sn"), col("wn")) >= minCos, "left_anti")
       .select(col("doc_id"), col("embedding"))
   }
 

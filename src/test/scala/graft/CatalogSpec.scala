@@ -27,6 +27,9 @@ class CatalogSpec extends SparkSpec {
     val badPlans = Plans.headline.filterNot(names)
     assert(badPlans.isEmpty, s"Plans.headline references unknown: $badPlans")
     assert(Plans.headline.distinct.length == Plans.headline.length)
+    val badPeek = PlanPeek.defaultNames.filterNot(names)
+    assert(badPeek.isEmpty, s"PlanPeek.defaultNames references unknown: $badPeek")
+    assert(PlanPeek.defaultNames.distinct.length == PlanPeek.defaultNames.length)
   }
 
   test("entry() returns rows on sf0.001 (driver smoke check)") {

@@ -118,4 +118,23 @@ class GraftFacadeSpec extends SparkSpec {
     }
     assert(got == Set(fnv64("a b c"), fnv64("b c d")))
   }
+
+  test("shingle_hashes rejects non-literal, non-integer, and non-positive n") {
+    Graft.init(spark)
+    def msgOf(sql: String): String =
+      intercept[Exception](spark.sql(sql).head()).getMessage
+    // n = 0 / negative: silently yielding one fnv64("") per doc was the
+    // ADVICE r9 bug — must be an error naming the constraint
+    assert(msgOf("SELECT shingle_hashes('a b', 0)").contains("positive integer"))
+    assert(msgOf("SELECT shingle_hashes('a b', -3)").contains("positive integer"))
+    // a string literal: used to surface as a raw ClassCastException
+    assert(msgOf("SELECT shingle_hashes('a b', 'x')").contains("positive integer"))
+    // non-foldable n: the window width is a codegen-time constant
+    spark.range(1).createOrReplaceTempView("shn_t")
+    assert(msgOf("SELECT shingle_hashes('a b', CAST(id AS INT)) FROM shn_t")
+      .contains("positive integer"))
+    // valid n still works through the same path
+    assert(spark.sql("SELECT size(shingle_hashes('a b c', 2)) AS n")
+      .head().getInt(0) == 2)
+  }
 }

@@ -367,6 +367,36 @@ class EncounterAlertsSpec extends graft.SparkSpec {
     } finally q.stop()
   }
 
+  test("semantic decontamination gate: zero-norm/degenerate embeddings " +
+      "pass through and zero-norm watchlist rows match nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 4
+    def vec(hot: Int, v: Float): Seq[Float] =
+      Seq.tabulate(dim)(i => if (i == hot) v else 0.0f)
+    // one real watch vector + one zero-norm row that must be inert
+    // (ADVICE r9: an unfiltered zero-norm vector put NaN in the predicate)
+    val watchlist = Seq((1L, vec(0, 1.0f)), (2L, Seq.fill(dim)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val input = MemoryStream[(Long, Seq[Float])]
+    val stream = input.toDF().toDF("doc_id", "embedding")
+    val q = CorpusIngest
+      .semanticDecontaminationGate(stream, watchlist, minCos = 0.95)
+      .select(col("doc_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sem_decon_degen_t").start()
+    try {
+      input.addData(
+        (1L, vec(0, 2.0f)),        // matches the real watch vector -> dropped
+        (2L, Seq.fill(dim)(0.0f)), // zero norm: directionless -> passes
+        (3L, vec(1, 1.0f)))        // orthogonal -> passes
+      q.processAllAvailable()
+      val got = spark.table("sem_decon_degen_t").collect()
+        .map(_.getLong(0)).toSet
+      assert(got == Set(2L, 3L), got)
+    } finally q.stop()
+  }
+
   test("withinRadius runs on a streaming feed unchanged (stateless broadcast side)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
