@@ -74,7 +74,12 @@ object ScaleRehearsal {
     * `dir` (same schemas as TESTDATA.md, ts as nanosecond long exactly like
     * the driver's TIMESTAMP_NS binding under nanosAsLong). */
   def generate(spark: SparkSession, dir: String, mult: Int): Unit = {
-    import spark.implicits._
+    genEvents(spark, dir, mult)
+    genDocuments(spark, dir, mult)
+    genEmbeddings(spark, dir, mult)
+  }
+
+  def genEvents(spark: SparkSession, dir: String, mult: Int): Unit = {
     val nEvents = 100000L * mult
     val nUsers = 1500L * mult
     val spanNs = 30L * 24 * 3600 * 1000000000L // fixed 30-day window
@@ -96,7 +101,10 @@ object ScaleRehearsal {
           .as("props"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
 
+  def genDocuments(spark: SparkSession, dir: String, mult: Int): Unit = {
+    import spark.implicits._
     val nDocs = 5000L * mult
     spark.range(nDocs)
       .map { id =>
@@ -108,7 +116,10 @@ object ScaleRehearsal {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
 
+  def genEmbeddings(spark: SparkSession, dir: String, mult: Int): Unit = {
+    import spark.implicits._
     // embeddings: 10 cluster directions + per-vector hash noise (matches the
     // driver corpus's shape: 64-dim float, 10 labels, near-isotropic within
     // cluster); every 50th vector is a near-copy of its predecessor — the

@@ -9,6 +9,7 @@ oracle SQL from oracle_sql.json in DuckDB (tables registered as views over
 compares cell-by-cell (exact; floats must already be rounded engine-side).
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -17,11 +18,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def pq(path: str) -> str:
+    """Parquet read pattern for either layout: the driver drops single files
+    (sf0.1 and below); Spark-written scale-up tables (GenScale) are
+    directories of part files."""
+    return f"{path}/*.parquet" if os.path.isdir(path) else path
+
+
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pq(f'{sf_dir}/{t}.parquet')}')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     n_pass = n_fail = 0
