@@ -32,6 +32,21 @@ class CatalogSpec extends SparkSpec {
     assert(PlanPeek.defaultNames.distinct.length == PlanPeek.defaultNames.length)
   }
 
+  test("QUERIES.md indexes the whole catalog (regenerate via QueriesDoc)") {
+    // the generator's family partition must cover the catalog exactly —
+    // a new operator module can't land without an index family
+    assert(QueriesDoc.families.flatMap(_._2).map(_.name) ==
+      SparkEntry.catalog.map(_.name))
+    val md = java.nio.file.Files.readString(java.nio.file.Paths.get("QUERIES.md"))
+    val indexed = "\\| `([a-z0-9_]+)` \\|".r
+      .findAllMatchIn(md).map(_.group(1)).toSet
+    val names = SparkEntry.catalog.map(_.name).toSet
+    val missing = names -- indexed
+    val stale = indexed -- names
+    assert(missing.isEmpty, s"QUERIES.md missing: $missing — rerun QueriesDoc")
+    assert(stale.isEmpty, s"QUERIES.md stale rows: $stale — rerun QueriesDoc")
+  }
+
   test("entry() returns rows on sf0.001 (driver smoke check)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
