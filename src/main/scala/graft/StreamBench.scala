@@ -1,0 +1,238 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{AisPipeline, CorpusDedup, CorpusIngest}
+
+/** Streaming throughput/latency benchmark (VERDICT r9 item 4): the streaming
+  * operators had correctness and state-eviction specs but no measured
+  * events/s or state-growth artifact. Drives each operator with a
+  * MemoryStream feeder for `Batches` micro-batches of `rows` deterministic
+  * synthetic rows, sinks to `noop` (no driver-side result accumulation), and
+  * reads the numbers Spark itself reports per micro-batch
+  * (StreamingQueryProgress): input rows, batch duration, and the state
+  * store's row count + memory. Per operator it emits rows/s (steady-state:
+  * the first `Warm` batches are excluded), mean/max batch latency, and
+  * first->last state growth — the artifact lands in BENCH_STREAMING.json
+  * with a load1m field like the batch bench.
+  *
+  * MemoryStream (not the rate source) so every operator sees its REAL input
+  * shape — NMEA sentences for the decode pipeline, StreamDoc for the corpus
+  * gates, typed PositionEvents for the AIS state machines — and so batch
+  * boundaries are explicit (`processAllAvailable` per feed = one batch).
+  */
+object StreamBench {
+
+  private val Warm = 2
+  private val Batches = 10
+
+  case class Res(name: String, rowsPerSec: Double, meanBatchMs: Double,
+      maxBatchMs: Long, inRows: Long, stateRowsFirst: Long,
+      stateRowsLast: Long, stateMB: Double)
+
+  /** Deterministic position stream: `nShips` ships over a `boxDeg`-degree
+    * square, timestamps advancing `batchSpanSec` per batch (so watermarks
+    * move and session windows close). */
+  private def position(b: Int, i: Int, rows: Int, nShips: Int,
+      boxDeg: Int, batchSpanSec: Long): ais.PositionEvent = {
+    val ship = i % nShips
+    val h = ship * 2654435761L + 12345
+    ais.PositionEvent(s"S$ship", if (ship % 7 == 0) "moored" else "under way using engine",
+      1700000000L + b * batchSpanSec + (i.toLong * batchSpanSec / rows),
+      ais.Gps(10.0 + math.floorMod(h, boxDeg * 10L) / 10.0,
+        20.0 + math.floorMod(h >> 8, boxDeg * 10L) / 10.0),
+      5.0 + (ship % 20), (ship * 37) % 360)
+  }
+
+  private def doc(b: Int, i: Int, rows: Int): CorpusDedup.StreamDoc = {
+    val id = b.toLong * rows + i
+    CorpusDedup.StreamDoc(id, ScaleRehearsal.docText(id))
+  }
+
+  /** One measured run: feed -> processAllAvailable per batch, then read the
+    * per-batch progress Spark recorded. */
+  private def run(name: String, out: DataFrame, mode: String,
+      feed: Int => Unit): Res = {
+    val q = out.writeStream.outputMode(mode).format("noop").start()
+    try {
+      (0 until Batches).foreach { b => feed(b); q.processAllAvailable() }
+      val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+      val meas = prog.drop(Warm)
+      val inRows = meas.map(_.numInputRows).sum
+      val ms = meas.map(_.batchDuration)
+      val st = meas.flatMap(_.stateOperators.headOption)
+      Res(name,
+        if (ms.sum > 0) inRows * 1000.0 / ms.sum else 0.0,
+        if (ms.nonEmpty) ms.sum.toDouble / ms.length else 0.0,
+        if (ms.nonEmpty) ms.max else 0L,
+        inRows,
+        st.headOption.map(_.numRowsTotal).getOrElse(-1L),
+        st.lastOption.map(_.numRowsTotal).getOrElse(-1L),
+        st.lastOption.map(_.memoryUsedBytes / 1048576.0).getOrElse(0.0))
+    } finally q.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark: SparkSession = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[Res]
+
+    // --- AIS decode pipeline: NMEA sentences -> typed positions -----------
+    {
+      val in = MemoryStream[String]
+      def lines(b: Int): Seq[String] = (0 until 10000).flatMap { i =>
+        val mmsi = 257000001L + (i % 500)
+        val ts = 1700000000L + b * 600L + i / 20
+        if (i % 5 == 4)
+          ais.NmeaEncoder.staticVoyage(mmsi, s"LA${i % 97}X", s"SHIP${i % 500}",
+            70 + (i % 5), "BERGEN", ts)
+        else Seq(ais.NmeaEncoder.position(if (i % 2 == 0) 1 else 3, mmsi,
+          status = i % 9, speedKnots = 5.0 + (i % 40), lon = 4.5 + (i % 100) * 0.01,
+          lat = 58.0 + (i % 100) * 0.01, heading = (i * 37) % 360, ts = ts))
+      }
+      results += run("ais_decode_positions",
+        ais.AisIngest.positions(ais.AisIngest.decode(in.toDS())).toDF(),
+        "append", b => { in.addData(lines(b)); () })
+    }
+
+    // --- corpus gates + dedup --------------------------------------------
+    val docsRows = 2000
+    def docBatch(in: MemoryStream[CorpusDedup.StreamDoc])(b: Int): Unit = {
+      in.addData((0 until docsRows).map(i => doc(b, i, docsRows))); ()
+    }
+    {
+      val in = MemoryStream[CorpusDedup.StreamDoc]
+      results += run("incremental_dedup",
+        CorpusDedup.incrementalDedup(in.toDS()), "update", docBatch(in))
+    }
+    {
+      val in = MemoryStream[CorpusDedup.StreamDoc]
+      results += run("exact_dedup",
+        CorpusDedup.exactDedupStream(in.toDS()), "update", docBatch(in))
+    }
+    {
+      val in = MemoryStream[CorpusDedup.StreamDoc]
+      results += run("paragraph_dedup",
+        CorpusDedup.paragraphDedupStream(in.toDS()), "update", docBatch(in))
+    }
+    {
+      val in = MemoryStream[CorpusDedup.StreamDoc]
+      val benchmark = graft.sources.Tables.documents(spark, sfDir).limit(500)
+      results += run("decontamination_gate",
+        CorpusIngest.decontaminationGate(in.toDS(), benchmark).toDF(),
+        "append", docBatch(in))
+    }
+    {
+      val in = MemoryStream[CorpusDedup.StreamDoc]
+      val reference = graft.sources.Tables.documents(spark, sfDir)
+      results += run("lm_quality_gate",
+        CorpusIngest.lmQualityGate(in.toDS(), reference, minScore = 0.0).toDF(),
+        "append", docBatch(in))
+    }
+    {
+      val in = MemoryStream[CorpusDedup.StreamDoc]
+      val benchmark = graft.sources.Tables.documents(spark, sfDir).limit(500)
+      val profile = (0 until 256).map(i => f"$i%02x" -> (i * 37L)).toMap
+      results += run("ingest_curated",
+        CorpusIngest.ingestCurated(in.toDS(), benchmark, profile, 0L),
+        "update", docBatch(in))
+    }
+    {
+      val in = MemoryStream[(Long, Array[Float])]
+      val watch = graft.sources.Tables.embeddings(spark, sfDir).limit(200)
+      def vec(id: Long): Array[Float] = {
+        var x = id * 6364136223846793005L + 1442695040888963407L
+        Array.tabulate(64) { _ =>
+          x = x * 6364136223846793005L + 1442695040888963407L
+          (math.floorMod(x, 2001) - 1000) / 1000.0f
+        }
+      }
+      results += run("semantic_gate",
+        CorpusIngest.semanticDecontaminationGate(
+          in.toDF().toDF("doc_id", "embedding"), watch, 0.9),
+        "append", b => {
+          in.addData((0 until docsRows).map(i =>
+            (b.toLong * docsRows + i, vec(b.toLong * docsRows + i)))); ()
+        })
+    }
+
+    // --- AIS state machines ----------------------------------------------
+    val posRows = 10000
+    def posBatch(in: MemoryStream[ais.PositionEvent], nShips: Int = 500,
+        boxDeg: Int = 20)(b: Int): Unit = {
+      in.addData((0 until posRows).map(i =>
+        position(b, i, posRows, nShips, boxDeg, 600L))); ()
+    }
+    {
+      val in = MemoryStream[ais.PositionEvent]
+      results += run("fleet_metrics",
+        AisPipeline.fleetMetrics(in.toDS()), "update", posBatch(in))
+    }
+    {
+      val in = MemoryStream[ais.PositionEvent]
+      results += run("voyage_sessions",
+        AisPipeline.voyageSessions(in.toDS()), "append", posBatch(in))
+    }
+    {
+      val in = MemoryStream[ais.PositionEvent]
+      results += run("deduped_positions",
+        AisPipeline.dedupedPositions(in.toDS()), "append", posBatch(in))
+    }
+    {
+      val in = MemoryStream[ais.ShipInfoEvent]
+      results += run("latest_info",
+        AisPipeline.latestInfo(in.toDS()).toDF(), "update", b => {
+          in.addData((0 until posRows).map { i =>
+            val ship = i % 500
+            ais.ShipInfoEvent(s"S$ship", 1700000000L + b * 600L + i / 20,
+              s"SHIP$ship", s"LA${ship % 97}X", "Cargo",
+              if (b % 3 == 0) "BERGEN" else "OSLO")
+          }); ()
+        })
+    }
+    {
+      val in = MemoryStream[ais.PositionEvent]
+      results += run("ship_activity_tws",
+        AisPipeline.shipActivity(in.toDS()).toDF(), "update", posBatch(in))
+    }
+    {
+      val in = MemoryStream[ais.PositionEvent]
+      results += run("encounter_alerts",
+        AisPipeline.encounterAlerts(in.toDS()), "append",
+        posBatch(in, nShips = 200, boxDeg = 20))
+    }
+
+    val load1m = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    def fmt(v: Double): String =
+      BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+    val ops = results.map { r =>
+      s""""${r.name}":{"rows_per_sec":${fmt(r.rowsPerSec)},""" +
+        s""""mean_batch_ms":${fmt(r.meanBatchMs)},"max_batch_ms":${r.maxBatchMs},""" +
+        s""""measured_rows":${r.inRows},"state_rows_first":${r.stateRowsFirst},""" +
+        s""""state_rows_last":${r.stateRowsLast},"state_mb":${fmt(r.stateMB)}}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"stream_bench","unit":"rows_per_sec","load1m":${fmt(load1m)},""" +
+      s""""batches":$Batches,"warm":$Warm,"ops":$ops}"""
+    println(line)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes("UTF-8"))
+    }
+    spark.stop()
+  }
+}

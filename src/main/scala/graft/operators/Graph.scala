@@ -485,7 +485,17 @@ object Graph {
   /** Degree assortativity — Pearson r of endpoint degrees over every
     * directed edge occurrence (each undirected edge counted in both
     * directions, the standard Newman formulation). All moments are integer
-    * sums (exact in doubles), so r is bit-identical cross-engine. */
+    * sums (exact in doubles), so r is bit-identical cross-engine.
+    *
+    * Degenerate graphs (found by the r10 sf1 sweep, not hypothesized): on a
+    * REGULAR graph every endpoint degree is equal, both variance terms are
+    * exactly 0, and Pearson r is undefined — under ANSI mode the division
+    * errored instead of returning a row. At 10x corpus the 40-token
+    * vocabulary bigram graph saturates toward complete (vocabulary-bound,
+    * as SCALE.md's graph contract predicts), which is precisely the regular
+    * case. Both engines now emit NULL r for zero variance — exact to test
+    * (the moments are integer-valued doubles, so v == 0 is not a fp
+    * comparison hazard). */
   val assortativityQ = QueryDef(
     "graph_degree_assortativity",
     "degree-degree Pearson correlation over token graph edge endpoints",
@@ -506,9 +516,10 @@ object Graph {
                           sum(x*y) AS sxy
                    FROM p)
              SELECT CAST(n AS BIGINT) AS n_endpoints,
+                    CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) > 0 THEN
                     ${Num.sql(
                       "(n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))",
-                      4)} AS r
+                      4)} END AS r
              FROM m"""),
     (s, dir) => {
       // cached: the symmetrized edge list feeds the degree aggregation AND
@@ -528,10 +539,12 @@ object Graph {
           sum(col("x") * col("x")).as("sxx"),
           sum(col("y") * col("y")).as("syy"),
           sum(col("x") * col("y")).as("sxy"))
+        .withColumn("v", (col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy")))
         .select(col("n").cast("long").as("n_endpoints"),
-          Num.pround((col("n") * col("sxy") - col("sx") * col("sy")) /
-            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-              (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("r"))
+          when(col("v") > 0,
+            Num.pround((col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt(col("v")), 4)).as("r"))
     })
 
   /** Degree-resolved clustering spectrum C(k) — for each degree class k, the

@@ -135,6 +135,27 @@ class GraphSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("assortativity: regular graph (zero degree variance) emits NULL r " +
+      "instead of ANSI divide-by-zero — the r10 sf1 saturation case") {
+    // a 4-cycle is 2-regular: every endpoint degree is 2, variance is 0,
+    // Pearson r is undefined. At 10x corpus the 40-token vocabulary graph
+    // saturates toward complete (regular), which is how the sf1 sweep
+    // surfaced this as a DIVIDE_BY_ZERO instead of a result row.
+    val pe = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+    val tmp = java.nio.file.Files.createTempDirectory("assort_fixture").toString
+    pe.zipWithIndex
+      .map { case ((u, v), i) => (i.toLong, s"$u $v", "en", "src0", 3L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    val rows = Graph.assortativityQ.run(spark, tmp).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 8L) // 4 undirected edges x 2 directions
+    assert(rows(0).isNullAt(1), s"expected NULL r, got ${rows(0)}")
+    // the non-degenerate path still yields a value on sf0.001
+    val sfRows = Graph.assortativityQ.run(spark, sf("sf0.001")).collect()
+    assert(!sfRows(0).isNullAt(1))
+  }
+
   test("kcore: planted cycle survives peeling, pendant chains peel away, " +
       "and the result matches brute-force iterated peeling") {
     // triangle (x,y,z) + square (p,q,r,s) with pendant chains hanging off:
