@@ -3,7 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.functions.{Num, Vec}
 import graft.sources.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -109,24 +109,45 @@ object Similarity {
     * only its `nProbe` nearest cells. Corpus vectors live in exactly one
     * cell, so probing never duplicates candidates. Centroids broadcast;
     * the corpus never shuffles. */
-  /** Nearest-centroid (top-1 cell) assignment via max_by aggregation, not a
-    * window: the broadcast corpus×centroids product collapses in the
-    * map-side partial aggregate (rows for one vector are generated
-    * contiguously), so the shuffle carries one row per VECTOR instead of one
-    * per (vector, centroid) — |C| rows instead of |C|·k. Ranking is on the
-    * ROUNDED similarity with a c_id tiebreak (encoded as (csim, -c_id) so a
-    * single struct-max is deterministic across engines and partitionings). */
+  /** Argmax ordering key (csim DESC, c_id ASC) PACKED into one long:
+    * round(csim·1e6)·2⁴² + (2⁴²−1−c_id). The r9 plan sweep accepted 8
+    * embedding-family SortAggregates because `max_by(c_id, struct(csim,
+    * -c_id))` carries a StructType ordering key, which cannot live in
+    * hash-agg's fixed-width mutable buffer — and the partial SortAggregate
+    * then SORTS the corpus×k broadcast product before collapsing it. With
+    * the order packed into a single long, a plain `max(long)` aggregates the
+    * same argmax in a HashAggregate: no corpus×k sort on either side of the
+    * shuffle (the r10 A/B the r9 verdict asked for; BENCH_NOTES has the
+    * measured numbers). Exact: |csim_micro| ≤ 1e6 < 2²⁰ keeps the product
+    * under 2⁶², csim is already 6-dp rounded so the micro cast is
+    * integer-exact, and c_id < 2⁴² is asserted by construction (vec_ids). */
+  private val CellIdBits = 42
+  private[graft] def packArgmax(csim: Column, cId: Column): Column =
+    round(csim * 1e6).cast("long") * (1L << CellIdBits) +
+      (lit((1L << CellIdBits) - 1) - cId)
+  private[graft] def unpackArgmaxId(key: Column): Column =
+    lit((1L << CellIdBits) - 1) - pmod(key, lit(1L << CellIdBits))
+
+  /** Nearest-centroid (top-1 cell) assignment via a packed-key max
+    * aggregation, not a window: the broadcast corpus×centroids product
+    * collapses in the map-side partial aggregate (rows for one vector are
+    * generated contiguously), so the shuffle carries one row per VECTOR
+    * instead of one per (vector, centroid) — |C| rows instead of |C|·k.
+    * Ranking is on the ROUNDED similarity with a c_id tiebreak (packed as
+    * one long — see [[packArgmax]] — so the aggregate stays a fixed-width
+    * HashAggregate), deterministic across engines and partitionings. */
   private[graft] def assignCells(c: DataFrame, cents: DataFrame): DataFrame = {
-    // aggregate over NARROW rows (vec_id, c_id, csim) — carrying the vector
+    // aggregate over NARROW rows (vec_id, key) — carrying the vector
     // through the partial aggregate would drag a 64-double array into its
-    // buffer (SortAggregate over ~550-byte rows); instead re-attach v/nrm
-    // with a key join on the |C|-row result afterwards
+    // buffer; instead re-attach v/nrm with a key join on the |C|-row result
     val best = c.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("c_id"),
+      .select(col("vec_id"), packArgmax(
         Num.pround(Vec.cosinePrenormed(
-          Vec.dot(col("v"), col("cv")), col("nrm"), col("cn")), 6).as("csim"))
+          Vec.dot(col("v"), col("cv")), col("nrm"), col("cn")), 6),
+        col("c_id")).as("k"))
       .groupBy(col("vec_id"))
-      .agg(max_by(col("c_id"), struct(col("csim"), -col("c_id"))).as("c_id"))
+      .agg(max(col("k")).as("k"))
+      .select(col("vec_id"), unpackArgmaxId(col("k")).as("c_id"))
     c.join(best, Seq("vec_id"))
   }
 
@@ -543,13 +564,15 @@ object Similarity {
           transform(col("pm"), p => p.getField("m")).as("cv"))
         .withColumn("cn", Vec.norm(col("cv")))
         .filter(col("cn") > 0)
+      // packed-key argmax (see packArgmax): fixed-width max keeps the
+      // per-step assignment a HashAggregate instead of a corpus×k sort
       val cells = va.join(broadcast(centsArr), lit(true))
-        .select(col("vec_id"),
+        .select(col("vec_id"), packArgmax(
           Num.pround(Vec.cosinePrenormed(Vec.dot(col("v"), col("cv")),
-            col("nrm"), col("cn")), 6).as("csim"), col("c_id"))
+            col("nrm"), col("cn")), 6), col("c_id")).as("kk"))
         .groupBy(col("vec_id"))
-        .agg(max_by(col("c_id"), struct(col("csim"), (-col("c_id")).as("nc")))
-          .as("c_id"))
+        .agg(max(col("kk")).as("kk"))
+        .select(col("vec_id"), unpackArgmaxId(col("kk")).as("c_id"))
       cents = cells.join(ev, "vec_id").groupBy(col("c_id"), col("pos"))
         .agg(Num.pround(avg(col("x")), if (k == steps) 6 else 9).as("m"))
       // cache each step's d·k-row centroid table: without it, step k's
@@ -606,21 +629,26 @@ object Similarity {
     * mis-embedded/out-of-domain candidates a curation pipeline reviews
     * before training. One broadcast-assign pass + one 1-row stats aggregate
     * that broadcasts back — linear, no pair join, same scale contract as
-    * [[annIvf]]'s assignment. The struct-max carries (csim, -c_id) so the
-    * distance AND the deterministic cell come from one aggregation. */
+    * [[annIvf]]'s assignment. The packed argmax key ([[packArgmax]]) carries
+    * (csim, -c_id) in one long so the distance AND the deterministic cell
+    * come from one fixed-width max — a HashAggregate, where the former
+    * struct-max forced a corpus×k SortAggregate (r10 A/B). */
   def embeddingOutliers(e: DataFrame, stride: Int,
       zThresh: Double): DataFrame = {
     val c = withNorm(e)
     val cents = coarseCentroids(c, stride)
     val best = c.join(broadcast(cents), lit(true))
-      .select(col("vec_id"),
+      .select(col("vec_id"), packArgmax(
         Num.pround(Vec.cosinePrenormed(
-          Vec.dot(col("v"), col("cv")), col("nrm"), col("cn")), 6).as("csim"),
-        col("c_id"))
+          Vec.dot(col("v"), col("cv")), col("nrm"), col("cn")), 6),
+        col("c_id")).as("k"))
       .groupBy(col("vec_id"))
-      .agg(max(struct(col("csim"), (-col("c_id")).as("ncid"))).as("b"))
-      .select(col("vec_id"), (-col("b.ncid")).as("c_id"),
-        Num.pround(lit(1) - col("b.csim"), 6).as("dist"))
+      .agg(max(col("k")).as("k"))
+      // decode: csim_micro = k >> 42 (arithmetic shift = floor division,
+      // exact for negative csim too); c_id from the low 42 bits
+      .select(col("vec_id"), unpackArgmaxId(col("k")).as("c_id"),
+        Num.pround(lit(1) -
+          shiftright(col("k"), CellIdBits) / lit(1e6), 6).as("dist"))
     val st = best.agg(
       Num.pround(avg(col("dist")) + lit(zThresh) * stddev_samp(col("dist")), 4)
         .as("thr"))
