@@ -296,9 +296,11 @@ object ScaleRehearsal {
     import graft.operators.Dedup
     val docs = graft.sources.Tables.documents(spark, dir)
     val sh = Dedup.shingleIndexHashed(docs, "doc_id", "text", 3)
-    val sig = Dedup.minHashSignatures(sh, 32)
-    val bandCols = (0 until 8).map { b =>
-      xxhash64((b * 4 until (b + 1) * 4).map(i => col(s"h$i")): _*)
+    // mirrors the operator's geometry (Dedup.LshNumHashes / LshBands)
+    val sig = Dedup.minHashSignatures(sh, Dedup.LshNumHashes)
+    val rows = Dedup.LshNumHashes / Dedup.LshBands
+    val bandCols = (0 until Dedup.LshBands).map { b =>
+      xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
     }
     val side = docs.select(col("doc_id").cast("long").as("doc_id"),
       (col("source") === Dedup.NewShardSource).as("isnew"))

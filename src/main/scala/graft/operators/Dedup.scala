@@ -43,6 +43,19 @@ object Dedup {
     * signal a tuned banding would produce. */
   val DefaultMaxBucket = 1000
 
+  /** Default MinHash/LSH geometry for the ≥0.8-Jaccard operating point.
+    * 32 hashes / 8 bands passed the exact oracle up to sf0.1, but the r10
+    * sf1 sweep measured its recall CEILING: at 50k docs (2066 true pairs)
+    * exactly 2 pairs escaped all 8 bands — the analytic (1−j⁴)⁸ ≈ 1.5%
+    * per-pair escape at j = 0.8 finally materializing at corpus scale.
+    * 48 hashes / 12 bands drops the escape to (1−j⁴)¹² ≈ 0.2% — measured
+    * 2066/2066 at sf1 for +1.2% candidate volume (2515 vs 2485) and 1.5×
+    * signature work, which the exact-verify stage amortizes. The oracle
+    * stays the exact ground truth, so any future recall shortfall at a
+    * bigger scale surfaces as a gate mismatch again, by design. */
+  val LshNumHashes = 48
+  val LshBands = 12
+
   /** Exact duplicate groups: content hash → surviving id + multiplicity. */
   def exact(df: DataFrame, id: String, text: String): DataFrame =
     df.groupBy(md5(col(text)).as("text_hash"))
@@ -560,7 +573,7 @@ object Dedup {
     "near-dup pairs via 32-perm MinHash + 8-band LSH, exact-verified",
     Some(jaccardOracle),
     (s, dir) => minHashDedup(Tables.documents(s, dir), "doc_id", "text",
-      n = 3, numHashes = 32, bands = 8, threshold = 0.8))
+      n = 3, numHashes = LshNumHashes, bands = LshBands, threshold = 0.8))
 
   /** DuckDB replica of [[simHash]]: same tokenization, same two rolling
     * hashes via list_reduce, same 60 signed bit votes. Generated, not
@@ -626,7 +639,7 @@ object Dedup {
           // hash-match the same oracle) but candidates-then-verify is the
           // form that survives 100 TB — and it's ~30% faster here too
           val pairs = minHashDedup(Tables.documents(s, dir), "doc_id", "text",
-            n = 3, numHashes = 32, bands = 8, threshold = 0.8)
+            n = 3, numHashes = LshNumHashes, bands = LshBands, threshold = 0.8)
           connectedComponents(pairs)
             .select(col("id").as("doc_id"), col("label").as("cluster"),
               (col("id") === col("label")).as("is_keeper"))
@@ -692,7 +705,7 @@ object Dedup {
         () => {
           val docs = Tables.documents(s, dir)
           val pairs = minHashDedup(docs, "doc_id", "text",
-            n = 3, numHashes = 32, bands = 8, threshold = 0.8)
+            n = 3, numHashes = LshNumHashes, bands = LshBands, threshold = 0.8)
           val labels = connectedComponents(pairs)
             .withColumnRenamed("id", "doc_id")
           val toks = Text.tokens(col("text"))
@@ -891,7 +904,8 @@ object Dedup {
        FROM p JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
        WHERE ${Num.sql("CAST(c AS DOUBLE) / (na.n + nb.n - c)", 4)} >= 0.8"""),
     (s, dir) => minHashDedupNewShard(Tables.documents(s, dir), "doc_id",
-      "text", 3, 32, 8, 0.8, col("source") === NewShardSource))
+      "text", 3, LshNumHashes, LshBands, 0.8,
+      col("source") === NewShardSource))
 
   /** Default paragraph granularity for [[paragraphDedup]] — long enough that
     * a repeated segment is boilerplate (not a common phrase), short enough
@@ -1002,7 +1016,7 @@ object Dedup {
     val methods: Seq[(String, DataFrame)] = Seq(
       // FromIndex: the minhash leg reuses the same cached shingle pass as
       // the ground truth and the capped variant — one corpus shingle, not two
-      "minhash_lsh" -> minHashDedupFromIndex(base, 32, 8, 0.8)
+      "minhash_lsh" -> minHashDedupFromIndex(base, LshNumHashes, LshBands, 0.8)
         .select(col("i"), col("j")),
       "jaccard_capped" -> jaccardFromIndex(capped, 0.8)
         .select(col("i"), col("j")),

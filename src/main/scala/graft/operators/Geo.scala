@@ -70,18 +70,33 @@ object Geo {
           cos(radians($lat1)) * cos(radians($lat2)) *
           sin(radians($lon2 - $lon1) / 2) * sin(radians($lon2 - $lon1) / 2)), 1.0))"""
 
-  /** 1-degree cell density + mean speed: the map heat layer as one shuffle. */
+  /** 1-degree cell density + mean speed: the map heat layer as one shuffle.
+    *
+    * Mean is computed as an exact integer centi-unit sum divided ONCE (the
+    * repo's integer-until-final-division convention): speeds are 2-decimal
+    * values, so `avg(speed)` was a double summation whose ORDER differs
+    * between engines — fine at sf0.1 (~4 rows/cell) but at sf1 (~40
+    * rows/cell) the r10 sweep caught cells landing exactly on a 4th-decimal
+    * rounding boundary, flipping the last digit. Scale-dependent
+    * determinism, found by measurement. */
   val cellDensityQ = QueryDef(
     "geo_cell_density",
     "position count and mean speed per 1-degree grid cell",
     Some(s"""WITH p AS ($positionsSql)
              SELECT CAST(floor(lat) AS BIGINT) AS cy, CAST(floor(lon) AS BIGINT) AS cx,
-                    count(*) AS n, ${Num.sql("avg(speed)", 4)} AS mean_speed
+                    count(*) AS n,
+                    ${Num.sql(
+                      "CAST(sum(CAST(round(speed * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100)",
+                      4)} AS mean_speed
              FROM p GROUP BY 1, 2"""),
     (s, dir) => positions(s, dir)
       .groupBy(floor(col("lat")).cast("long").as("cy"),
         floor(col("lon")).cast("long").as("cx"))
-      .agg(count(lit(1)).as("n"), Num.pround(avg(col("speed")), 4).as("mean_speed")))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("speed") * 100).cast("long")).as("sc"))
+      .select(col("cy"), col("cx"), col("n"),
+        Num.pround(col("sc").cast("double") / (col("n") * 100), 4)
+          .as("mean_speed")))
 
   /** Per-ship track length: lag window over (time, id), haversine per step,
     * summed. The window shuffles once on ship and sorts in-partition. */

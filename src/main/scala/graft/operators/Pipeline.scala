@@ -342,7 +342,8 @@ object Pipeline {
       .filter(col("n_tokens") >= 5 &&
         dense.cast("double") / greatest(col("n_tokens"), lit(1L)) <= 20.0)
     val pairs = Dedup.minHashDedup(clean, "doc_id", "text",
-      n = 3, numHashes = 32, bands = 8, threshold = 0.8)
+      n = 3, numHashes = Dedup.LshNumHashes, bands = Dedup.LshBands,
+      threshold = 0.8)
     val dups = Dedup.connectedComponents(pairs)
       .filter(col("id") =!= col("label"))
       .select(col("id").as("dup_id"))

@@ -93,12 +93,17 @@ object Sketches {
 
   /** Space-Saving heavy hitters over the event stream: users above 1/50 of
     * total volume, via the one-pass mergeable [[graft.functions
-    * .HeavyHittersAgg]] sketch. Capacity 4096 exceeds the distinct-user
-    * count at every test SF, so the sketch runs in its EXACT regime and the
-    * gate hash-pins it against the plain GROUP BY/HAVING — at 100 TB the
-    * same plan runs with capacity ≪ |distinct| and the ε = N/capacity
-    * over-count bound, which is the point: fixed memory per partition, one
-    * scan, partial maps merged map-side like any typed Aggregator. */
+    * .HeavyHittersAgg]] sketch. The exact-oracle gate holds ONLY in the
+    * sketch's EXACT regime (capacity ≥ |distinct keys|) — the r10 sf1 sweep
+    * proved the boundary by crossing it: at 15000 distinct users the old
+    * capacity 4096 left the exact regime, and with this corpus's
+    * near-uniform counts (mean ≈ 67 ≪ the ε = N/m ≈ 244 over-count bound)
+    * the sketch's top-10 was structurally meaningless, not just off by ε.
+    * Capacity 65536 (512 KB of counters) restores exactness through sf10;
+    * the sizing rule a deployment applies is m ≥ |distinct| for exact
+    * answers, else m ≥ N/ε for an ε that separates the hitters from the
+    * bulk — a near-uniform distribution has NO heavy hitters and no sketch
+    * finds a meaningful top-k there at m ≪ |distinct|. */
   val heavyQ = QueryDef(
     "heavy_hitters_user",
     "Space-Saving sketch: top-10 users by event volume (exact regime)",
@@ -107,7 +112,7 @@ object Sketches {
             ORDER BY est DESC, user_id LIMIT 10"""),
     (s, dir) => Tables.events(s, dir)
       .agg(graft.functions.HeavyHittersAgg
-        .heavy_hitters(col("user_id"), 4096).as("hh"))
+        .heavy_hitters(col("user_id"), 65536).as("hh"))
       .select(explode(col("hh")).as(Seq("user_id", "est")))
       .orderBy(desc("est"), col("user_id"))
       .limit(10))
