@@ -28,4 +28,45 @@ object Num {
   /** The DuckDB-side spelling of [[pround]]. */
   def sql(expr: String, n: Int): String =
     s"floor(($expr) * 1e$n + 0.5) / 1e$n"
+
+  /** Order-free exact sum of a fixed-point-valued double expression.
+    *
+    * [[pround]] makes one double deterministic, but `sum(double)` itself is
+    * summation-ORDER-dependent — parallel vs sequential accumulation differs
+    * by ulps, and the r10 sf1 sweep caught group sums over 10x more rows
+    * landing exactly on rounding boundaries (q7 volume, q9 profit,
+    * geo_cell_density means flipped their last digit). The repo convention
+    * ("integer/decimal until one final division") applies: the per-row
+    * product is IEEE-deterministic (same inputs, same result, any engine);
+    * casting it to DECIMAL(28, `dscale`) is exact because the data's true
+    * value has at most `dscale` decimals (2dp x 2dp -> 4dp money products,
+    * 6dp with tax) and the double sits within an ulp of it; the decimal SUM
+    * is exact integer arithmetic in any order; then ONE cast back to double
+    * and the shared [[pround]]. 28 digits hold 1e24 in micro-units — room
+    * for any revenue this engine will sum. */
+  def psum(e: Column, dscale: Int, n: Int): Column =
+    pround(sum(e.cast(s"decimal(28,$dscale)")).cast("double"), n)
+
+  /** The DuckDB-side spelling of [[psum]]. */
+  def sqlSum(expr: String, dscale: Int, n: Int): String =
+    sql(s"CAST(sum(CAST(($expr) AS DECIMAL(28,$dscale))) AS DOUBLE)", n)
+
+  /** Exact decimal sum WITHOUT the final rounding — for ratios of sums:
+    * cast each side to double, divide once, [[pround] the quotient. */
+  def dsum(e: Column, dscale: Int): Column =
+    sum(e.cast(s"decimal(28,$dscale)")).cast("double")
+
+  /** The DuckDB-side spelling of [[dsum]]. */
+  def sqlDsum(expr: String, dscale: Int): String =
+    s"CAST(sum(CAST(($expr) AS DECIMAL(28,$dscale))) AS DOUBLE)"
+
+  /** Order-free mean of a fixed-point-valued double expression: exact
+    * decimal sum, ONE division by the group count, shared rounding.
+    * (`avg(double)` has the same summation-order hazard as `sum`.) */
+  def pavg(e: Column, dscale: Int, n: Int): Column =
+    pround(dsum(e, dscale) / count(lit(1)), n)
+
+  /** The DuckDB-side spelling of [[pavg]]. */
+  def sqlAvg(expr: String, dscale: Int, n: Int): String =
+    sql(s"${sqlDsum(expr, dscale)} / count(*)", n)
 }

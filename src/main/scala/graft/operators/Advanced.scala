@@ -92,11 +92,11 @@ object Advanced {
              g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x)
              SELECT user_id, CAST(floor(epoch(min(t))) AS BIGINT) AS session_start,
-                    count(*) AS n, ${Num.sql("sum(value)", 4)} AS sum_value
+                    count(*) AS n, ${Num.sqlSum("value", 6, 4)} AS sum_value
              FROM g GROUP BY user_id, sid"""),
     (s, dir) => Tables.events(s, dir)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n"), Num.pround(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Num.psum(col("value"), 6, 4).as("sum_value"))
       .select(unix_timestamp(col("session_window.start")).as("session_start"),
         col("user_id"), col("n"), col("sum_value")))
 
@@ -105,7 +105,7 @@ object Advanced {
     "grouping_sets_acctbal",
     "GROUP BY GROUPING SETS over supplier balances",
     Some(s"""SELECT r.r_name, n.n_name, count(*) AS n_sup,
-                    ${Num.sql("sum(s.s_acctbal)", 2)} AS acctbal
+                    ${Num.sqlSum("s.s_acctbal", 6, 2)} AS acctbal
              FROM supplier s
              JOIN nation n ON s.s_nationkey = n.n_nationkey
              JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -116,7 +116,7 @@ object Advanced {
       .groupingSets(
         Seq(Seq(col("r_name")), Seq(col("r_name"), col("n_name")), Seq()),
         col("r_name"), col("n_name"))
-      .agg(count(lit(1)).as("n_sup"), Num.pround(sum(col("s_acctbal")), 2).as("acctbal")))
+      .agg(count(lit(1)).as("n_sup"), Num.psum(col("s_acctbal"), 6, 2).as("acctbal")))
 
   /** PIVOT — event counts per user by type, dense zeros like the oracle's
     * FILTER aggregates. */

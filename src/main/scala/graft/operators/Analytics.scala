@@ -80,11 +80,11 @@ object Analytics {
     "value_histogram",
     "event value histogram: 17 bins of width 20, top bin clamped",
     Some(s"""SELECT least(CAST(floor(value / 20) AS BIGINT), 16) AS bin,
-                    count(*) AS n, ${Num.sql("avg(value)", 4)} AS mean_in_bin
+                    count(*) AS n, ${Num.sqlAvg("value", 6, 4)} AS mean_in_bin
              FROM events GROUP BY 1"""),
     (s, dir) => Tables.events(s, dir)
       .groupBy(least(floor(col("value") / 20).cast("long"), lit(16L)).as("bin"))
-      .agg(count(lit(1)).as("n"), Num.pround(avg(col("value")), 4).as("mean_in_bin")))
+      .agg(count(lit(1)).as("n"), Num.pavg(col("value"), 6, 4).as("mean_in_bin")))
 
   /** RFM feature vector per user — the classic recency/frequency/monetary
     * triple plus activity breadth, the feature-engineering aggregate a
@@ -98,7 +98,7 @@ object Analytics {
              SELECT user_id,
                     (SELECT m FROM mx) - max(epoch_us(CAST(ts AS TIMESTAMP))) AS recency_us,
                     count(*) AS frequency,
-                    ${Num.sql("sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)", 2)}
+                    ${Num.sqlSum("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END", 6, 2)}
                       AS monetary,
                     count(DISTINCT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')) AS active_days
              FROM events GROUP BY user_id"""),
@@ -108,8 +108,8 @@ object Analytics {
       e.groupBy(col("user_id"))
         .agg(max(unix_micros(col("ts"))).as("last_us"),
           count(lit(1)).as("frequency"),
-          Num.pround(sum(when(col("event_type") === "purchase", col("value"))
-            .otherwise(0.0)), 2).as("monetary"),
+          Num.psum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(0.0), 6, 2).as("monetary"),
           countDistinct(date_format(col("ts"), "yyyy-MM-dd")).as("active_days"))
         .join(broadcast(mx))
         .select(col("user_id"), (col("m") - col("last_us")).as("recency_us"),
@@ -214,7 +214,7 @@ object Analytics {
                                value
                         FROM events),
              byh AS (SELECT event_type, hr, count(*) AS n_events,
-                            ${Num.sql("avg(value)", 4)} AS avg_value
+                            ${Num.sqlAvg("value", 6, 4)} AS avg_value
                      FROM e GROUP BY 1, 2),
              b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM e),
              hrs AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM b),
@@ -235,7 +235,7 @@ object Analytics {
           col("value"))
       val byh = e.groupBy(col("event_type"), col("hr"))
         .agg(count(lit(1)).as("n_events"),
-          Num.pround(avg(col("value")), 4).as("avg_value"))
+          Num.pavg(col("value"), 6, 4).as("avg_value"))
       val hrs = e.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
         .select(explode(sequence(col("h0"), col("h1"),
           expr("interval 1 hour"))).as("hr"))
@@ -471,7 +471,7 @@ object Analytics {
   val paretoQ = QueryDef(
     "pareto_share",
     "value contribution and cumulative share per type (80/20 analysis)",
-    Some(s"""WITH t AS (SELECT event_type, ${Num.sql("sum(value)", 2)} AS revenue
+    Some(s"""WITH t AS (SELECT event_type, ${Num.sqlSum("value", 6, 2)} AS revenue
                         FROM events GROUP BY 1),
              tot AS (SELECT sum(revenue) AS tot FROM t)
              SELECT event_type, revenue,
@@ -485,7 +485,7 @@ object Analytics {
       // cached: two consumers (the grand total + the share projection) —
       // uncached, the corpus-scale revenue aggregation runs twice
       val t = Tables.events(s, dir).groupBy(col("event_type"))
-        .agg(Num.pround(sum(col("value")), 2).as("revenue"))
+        .agg(Num.psum(col("value"), 6, 2).as("revenue"))
         .cache()
       val tot = t.agg(sum(col("revenue")).as("tot"))
       val w = Window.orderBy(col("revenue").desc, col("event_type"))

@@ -425,6 +425,25 @@ object Dedup {
     hammingFromBuckets(banded, maxDist, maxBucket)
   }
 
+  /** Geometry auto-selection for banded hamming search: the narrow
+    * single-band form ([[hammingPairs]], maxDist+1 key rows per doc) while
+    * the corpus is far from saturating its 2^width bucket space, the
+    * band-pair form ([[hammingPairsWide]], 2^(2·width) buckets) beyond.
+    * The boundary is MEASURED, not hypothetical — the r10 sf1 sweep: at
+    * 50k docs over the narrow form's 2^15 buckets, this low-entropy corpus
+    * concentrated fingerprints into hot buckets past `maxBucket`, and the
+    * guard dropped 8 of 2463 true pairs (structural recall broken by the
+    * cap); at 5k docs, zero drops. The corpus count is one driver job over
+    * the cached fingerprint table — catalog registration stays lazy because
+    * the QueryDef wraps this in [[graft.plans.Deferred]], the same
+    * discipline as `dedup_clusters`' size-gated union-find. */
+  def hammingPairsAuto(fp: DataFrame, maxDist: Int, bits: Int = 60,
+      maxBucket: Int = DefaultMaxBucket, switchAt: Long = 20000L): DataFrame = {
+    val f = fp.cache() // counted once, then scanned by the chosen geometry
+    if (f.count() <= switchAt) hammingPairs(f, maxDist, bits, maxBucket)
+    else hammingPairsWide(f, maxDist, bits, 0, maxBucket)
+  }
+
   /** Near-dup PAIRS → dedup CLUSTERS: connected components of the pair
     * graph, the step that turns pairwise similarity into "keep one document
     * per duplicate group". Two physical paths behind one semantics (label =
@@ -733,17 +752,25 @@ object Dedup {
 
   /** Banded hamming search under the oracle: the DuckDB side computes the
     * full quadratic answer; the engine's pigeonhole banding must return
-    * exactly that set (recall is structural, not probabilistic). */
+    * exactly that set (recall is structural, not probabilistic — and the
+    * auto geometry switch keeps it structural PAST the narrow form's
+    * bucket-saturation boundary, see [[hammingPairsAuto]]). */
   val hammingQ = QueryDef(
     "simhash_hamming_pairs",
-    "fingerprint pairs within hamming distance 3 via exact pigeonhole bands",
+    "fingerprint pairs within hamming distance 3 via exact pigeonhole bands (geometry auto-selected by corpus size)",
     Some(s"""WITH fp AS ($simhashOracle)
              SELECT a.doc_id AS i, b.doc_id AS j,
                     bit_count(xor(a.simhash, b.simhash)) AS dist
              FROM fp a JOIN fp b ON a.doc_id < b.doc_id
              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""),
-    (s, dir) => hammingPairs(
-      simHash(Tables.documents(s, dir), "doc_id", "text"), maxDist = 3))
+    (s, dir) => {
+      import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+      graft.plans.Deferred.dataFrame(s, StructType(Seq(
+        StructField("i", LongType), StructField("j", LongType),
+        StructField("dist", IntegerType))),
+        () => hammingPairsAuto(
+          simHash(Tables.documents(s, dir), "doc_id", "text"), maxDist = 3))
+    })
 
   /** The wide-bucket geometry under the SAME quadratic oracle: identical
     * answer set, 2^24 buckets instead of 2^15 — the form that stays linear

@@ -29,13 +29,13 @@ object Relational {
     "q1_pricing_summary",
     "TPC-H Q1: filtered scan + grouped multi-aggregate",
     Some(s"""SELECT l_returnflag, l_linestatus,
-                   ${Num.sql("sum(l_quantity)", 2)} AS sum_qty,
-                   ${Num.sql("sum(l_extendedprice)", 2)} AS sum_base_price,
-                   ${Num.sql("sum(l_extendedprice * (1 - l_discount))", 2)} AS sum_disc_price,
-                   ${Num.sql("sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))", 2)} AS sum_charge,
-                   ${Num.sql("avg(l_quantity)", 4)} AS avg_qty,
-                   ${Num.sql("avg(l_extendedprice)", 4)} AS avg_price,
-                   ${Num.sql("avg(l_discount)", 4)} AS avg_disc,
+                   ${Num.sqlSum("l_quantity", 6, 2)} AS sum_qty,
+                   ${Num.sqlSum("l_extendedprice", 6, 2)} AS sum_base_price,
+                   ${Num.sqlSum("l_extendedprice * (1 - l_discount)", 6, 2)} AS sum_disc_price,
+                   ${Num.sqlSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6, 2)} AS sum_charge,
+                   ${Num.sqlAvg("l_quantity", 6, 4)} AS avg_qty,
+                   ${Num.sqlAvg("l_extendedprice", 6, 4)} AS avg_price,
+                   ${Num.sqlAvg("l_discount", 6, 4)} AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -44,13 +44,13 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        Num.pround(sum(col("l_quantity")), 2).as("sum_qty"),
-        Num.pround(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        Num.pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        Num.pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        Num.pround(avg(col("l_quantity")), 4).as("avg_qty"),
-        Num.pround(avg(col("l_extendedprice")), 4).as("avg_price"),
-        Num.pround(avg(col("l_discount")), 4).as("avg_disc"),
+        Num.psum(col("l_quantity"), 6, 2).as("sum_qty"),
+        Num.psum(col("l_extendedprice"), 6, 2).as("sum_base_price"),
+        Num.psum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6, 2).as("sum_disc_price"),
+        Num.psum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6, 2).as("sum_charge"),
+        Num.pavg(col("l_quantity"), 6, 4).as("avg_qty"),
+        Num.pavg(col("l_extendedprice"), 6, 4).as("avg_price"),
+        Num.pavg(col("l_discount"), 6, 4).as("avg_disc"),
         count(lit(1)).as("count_order")))
 
   /** TPC-H Q3-shaped: selective 3-way join + grouped revenue + ordered top-K.
@@ -60,7 +60,7 @@ object Relational {
     "q3_top_revenue",
     "TPC-H Q3: 3-way join, group, deterministic top-10",
     Some(s"""SELECT o.o_orderkey,
-                   ${Num.sql("sum(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue,
+                   ${Num.sqlSum("l.l_extendedprice * (1 - l.l_discount)", 6, 2)} AS revenue,
                    strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
             FROM customer c
             JOIN orders o ON c.c_custkey = o.o_custkey
@@ -77,7 +77,7 @@ object Relational {
       .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_shipdate") > lit("1996-01-01 00:00:00").cast("timestamp"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
-      .agg(Num.pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(Num.psum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6, 2).as("revenue"))
       .select(col("o_orderkey"), col("revenue"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
@@ -91,7 +91,7 @@ object Relational {
     "q5_region_revenue",
     "TPC-H Q5: multi-way join, broadcast dims, revenue per nation",
     Some(s"""SELECT n.n_name,
-                   ${Num.sql("sum(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue
+                   ${Num.sqlSum("l.l_extendedprice * (1 - l.l_discount)", 6, 2)} AS revenue
             FROM region r
             JOIN nation n ON n.n_regionkey = r.r_regionkey
             JOIN supplier s ON s.s_nationkey = n.n_nationkey
@@ -121,7 +121,7 @@ object Relational {
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(Num.pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(Num.psum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6, 2).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     })
 
@@ -179,7 +179,7 @@ object Relational {
     "rollup_region_acctbal",
     "GROUP BY ROLLUP(region, nation) over supplier balances",
     Some(s"""SELECT r.r_name, n.n_name, count(*) AS n_sup,
-                   ${Num.sql("sum(s.s_acctbal)", 2)} AS acctbal
+                   ${Num.sqlSum("s.s_acctbal", 6, 2)} AS acctbal
             FROM supplier s
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -188,18 +188,18 @@ object Relational {
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      .agg(count(lit(1)).as("n_sup"), Num.pround(sum(col("s_acctbal")), 2).as("acctbal")))
+      .agg(count(lit(1)).as("n_sup"), Num.psum(col("s_acctbal"), 6, 2).as("acctbal")))
 
   /** CUBE — all grouping combinations of status × priority. */
   val cube_ = QueryDef(
     "cube_status_priority",
     "GROUP BY CUBE(status, priority) over orders",
     Some(s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-                   ${Num.sql("sum(o_totalprice)", 2)} AS total
+                   ${Num.sqlSum("o_totalprice", 6, 2)} AS total
             FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""),
     (s, dir) => Tables.orders(s, dir)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), Num.pround(sum(col("o_totalprice")), 2).as("total")))
+      .agg(count(lit(1)).as("n"), Num.psum(col("o_totalprice"), 6, 2).as("total")))
 
   /** Running window aggregate — per-supplier running quantity in fully
     * deterministic frame order (shipdate, orderkey, linenumber). One shuffle
@@ -250,11 +250,11 @@ object Relational {
     "tumbling_hourly",
     "1-hour tumbling event-time window aggregate",
     Some(s"""SELECT CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS window_start,
-                   event_type, count(*) AS n, ${Num.sql("sum(value)", 4)} AS sum_value
+                   event_type, count(*) AS n, ${Num.sqlSum("value", 6, 4)} AS sum_value
             FROM events GROUP BY 1, 2"""),
     (s, dir) => Tables.events(s, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), Num.pround(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Num.psum(col("value"), 6, 4).as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("window_start"),
         col("event_type"), col("n"), col("sum_value")))
 
@@ -269,12 +269,12 @@ object Relational {
                      event_type, value
               FROM events)
             SELECT ws AS window_start, event_type, count(*) AS n,
-                   ${Num.sql("sum(value)", 4)} AS sum_value
+                   ${Num.sqlSum("value", 6, 4)} AS sum_value
             FROM (SELECT unnest([b, b - 1800]) AS ws, event_type, value FROM e)
             GROUP BY ws, event_type"""),
     (s, dir) => Tables.events(s, dir)
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), Num.pround(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Num.psum(col("value"), 6, 4).as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("window_start"),
         col("event_type"), col("n"), col("sum_value")))
 
@@ -335,7 +335,7 @@ object Relational {
   val q6 = QueryDef(
     "q6_forecast_revenue",
     "TPC-H Q6: selective filter + single aggregate",
-    Some(s"""SELECT ${Num.sql("sum(l_extendedprice * l_discount)", 2)} AS revenue
+    Some(s"""SELECT ${Num.sqlSum("l_extendedprice * l_discount", 6, 2)} AS revenue
              FROM lineitem
              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
                AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -345,7 +345,7 @@ object Relational {
       .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
         col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
-      .agg(Num.pround(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue")))
+      .agg(Num.psum(col("l_extendedprice") * col("l_discount"), 6, 2).as("revenue")))
 
   /** TPC-H Q14-shaped: conditional aggregation ratio (promo revenue share). */
   val q14 = QueryDef(
@@ -397,7 +397,7 @@ object Relational {
   val q19 = QueryDef(
     "q19_disjunctive_join",
     "TPC-H Q19: OR-of-ANDs join predicate, revenue sum",
-    Some(s"""SELECT ${Num.sql("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue
+    Some(s"""SELECT ${Num.sqlSum("l_extendedprice * (1 - l_discount)", 6, 2)} AS revenue
              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
              WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
                     AND l.l_quantity >= 1 AND l.l_quantity <= 20)
@@ -411,7 +411,7 @@ object Relational {
       Tables.lineitem(s, dir)
         .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
         .filter(cond1 || cond2)
-        .agg(Num.pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(Num.psum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6, 2)
           .as("revenue"))
     })
 
@@ -422,7 +422,7 @@ object Relational {
     "TPC-H Q7: supplier/customer nation pair volume by year",
     Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                     year(l.l_shipdate) AS l_year,
-                    ${Num.sql("sum(l.l_extendedprice * (1 - l.l_discount))", 2)} AS volume
+                    ${Num.sqlSum("l.l_extendedprice * (1 - l.l_discount)", 6, 2)} AS volume
              FROM supplier s
              JOIN lineitem l ON s.s_suppkey = l.l_suppkey
              JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -447,7 +447,7 @@ object Relational {
           col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18")
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("l_year"))
-        .agg(Num.pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(Num.psum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6, 2)
           .as("volume"))
     })
 
@@ -456,7 +456,7 @@ object Relational {
     "q10_returned_items",
     "TPC-H Q10: 4-way join on returned items, grouped revenue, top-20",
     Some(s"""SELECT c.c_custkey, c.c_name, n.n_name,
-                    ${Num.sql("sum(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue
+                    ${Num.sqlSum("l.l_extendedprice * (1 - l.l_discount)", 6, 2)} AS revenue
              FROM customer c
              JOIN orders o ON c.c_custkey = o.o_custkey
              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -475,7 +475,7 @@ object Relational {
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-      .agg(Num.pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+      .agg(Num.psum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6, 2)
         .as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20))
@@ -487,7 +487,7 @@ object Relational {
     "TPC-H Q18: HAVING-subquery semi join, per-order quantity totals",
     Some(s"""SELECT c.c_name, o.o_orderkey,
                     ${Num.sql("o.o_totalprice", 2)} AS totalprice,
-                    ${Num.sql("sum(l.l_quantity)", 2)} AS total_qty
+                    ${Num.sqlSum("l.l_quantity", 6, 2)} AS total_qty
              FROM customer c
              JOIN orders o ON c.c_custkey = o.o_custkey
              JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -507,7 +507,7 @@ object Relational {
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_name"), col("o_orderkey"),
           Num.pround(col("o_totalprice"), 2).as("totalprice"))
-        .agg(Num.pround(sum(col("l_quantity")), 2).as("total_qty"))
+        .agg(Num.psum(col("l_quantity"), 6, 2).as("total_qty"))
         .orderBy(col("totalprice").desc, col("o_orderkey"))
         .limit(100)
     })
@@ -520,7 +520,7 @@ object Relational {
   val q17 = QueryDef(
     "q17_small_quantity",
     "TPC-H Q17: correlated avg-quantity subquery via aggregate join",
-    Some(s"""SELECT ${Num.sql("sum(l.l_extendedprice) / 7.0", 2)} AS avg_yearly
+    Some(s"""SELECT ${Num.sql(s"${Num.sqlDsum("l.l_extendedprice", 6)} / 7.0", 2)} AS avg_yearly
              FROM lineitem l
              JOIN part p ON p.p_partkey = l.l_partkey
              JOIN (SELECT l_partkey AS a_partkey, 0.5 * avg(l_quantity) AS half_avg
@@ -535,7 +535,7 @@ object Relational {
           col("p_partkey") === col("l_partkey"))
         .join(halfAvg, col("a_partkey") === col("l_partkey"))
         .filter(col("l_quantity") < col("half_avg"))
-        .agg(Num.pround(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+        .agg(Num.pround(Num.dsum(col("l_extendedprice"), 6) / 7.0, 2).as("avg_yearly"))
     })
 
   /** Approximate percentile with the same oracled contract as

@@ -83,11 +83,11 @@ object Serving {
   val d5 = QueryDef(
     "d5_center",
     "avg over the stream's numeric coords, map-center analog (console.py:59-60)",
-    Some(s"""SELECT ${Num.sql("avg(value)", 4)} AS avg_value,
+    Some(s"""SELECT ${Num.sqlAvg("value", 6, 4)} AS avg_value,
                     ${Num.sql("avg(CAST(user_id AS DOUBLE))", 4)} AS avg_user
              FROM events"""),
     (s, dir) => Tables.events(s, dir).agg(
-      Num.pround(avg(col("value")), 4).as("avg_value"),
+      Num.pavg(col("value"), 6, 4).as("avg_value"),
       Num.pround(avg(col("user_id").cast("double")), 4).as("avg_user")))
 
   /** D6 — min/max bounds for map fit_bounds (console.py:102-105). */

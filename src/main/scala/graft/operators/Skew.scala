@@ -26,9 +26,10 @@ object Skew {
   def saltedCountSum(df: DataFrame, key: Column, saltSource: Column,
       value: Column, saltBuckets: Int): DataFrame =
     df.groupBy(key.as("k"), pmod(hash(saltSource), lit(saltBuckets)).as("salt"))
-      .agg(count(lit(1)).as("pn"), sum(value).as("psum"))
+      .agg(count(lit(1)).as("pn"),
+        sum(value.cast("decimal(28,6)")).as("psum"))
       .groupBy(col("k"))
-      .agg(sum(col("pn")).as("n"), sum(col("psum")).as("vsum"))
+      .agg(sum(col("pn")).as("n"), sum(col("psum")).cast("double").as("vsum"))
 
   /** Salted aggregate over events: identical result to a plain GROUP BY
     * (the oracle), different shuffle shape. Doubles survive the two-phase
@@ -37,7 +38,7 @@ object Skew {
     "skew_salted_agg",
     "two-phase salted aggregation equals plain GROUP BY",
     Some(s"""SELECT event_type, count(*) AS n,
-                    ${Num.sql("sum(value)", 2)} AS vsum
+                    ${Num.sqlSum("value", 6, 2)} AS vsum
              FROM events GROUP BY event_type"""),
     (s, dir) => saltedCountSum(Tables.events(s, dir),
       col("event_type"), col("event_id"), col("value"), saltBuckets = 16)

@@ -55,7 +55,7 @@ object TimeSeries {
       val lags = (1 until 10).map(j => s"lag(x, $j) OVER w AS x$j").mkString(", ")
       s"""WITH daily AS (
             SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
-                   ${Num.sql("sum(value) / count(*)", 6)} AS x
+                   ${Num.sql(s"${Num.sqlDsum("value", 6)} / count(*)", 6)} AS x
             FROM events GROUP BY 1, 2),
           lagged AS (
             SELECT event_type, day, x, $lags
@@ -66,7 +66,7 @@ object TimeSeries {
     (s, dir) => {
       val daily = Tables.events(s, dir)
         .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
-        .agg(Num.pround(sum(col("value")) / count(lit(1)), 6).as("x"))
+        .agg(Num.pround(Num.dsum(col("value"), 6) / count(lit(1)), 6).as("x"))
       val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
       val lagged = (1 until 10).foldLeft(daily) { (df, j) =>
         df.withColumn(s"x$j", lag(col("x"), j).over(w))

@@ -87,9 +87,9 @@ object TpchMore {
     "q8_market_share",
     "TPC-H Q8: NATION_18 share of ASIA ECONOMY-part volume by year",
     Some(s"""SELECT year(o.o_orderdate) AS o_year,
-                    ${Num.sql("""sum(CASE WHEN n2.n_name = 'NATION_18'
-                        THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
-                      / sum(l.l_extendedprice * (1 - l.l_discount))""", 4)} AS mkt_share
+                    ${Num.sql(s"""${Num.sqlDsum("""CASE WHEN n2.n_name = 'NATION_18'
+                        THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END""", 6)}
+                      / ${Num.sqlDsum("l.l_extendedprice * (1 - l.l_discount)", 6)}""", 4)} AS mkt_share
              FROM part p
              JOIN lineitem l ON p.p_partkey = l.l_partkey
              JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -128,8 +128,8 @@ object TpchMore {
     "q9_product_profit",
     "TPC-H Q9: widget-part profit by supplier nation and year (retailprice cost proxy)",
     Some(s"""SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
-                    ${Num.sql("""sum(l.l_extendedprice * (1 - l.l_discount)
-                       - 0.6 * p.p_retailprice * l.l_quantity)""", 2)} AS profit
+                    ${Num.sqlSum("""l.l_extendedprice * (1 - l.l_discount)
+                       - 0.6 * p.p_retailprice * l.l_quantity""", 6, 2)} AS profit
              FROM lineitem l
              JOIN part p ON p.p_partkey = l.l_partkey
              JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -146,8 +146,8 @@ object TpchMore {
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"),
         year(col("o_orderdate")).cast("long").as("o_year"))
-      .agg(Num.pround(sum(
-        revenue - lit(0.6) * col("p_retailprice") * col("l_quantity")), 2)
+      .agg(Num.psum(
+        revenue - lit(0.6) * col("p_retailprice") * col("l_quantity"), 6, 2)
         .as("profit")))
 
   /** Q11: "important" parts — per-part shipped value above a scalar-subquery
@@ -156,14 +156,15 @@ object TpchMore {
   val q11 = QueryDef(
     "q11_important_parts",
     "TPC-H Q11: parts whose shipped value exceeds 1.2x the per-part average",
-    Some(s"""WITH pv AS (SELECT l_partkey, sum(l_extendedprice) AS v
+    Some(s"""WITH pv AS (SELECT l_partkey, ${Num.sqlDsum("l_extendedprice", 6)} AS v
                          FROM lineitem GROUP BY 1)
              SELECT l_partkey, ${Num.sql("v", 2)} AS value FROM pv
-             WHERE v > (SELECT 1.2 * avg(v) FROM pv)"""),
+             WHERE v > (SELECT 1.2 * (${Num.sqlDsum("v", 2)} / count(*)) FROM pv)"""),
     (s, dir) => {
       val pv = Tables.lineitem(s, dir).groupBy(col("l_partkey"))
-        .agg(sum(col("l_extendedprice")).as("v"))
-      pv.join(broadcast(pv.agg((lit(1.2) * avg(col("v"))).as("thresh"))))
+        .agg(Num.dsum(col("l_extendedprice"), 6).as("v"))
+      pv.join(broadcast(pv.agg((lit(1.2) *
+          (Num.dsum(col("v"), 2) / count(lit(1)))).as("thresh"))))
         .filter(col("v") > col("thresh"))
         .select(col("l_partkey"), Num.pround(col("v"), 2).as("value"))
     })
@@ -222,7 +223,7 @@ object TpchMore {
     "TPC-H Q15: supplier(s) with maximum quarterly revenue (view + scalar max)",
     Some(s"""WITH rev AS (
                SELECT l_suppkey AS supplier_no,
-                      ${Num.sql("sum(l_extendedprice * (1 - l_discount))", 2)} AS total_revenue
+                      ${Num.sqlSum("l_extendedprice * (1 - l_discount)", 6, 2)} AS total_revenue
                FROM lineitem
                WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
                  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -235,7 +236,7 @@ object TpchMore {
         .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
           col("l_shipdate") < ts("1996-04-01 00:00:00"))
         .groupBy(col("l_suppkey").as("supplier_no"))
-        .agg(Num.pround(sum(revenue), 2).as("total_revenue"))
+        .agg(Num.psum(revenue, 6, 2).as("total_revenue"))
       rev.join(broadcast(rev.agg(max(col("total_revenue")).as("max_rev"))))
         .filter(col("total_revenue") === col("max_rev"))
         .join(Tables.supplier(s, dir), col("supplier_no") === col("s_suppkey"))
@@ -365,9 +366,9 @@ object TpchMore {
     "q22_idle_customers",
     "TPC-H Q22: high-balance customers idle since 1999, by nation",
     Some(s"""SELECT c.c_nationkey AS cntry, count(*) AS numcust,
-                    ${Num.sql("sum(c.c_acctbal)", 2)} AS totacctbal
+                    ${Num.sqlSum("c.c_acctbal", 6, 2)} AS totacctbal
              FROM customer c
-             WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+             WHERE c.c_acctbal > (SELECT ${Num.sqlDsum("c_acctbal", 2)} / count(*) FROM customer
                                   WHERE c_acctbal > 0)
                AND NOT EXISTS (SELECT 1 FROM orders o
                                WHERE o.o_custkey = c.c_custkey
@@ -376,7 +377,7 @@ object TpchMore {
     (s, dir) => {
       val c = Tables.customer(s, dir)
       c.join(broadcast(c.filter(col("c_acctbal") > 0)
-          .agg(avg(col("c_acctbal")).as("avg_bal"))))
+          .agg((Num.dsum(col("c_acctbal"), 2) / count(lit(1))).as("avg_bal"))))
         .filter(col("c_acctbal") > col("avg_bal"))
         .join(Tables.orders(s, dir)
           .filter(col("o_orderdate") >= ts("1999-01-01 00:00:00"))
@@ -384,7 +385,7 @@ object TpchMore {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey").as("cntry"))
         .agg(count(lit(1)).as("numcust"),
-          Num.pround(sum(col("c_acctbal")), 2).as("totacctbal"))
+          Num.psum(col("c_acctbal"), 6, 2).as("totacctbal"))
     })
 
   val defs: Seq[QueryDef] =

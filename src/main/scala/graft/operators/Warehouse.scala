@@ -396,7 +396,7 @@ object Warehouse {
     "monthly revenue with year-over-year growth (period-shifted self-join)",
     Some(s"""WITH m AS (SELECT CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS yr,
                                CAST(strftime(o_orderdate, '%m') AS BIGINT) AS mon,
-                               ${Num.sql("sum(o_totalprice)", 2)} AS revenue
+                               ${Num.sqlSum("o_totalprice", 6, 2)} AS revenue
                         FROM orders GROUP BY 1, 2)
              SELECT a.yr, a.mon, a.revenue, b.revenue AS prev_revenue,
                     ${Num.sql("(a.revenue - b.revenue) / b.revenue", 4)} AS yoy_growth
@@ -405,7 +405,7 @@ object Warehouse {
       val m = Tables.orders(s, dir)
         .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
           month(col("o_orderdate")).cast("long").as("mon"))
-        .agg(Num.pround(sum(col("o_totalprice")), 2).as("revenue"))
+        .agg(Num.psum(col("o_totalprice"), 6, 2).as("revenue"))
       val prev = m.select((col("yr") + 1).as("p_yr"), col("mon").as("p_mon"),
         col("revenue").as("prev_revenue"))
       m.join(broadcast(prev),

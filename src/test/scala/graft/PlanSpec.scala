@@ -330,12 +330,24 @@ class PlanSpec extends SparkSpec {
     // the r9 convergence: pairs expand from collect_list buckets, so the
     // plan must contain NO join operator at all (the old form self-joined
     // the banded table and leaned on cache residency); a Join reappearing
-    // here means the single-fingerprint-evaluation guarantee regressed
-    for (q <- Seq("simhash_hamming_pairs", "simhash_hamming_pairs_wide")) {
-      val p = plan(run(q))
-      assert(!p.contains("Join"), s"$q reacquired a join:\n$p")
+    // here means the single-fingerprint-evaluation guarantee regressed.
+    // Peek the operator forms directly: the narrow catalog entry is now
+    // Deferred-wrapped (r10 auto geometry switch runs a count), which makes
+    // the catalog plan opaque — the geometries themselves are what's pinned
+    val fp = graft.operators.Dedup.simHash(
+      graft.sources.Tables.documents(spark, sf("sf0.001")), "doc_id", "text")
+    val geoms = Seq(
+      "narrow" -> graft.operators.Dedup.hammingPairs(fp, maxDist = 3),
+      "wide" -> graft.operators.Dedup.hammingPairsWide(fp, maxDist = 3),
+      "wide-catalog" -> run("simhash_hamming_pairs_wide"))
+    for ((name, df) <- geoms) {
+      val p = plan(df)
+      assert(!p.contains("Join"), s"$name reacquired a join:\n$p")
       assert(p.contains("Generate"), p) // posexplode pair expansion
     }
+    // and the auto entry still resolves to one of them at execution time
+    assert(run("simhash_hamming_pairs").queryExecution.executedPlan
+      .toString.contains("Deferred"))
   }
 
   test("jaccard wedge enumeration closes with equi-joins only — the " +
