@@ -161,8 +161,12 @@ object TpchMore {
              SELECT l_partkey, ${Num.sql("v", 2)} AS value FROM pv
              WHERE v > (SELECT 1.2 * (${Num.sqlDsum("v", 2)} / count(*)) FROM pv)"""),
     (s, dir) => {
+      // cached: two consumers (threshold scalar + the filtered output) —
+      // uncached, the per-part decimal aggregation over lineitem runs twice
+      // (r10 idle bench caught the 2x after the decimal-sum conversion)
       val pv = Tables.lineitem(s, dir).groupBy(col("l_partkey"))
         .agg(Num.dsum(col("l_extendedprice"), 6).as("v"))
+        .cache()
       pv.join(broadcast(pv.agg((lit(1.2) *
           (Num.dsum(col("v"), 2) / count(lit(1)))).as("thresh"))))
         .filter(col("v") > col("thresh"))
