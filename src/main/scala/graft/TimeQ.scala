@@ -10,21 +10,44 @@ object TimeQ {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = args.drop(1).toSeq
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // task-metric listener: spill + peak-execution-memory evidence for the
+    // constrained-heap rehearsals (spills log at INFO, invisible at WARN —
+    // the metrics are the ground truth anyway)
+    val memSpilled = new java.util.concurrent.atomic.AtomicLong
+    val diskSpilled = new java.util.concurrent.atomic.AtomicLong
+    val peakExec = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            memSpilled.addAndGet(m.memoryBytesSpilled)
+            diskSpilled.addAndGet(m.diskBytesSpilled)
+            peakExec.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
+          }
+        }
+      })
     SparkEntry.queries("d9_scalar_count")(spark, dir).count() // warm session
     for (n <- names) {
+      memSpilled.set(0); diskSpilled.set(0); peakExec.set(0)
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, dir).count()
         spark.catalog.clearCache()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"TIMEQ $n%-28s ${times.min}%6.3f min  ${times.map(t => f"$t%.3f").mkString(" ")}")
+      println(f"TIMEQ $n%-28s ${times.min}%6.3f min  " +
+        times.map(t => f"$t%.3f").mkString(" ") +
+        f"  spillMB=${memSpilled.get / 1048576}%d/${diskSpilled.get / 1048576}%d" +
+        f" peakTaskMB=${peakExec.get / 1048576}%d")
     }
     spark.stop()
   }
