@@ -74,6 +74,33 @@ object StreamBench {
     } finally q.stop()
   }
 
+  /** `--plateau`: long-horizon state evolution of the stream-stream
+    * encounter join — the throughput run's 10 batches never cross the 2 h
+    * watermark + 1 h range horizon, so its state only ever FILLS; this mode
+    * drives enough 10-minute batches to cross it and prints per-batch state
+    * rows/bytes, turning "growth is pre-plateau fill" into a measured
+    * plateau (BENCH_NOTES round-10 streaming section). */
+  private def plateauRun(spark: SparkSession): Unit = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rows = 4000
+    val in = MemoryStream[ais.PositionEvent]
+    val q = AisPipeline.encounterAlerts(in.toDS()).writeStream
+      .outputMode("append").format("noop").start()
+    try {
+      (0 until 30).foreach { b =>
+        in.addData((0 until rows).map(i =>
+          position(b, i, rows, nShips = 200, boxDeg = 20, batchSpanSec = 600L)))
+        q.processAllAvailable()
+        val st = q.lastProgress.stateOperators.headOption
+        println(s"PLATEAU batch=$b event_min=${b * 10} " +
+          s"state_rows=${st.map(_.numRowsTotal).getOrElse(-1L)} " +
+          s"state_mb=${st.map(_.memoryUsedBytes / 1048576).getOrElse(-1L)} " +
+          s"evicted=${st.map(_.numRowsRemoved).getOrElse(-1L)}")
+      }
+    } finally q.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -86,6 +113,11 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.contains("--plateau")) {
+      plateauRun(spark)
+      spark.stop()
+      return
+    }
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
