@@ -66,6 +66,29 @@ object Num {
   def pavg(e: Column, dscale: Int, n: Int): Column =
     pround(dsum(e, dscale) / count(lit(1)), n)
 
+  /** Order-free sum of a COMPUTED double (haversine legs, sMAPE terms,
+    * gradients — values with no finite decimal representation, where
+    * [[psum]]'s direct double→decimal cast would itself be the
+    * engine-divergent rounding the header warns about). Each row is first
+    * pinned to the 10^-q grid by the shared [[pround]] IEEE formula
+    * (`floor(x*10^q + 0.5)` — mul/add/floor are bit-identical in both
+    * engines), which makes it an integer-VALUED double; integer-valued
+    * doubles cast exactly into DECIMAL(28,0) micro-units, the decimal sum
+    * is exact integer arithmetic in any order, and ONE division returns to
+    * units. Determinism holds at any magnitude (an integer-valued double
+    * is exact even past 2^53 — the grid just coarsens to ulp spacing);
+    * pick q so the quantization error n·10^-q/2 stays far inside the final
+    * rounding granularity. NOT the rounded result — compose with [[pround]]
+    * after any trailing division. */
+  def qsum(e: Column, q: Int): Column = {
+    val p = math.pow(10, q)
+    sum(floor(e * p + 0.5).cast("decimal(28,0)")).cast("double") / p
+  }
+
+  /** The DuckDB-side spelling of [[qsum]]. */
+  def sqlQsum(expr: String, q: Int): String =
+    s"(CAST(sum(CAST(floor(($expr) * 1e$q + 0.5) AS DECIMAL(28,0))) AS DOUBLE) / 1e$q)"
+
   /** The DuckDB-side spelling of [[pavg]]. */
   def sqlAvg(expr: String, dscale: Int, n: Int): String =
     sql(s"${sqlDsum(expr, dscale)} / count(*)", n)

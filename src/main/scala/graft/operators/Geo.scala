@@ -111,7 +111,7 @@ object Geo {
                           ${haversineSql("plat", "plon", "lat", "lon")} AS step_km
                    FROM steps WHERE plat IS NOT NULL)
              SELECT ship, count(*) AS n_steps,
-                    ${Num.sql("sum(step_km)", 2)} AS total_km,
+                    ${Num.sql(Num.sqlQsum("step_km", 6), 2)} AS total_km,
                     ${Num.sql("max(step_km)", 2)} AS max_leg_km
              FROM d GROUP BY ship"""),
     (s, dir) => {
@@ -124,7 +124,10 @@ object Geo {
           haversineKm(col("plat"), col("plon"), col("lat"), col("lon")))
         .groupBy(col("ship"))
         .agg(count(lit(1)).as("n_steps"),
-          Num.pround(sum(col("step_km")), 2).as("total_km"),
+          // step_km is a computed double: micro-km quantize-then-sum so the
+          // per-ship total cannot depend on summation order at any track
+          // length (error n*5e-7 km vs the 0.005 rounding grain)
+          Num.pround(Num.qsum(col("step_km"), 6), 2).as("total_km"),
           Num.pround(max(col("step_km")), 2).as("max_leg_km"))
     })
 

@@ -250,7 +250,8 @@ object LmData {
              p AS (SELECT w1, w2, w3, CAST(c3 AS DOUBLE) / c2 AS prob
                    FROM tri JOIN bi USING (w1, w2))
              SELECT doc_id, count(*) AS n_trigrams,
-                    ${Num.sql("sum(prob) / count(*)", 4)} AS predictability
+                    ${Num.sql(s"${Num.sqlQsum("prob", 12)} / count(*)",
+                      4)} AS predictability
              FROM tg JOIN p USING (w1, w2, w3) GROUP BY 1"""),
     (s, dir) => {
       import s.implicits._
@@ -271,7 +272,11 @@ object LmData {
       tg.join(p, Seq("w1", "w2", "w3"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_trigrams"),
-          Num.pround(sum(col("prob")) / count(lit(1)), 4).as("predictability"))
+          // prob = c3/c2 is a computed double; per-doc groups are bounded
+          // by doc length but quantize-then-sum removes order sensitivity
+          // outright rather than relying on the bound
+          Num.pround(Num.qsum(col("prob"), 12) / count(lit(1)), 4)
+            .as("predictability"))
     })
 
   /** Vocabulary id-encoding — the tokenizer's final step: tokens map to

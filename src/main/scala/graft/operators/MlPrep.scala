@@ -135,8 +135,11 @@ object MlPrep {
              g AS (SELECT ((${GdW0(0)} + ${GdW0(1)} * x1) +
                            (${GdW0(2)} * x2 + (${GdW0(3)}) * x3)) - y AS err,
                           x1, x2, x3 FROM f),
-             s AS (SELECT count(*) AS n, sum(err) AS g0, sum(err * x1) AS g1,
-                          sum(err * x2) AS g2, sum(err * x3) AS g3 FROM g)
+             s AS (SELECT count(*) AS n,
+                          ${Num.sqlQsum("err", 12)} AS g0,
+                          ${Num.sqlQsum("err * x1", 12)} AS g1,
+                          ${Num.sqlQsum("err * x2", 12)} AS g2,
+                          ${Num.sqlQsum("err * x3", 12)} AS g3 FROM g)
              SELECT ${Num.sql(s"${GdW0(0)} - $GdLr * g0 / n", 6)} AS w0,
                     ${Num.sql(s"${GdW0(1)} - $GdLr * g1 / n", 6)} AS w1,
                     ${Num.sql(s"${GdW0(2)} - $GdLr * g2 / n", 6)} AS w2,
@@ -155,11 +158,15 @@ object MlPrep {
             size(col("toks"))).as("x3"))
       val err = ((lit(GdW0(0)) + lit(GdW0(1)) * col("x1")) +
         (lit(GdW0(2)) * col("x2") + lit(GdW0(3)) * col("x3"))) - col("y")
+      // the four gradient components each sum a computed double over the
+      // WHOLE corpus in one group — the one aggregation here whose group
+      // grows with the data, so summation order must not be able to move
+      // the 6-dp result: quantize-then-sum at 1e-12
       f.select(err.as("err"), col("x1"), col("x2"), col("x3"))
-        .agg(count(lit(1)).as("n"), sum(col("err")).as("g0"),
-          sum(col("err") * col("x1")).as("g1"),
-          sum(col("err") * col("x2")).as("g2"),
-          sum(col("err") * col("x3")).as("g3"))
+        .agg(count(lit(1)).as("n"), Num.qsum(col("err"), 12).as("g0"),
+          Num.qsum(col("err") * col("x1"), 12).as("g1"),
+          Num.qsum(col("err") * col("x2"), 12).as("g2"),
+          Num.qsum(col("err") * col("x3"), 12).as("g3"))
         .select(
           Num.pround(lit(GdW0(0)) - lit(GdLr) * col("g0") / col("n"), 6).as("w0"),
           Num.pround(lit(GdW0(1)) - lit(GdLr) * col("g1") / col("n"), 6).as("w1"),

@@ -212,7 +212,7 @@ object Pipeline {
     "bloom_prune_orders",
     "Bloom-pruned semi join: lineitem revenue inside high-value orders",
     Some(s"""SELECT l_returnflag, count(*) AS n_lines,
-                    ${Num.sql("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue
+                    ${Num.sqlSum("l_extendedprice * (1 - l_discount)", 6, 2)} AS revenue
              FROM lineitem
              WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                                   WHERE o_totalprice > 400000)
@@ -230,7 +230,9 @@ object Pipeline {
             .join(hi, col("l_orderkey") === col("o_orderkey"), "left_semi")
             .groupBy(col("l_returnflag"))
             .agg(count(lit(1)).as("n_lines"),
-              Num.pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              // money product = fixed-point 4dp: decimal accumulate like q1
+              // (this site was missed in the r10 psum conversion)
+              Num.psum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6, 2)
                 .as("revenue"))
         })
     })

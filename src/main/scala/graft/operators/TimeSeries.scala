@@ -212,7 +212,8 @@ object TimeSeries {
                   FROM daily)
             SELECT event_type, count(*) AS n_scored,
                    ${Num.sql("sum(abs(x - f)) / count(*)", 4)} AS mae,
-                   ${Num.sql("sum(2 * abs(x - f) / (x + f)) / count(*)", 4)} AS smape
+                   ${Num.sql(s"${Num.sqlQsum("2 * abs(x - f) / (x + f)", 12)} / count(*)",
+                     4)} AS smape
             FROM l WHERE f IS NOT NULL GROUP BY 1"""),
     (s, dir) => {
       val daily = Tables.events(s, dir)
@@ -223,9 +224,12 @@ object TimeSeries {
         .filter(col("f").isNotNull)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_scored"),
+          // |x-f| is integer-valued (daily counts), so its double sum is
+          // exact and order-free as-is; the sMAPE term is a true computed
+          // double — quantize-then-sum pins it against summation order
           Num.pround(sum(abs(col("x") - col("f"))) / count(lit(1)), 4).as("mae"),
-          Num.pround(sum(lit(2) * abs(col("x") - col("f")) /
-            (col("x") + col("f"))) / count(lit(1)), 4).as("smape"))
+          Num.pround(Num.qsum(lit(2) * abs(col("x") - col("f")) /
+            (col("x") + col("f")), 12) / count(lit(1)), 4).as("smape"))
     })
 
   /** Single-changepoint scan (binary segmentation step) per type: the day
