@@ -91,19 +91,24 @@ object Sketches {
     (s, dir) => cmsFrequency(Tables.events(s, dir), "user_id",
       depth = 4, width = 64))
 
-  /** Space-Saving heavy hitters over the event stream: users above 1/50 of
-    * total volume, via the one-pass mergeable [[graft.functions
+  /** Space-Saving heavy hitters over the event stream: top users by event
+    * volume, via the one-pass mergeable [[graft.functions
     * .HeavyHittersAgg]] sketch. The exact-oracle gate holds ONLY in the
-    * sketch's EXACT regime (capacity ≥ |distinct keys|) — the r10 sf1 sweep
-    * proved the boundary by crossing it: at 15000 distinct users the old
-    * capacity 4096 left the exact regime, and with this corpus's
-    * near-uniform counts (mean ≈ 67 ≪ the ε = N/m ≈ 244 over-count bound)
-    * the sketch's top-10 was structurally meaningless, not just off by ε.
-    * Capacity 65536 (512 KB of counters) restores exactness through sf10;
-    * the sizing rule a deployment applies is m ≥ |distinct| for exact
-    * answers, else m ≥ N/ε for an ε that separates the hitters from the
-    * bulk — a near-uniform distribution has NO heavy hitters and no sketch
-    * finds a meaningful top-k there at m ≪ |distinct|. */
+    * sketch's EXACT regime (capacity ≥ |distinct keys|) — proved twice by
+    * crossing the boundary in scale sweeps: capacity 4096 broke at sf1's
+    * 15,000 distinct users (r10 sf1 sweep) and 65536 broke at sf10's
+    * 150,000 (r10 sf10 sweep). With this corpus's near-uniform counts
+    * (mean ≈ 67 ≪ the ε = N/m over-count bound once m < |distinct|) an
+    * over-capacity sketch's top-10 is structurally meaningless, not just
+    * off by ε — a near-uniform distribution has NO heavy hitters and no
+    * sketch finds a meaningful top-k there at m ≪ |distinct|. Capacity
+    * 2^18 = 262144 (2 MB of counters; each partial ships once per task,
+    * merges prune back to m) keeps the demonstration exact through sf17
+    * (~260k users). The deployment sizing rule is the real content:
+    * m ≥ |distinct| for exact answers, else m ≥ N/ε for an ε below the
+    * hitter/bulk gap — at 100 TB the sketch's whole point is the second
+    * regime, where the data has true hitters and the oracle-exact compare
+    * is replaced by the ε guarantee. */
   val heavyQ = QueryDef(
     "heavy_hitters_user",
     "Space-Saving sketch: top-10 users by event volume (exact regime)",
@@ -112,7 +117,7 @@ object Sketches {
             ORDER BY est DESC, user_id LIMIT 10"""),
     (s, dir) => Tables.events(s, dir)
       .agg(graft.functions.HeavyHittersAgg
-        .heavy_hitters(col("user_id"), 65536).as("hh"))
+        .heavy_hitters(col("user_id"), 262144).as("hh"))
       .select(explode(col("hh")).as(Seq("user_id", "est")))
       .orderBy(desc("est"), col("user_id"))
       .limit(10))

@@ -86,6 +86,20 @@ class SketchSpec extends SparkSpec {
     assert(agg.finish(buf) == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
     // merge of disjoint exact partials is lossless
     val b2 = Seq(4L, 4L).foldLeft(agg.zero)(agg.reduce)
-    assert(agg.merge(buf, b2) == Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 2L))
+    assert(agg.finish(agg.merge(buf, b2)) ==
+      Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("space-saving eviction picks the LARGEST key among minimum counts " +
+      "and the newcomer inherits min + 1") {
+    val agg = SpaceSavingAggregator(2)
+    // [1,2,3]: at capacity {1:1, 2:1}; 3 evicts key 2 (tie on count 1 ->
+    // largest key), inheriting 1+1
+    val buf = Seq(1L, 2L, 3L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(buf) == Map(1L -> 1L, 3L -> 2L))
+    // the bucket index stays consistent across subsequent evictions:
+    // 4 evicts key 1 (the sole count-1 minimum) and inherits 1+1
+    val buf2 = agg.reduce(buf, 4L)
+    assert(agg.finish(buf2) == Map(3L -> 2L, 4L -> 2L))
   }
 }
