@@ -127,6 +127,12 @@ object Similarity {
       (lit((1L << CellIdBits) - 1) - cId)
   private[graft] def unpackArgmaxId(key: Column): Column =
     lit((1L << CellIdBits) - 1) - pmod(key, lit(1L << CellIdBits))
+  /** The similarity half of a packed key, back in units: exact long shift
+    * (the packed long exceeds 2^53, so double division would lose bits),
+    * then one division by 1e6. Only valid for non-negative similarities —
+    * every packer call sites behind a >= tau > 0 filter. */
+  private[graft] def unpackArgmaxVal(key: Column): Column =
+    shiftright(key, CellIdBits).cast("double") / 1e6
 
   /** Nearest-centroid (top-1 cell) assignment via a packed-key max
     * aggregation, not a window: the broadcast corpus×centroids product
@@ -409,15 +415,91 @@ object Similarity {
     (s, dir) => kmeansUpdate(Tables.embeddings(s, dir), stride = 25))
 
   /** Embedding-cosine near-duplicate detection — the semantic-dedup
-    * counterpart of [[graft.operators.Dedup]]'s lexical pipelines: vector
-    * pairs above a cosine threshold are duplicate candidates. Brute-force
-    * pair join here (the exact baseline); the LSH/IVF bucketing above is the
-    * 100 TB path for the same predicate. The threshold sits in this corpus's
-    * top similarity band (max pair cosine ~0.5 — the synthetic embeddings
-    * carry no true duplicates, so the band plays that role). */
+    * counterpart of [[graft.operators.Dedup]]'s lexical pipelines.
+    *
+    * The r10 sf10 probe retired the old shape (brute-force pair join,
+    * emit every pair >= tau): with tau below the corpus's intra-cluster
+    * background band the ANSWER ITSELF is quadratic — at 200k vectors it
+    * wrote 6 GB of pairs and was still going. No blocking fixes a
+    * quadratic output, so the default entry point now reports PER VECTOR:
+    * how many same-bucket partners clear the threshold, and the best one
+    * (argmax rounded cosine, tie -> smallest id). Output is one row per
+    * vector at any scale; the uncapped pair list survives as the gated
+    * `_oracle_baseline` twin below, per the repo convention.
+    *
+    * Blocking is sign-LSH (the [[annLsh]] hyperplanes): bucket count is a
+    * config (2^numPlanes — grows as log2(corpus/target-bucket-size), the
+    * SCALE.md knob), candidates are same-bucket pairs via one
+    * hash-partitioned equi-join, nothing broadcasts. Bucketing makes the
+    * candidate set approximate (a pair split by a plane is unseen — the
+    * ANN recall trade, measured in `ann_recall_report`); within the
+    * candidate set counts and argmax are exact and deterministic. */
+  def embeddingNearDupReport(e: DataFrame, numPlanes: Int, dim: Int,
+      tau: Double): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val c = withNorm(e).filter(col("nrm") > 0)
+      .withColumn("bucket", bucketOf(col("v"), planes))
+    val pairs = c.as("a").join(c.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("j"),
+        Num.pround(Vec.cosinePrenormed(Vec.dot(col("a.v"), col("b.v")),
+          col("a.nrm"), col("b.nrm")), 6).as("cosine"))
+      .filter(col("cosine") >= tau)
+    val rep = pairs
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_near"),
+        max(packArgmax(col("cosine"), col("j"))).as("k"))
+    c.select(col("vec_id")).join(rep, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("n_near"), lit(0L)).as("n_near"),
+        unpackArgmaxId(col("k")).as("best_j"),
+        unpackArgmaxVal(col("k")).as("best_cosine"))
+  }
+
+  private val nearDupPlanes = 12
+  private val nearDupTau = 0.45
+
+  private def nearDupOracle(numPlanes: Int, dim: Int, tau: Double): String = {
+    val planes = hyperplanes(numPlanes, dim)
+    def planeDot(p: Seq[Double]): String =
+      dotSql.format("v", s"[${p.mkString(", ")}]")
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${planeDot(p)} > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(${dotSql.format("v", "v")}) AS nrm FROM e
+              WHERE ${dotSql.format("v", "v")} > 0),
+        c AS (SELECT vec_id, v, nrm, $bucket AS bucket FROM n),
+        p AS (SELECT a.vec_id AS vec_id, b.vec_id AS j,
+                     ${Num.sql(dotSql.format("a.v", "b.v") + " / (a.nrm * b.nrm)", 6)} AS cosine
+              FROM c a JOIN c b
+                ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+              WHERE ${Num.sql(dotSql.format("a.v", "b.v") + " / (a.nrm * b.nrm)", 6)} >= $tau),
+        agg AS (SELECT vec_id, count(*) AS n_near FROM p GROUP BY 1),
+        best AS (SELECT vec_id, j AS best_j, cosine AS best_cosine FROM (
+                   SELECT vec_id, j, cosine, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY cosine DESC, j) AS rn
+                   FROM p) WHERE rn = 1)
+        SELECT c.vec_id, coalesce(agg.n_near, 0) AS n_near,
+               best.best_j, best.best_cosine
+        FROM c LEFT JOIN agg USING (vec_id) LEFT JOIN best USING (vec_id)"""
+  }
+
   val nearDupQ = QueryDef(
     "dedup_embedding_cosine",
-    "embedding near-dup candidates: cosine >= 0.45, exact pair join",
+    "per-vector embedding near-dup report: LSH-bucketed candidates, count + best partner at cosine >= 0.45",
+    Some(nearDupOracle(nearDupPlanes, 64, nearDupTau)),
+    (s, dir) => embeddingNearDupReport(Tables.embeddings(s, dir),
+      nearDupPlanes, 64, nearDupTau))
+
+  /** The UNCAPPED pair-list form — quadratic in both compute and OUTPUT
+    * once tau sits inside the background-similarity band (measured: 2e9
+    * output pairs at 200k vectors), kept per the repo convention as gated
+    * ground truth the blocked report is graded against. */
+  val nearDupBaselineQ = QueryDef(
+    "dedup_embedding_cosine_oracle_baseline",
+    "UNCAPPED embedding near-dup pairs: cosine >= 0.45, exact O(n^2) pair join (gated ground truth — use dedup_embedding_cosine)",
     Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                         FROM embeddings),
              n AS (SELECT vec_id, v, sqrt(${dotSql.format("v", "v")}) AS nrm FROM e)
@@ -709,5 +791,5 @@ object Similarity {
 
   val defs: Seq[QueryDef] =
     Seq(pairsQ, annQ, annTruncatedQ, annLshQ, annIvfQ, kmeansQ, kmeansTrainQ,
-      nearDupQ, quantQ, pcaStepQ, semDedupQ, outliersQ)
+      nearDupQ, nearDupBaselineQ, quantQ, pcaStepQ, semDedupQ, outliersQ)
 }
