@@ -27,6 +27,12 @@ def pq(path: str) -> str:
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
+    # big scale-up sweeps run concurrently with the Spark side; cap DuckDB's
+    # parallelism (and let it spill) instead of fighting for every core
+    threads = os.environ.get("ORACLE_THREADS")
+    if threads:
+        con.execute(f"SET threads = {int(threads)}")
+    con.execute("SET temp_directory = '/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pq(f'{sf_dir}/{t}.parquet')}')")
