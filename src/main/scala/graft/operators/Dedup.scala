@@ -1062,18 +1062,42 @@ object Dedup {
           col("n_hits").cast("double") / col("n_exact"), 4).as("recall"))
   }
 
+  /** Largest corpus the UNCAPPED exact ground truth may see. The boundary
+    * is measured, not hypothetical: 50k docs (sf1) completes in ~13 s and
+    * fits the shuffle in memory; 500k docs (the r10 sf10 sweep) shuffled
+    * 47 GB of shared-shingle candidates before being killed — candidate
+    * pairs grow with Σ df², so 10x docs is ~100x pairs on the hot
+    * shingles. Past the ceiling the report gates on a deterministic
+    * 1/sampleMod hash-sample (see [[dedupRecallReport]]): within-sample
+    * recall is an unbiased estimate because the sample restriction is
+    * applied to the ground truth and every method identically. */
+  val RecallGroundTruthMaxDocs = 60000L
+
   /** Oracled gate form: methods clearing [[DedupRecallFloor]], pinned as a
     * literal sorted list — a structural recall collapse surfaces as a
-    * missing row / hash mismatch. */
+    * missing row / hash mismatch. The corpus count that picks `sampleMod`
+    * is a driver action, so the builder is Deferred-wrapped (registration
+    * stays lazy, same discipline as `dedup_clusters`). */
   val dedupRecallQ = QueryDef(
     "dedup_recall_report",
-    s"near-dup paths with recall >= $DedupRecallFloor vs the uncapped exact-Jaccard ground truth",
+    s"near-dup paths with recall >= $DedupRecallFloor vs the exact-Jaccard ground truth (hash-sampled past ${RecallGroundTruthMaxDocs} docs)",
     Some("""SELECT method FROM (VALUES ('jaccard_capped'), ('minhash_lsh'),
                    ('simhash_d3')) AS t(method)
             ORDER BY method"""),
-    (s, dir) => dedupRecallReport(Tables.documents(s, dir))
-      .filter(col("recall") >= DedupRecallFloor)
-      .select(col("method")).orderBy(col("method")))
+    (s, dir) => {
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      graft.plans.Deferred.dataFrame(s,
+        StructType(Seq(StructField("method", StringType))),
+        () => {
+          val docs = Tables.documents(s, dir)
+          val n = docs.count()
+          val mod = ((n + RecallGroundTruthMaxDocs - 1) / RecallGroundTruthMaxDocs)
+            .max(1L)
+          dedupRecallReport(docs, mod)
+            .filter(col("recall") >= DedupRecallFloor)
+            .select(col("method")).orderBy(col("method"))
+        })
+    })
 
   val defs: Seq[QueryDef] =
     Seq(exactQ, jaccardQ, jaccardCappedQ, minHashQ, simHashQ, hammingQ,
