@@ -93,6 +93,11 @@ object StreamBench {
           position(b, i, rows, nShips = 200, boxDeg = 20, batchSpanSec = 600L)))
         q.processAllAvailable()
         val st = q.lastProgress.stateOperators.headOption
+        // provider evidence, once: customMetrics keys are provider-specific
+        // (rocksdb* vs loadedMapCache*), which is what adjudicates whether a
+        // memoryUsedBytes creep is live state or provider bookkeeping
+        if (b == 0) st.foreach(s => println(
+          s"PLATEAU provider_metrics=${s.customMetrics.keySet()}"))
         println(s"PLATEAU batch=$b event_min=${b * 10} " +
           s"state_rows=${st.map(_.numRowsTotal).getOrElse(-1L)} " +
           s"state_mb=${st.map(_.memoryUsedBytes / 1048576).getOrElse(-1L)} " +

@@ -67,6 +67,12 @@ def main(sf_dir: str, out_dir: str) -> int:
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     fast = os.environ.get("ORACLE_FAST") == "1"
+    # targeted re-checks / resume of an interrupted big-SF sweep:
+    # comma-separated include list of query names
+    only = os.environ.get("ORACLE_ONLY")
+    if only:
+        names = {n.strip() for n in only.split(",") if n.strip()}
+        oracle = {k: v for k, v in oracle.items() if k in names}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
