@@ -361,7 +361,21 @@ object Curation {
   def ivfPq(e: DataFrame, stride: Int, nProbe: Int, m: Int, subDim: Int,
       codebookK: Int, k: Int): DataFrame = {
     val c = Similarity.withNorm(e)
-    val cents = Similarity.coarseCentroids(c, stride)
+    ivfPqCents(e, c, Similarity.coarseCentroids(c, stride), nProbe, m,
+      subDim, codebookK, k)
+  }
+
+  /** [[ivfPq]] under the √n IVF sizing law
+    * ([[Similarity.coarseCentroidsSqrt]]). */
+  def ivfPqSqrt(e: DataFrame, nProbe: Int, m: Int, subDim: Int,
+      codebookK: Int, k: Int): DataFrame = {
+    val c = Similarity.withNorm(e)
+    ivfPqCents(e, c, Similarity.coarseCentroidsSqrt(c), nProbe, m,
+      subDim, codebookK, k)
+  }
+
+  private def ivfPqCents(e: DataFrame, c: DataFrame, cents: DataFrame,
+      nProbe: Int, m: Int, subDim: Int, codebookK: Int, k: Int): DataFrame = {
     val cells = Similarity.assignCells(c, cents)
       .select(col("vec_id"), col("c_id"))
     val recon = pqReconstruct(e, m, subDim, codebookK)
@@ -380,7 +394,7 @@ object Curation {
 
   /** DuckDB replica of [[ivfPq]]: the coarse-cell CTEs of the IVF oracle
     * fused with the PQ-reconstruction CTEs of [[pqOracle]]. */
-  private def ivfPqOracle(stride: Int, nProbe: Int, m: Int, subDim: Int,
+  private def ivfPqOracle(stride: String, nProbe: Int, m: Int, subDim: Int,
       codebookK: Int, k: Int): String = {
     val dot = Similarity.dotSql
     val sq = "list_sum(list_transform(list_zip(%s, %s), " +
@@ -426,10 +440,10 @@ object Curation {
 
   val ivfPqQ = QueryDef(
     "ann_ivf_pq",
-    "IVF-PQ: 3-probe coarse cells + PQ-ADC rank (the FAISS-style composition)",
-    Some(ivfPqOracle(stride = 25, nProbe = 3, m = 16, subDim = 4,
-      codebookK = 64, k = 10)),
-    (s, dir) => ivfPq(Tables.embeddings(s, dir), stride = 25, nProbe = 3,
+    "IVF-PQ: 3-probe √n coarse cells + PQ-ADC rank (the FAISS-style composition)",
+    Some(ivfPqOracle(stride = Similarity.sqrtStrideSql, nProbe = 3, m = 16,
+      subDim = 4, codebookK = 64, k = 10)),
+    (s, dir) => ivfPqSqrt(Tables.embeddings(s, dir), nProbe = 3,
       m = 16, subDim = 4, codebookK = 64, k = 10))
 
   // ---- ANN recall report: the quality gate over every approximate path ----
@@ -464,8 +478,9 @@ object Curation {
     val exact = Similarity.annBruteForce(queries, e, k)
       .select(col("q_id"), col("vec_id")).cache()
     val methods: Seq[(String, DataFrame)] = Seq(
-      "ivf_cells" -> Similarity.annIvf(queries, e, stride = 25, nProbe = 3, k = k),
-      "ivf_pq" -> ivfPq(e, stride = 25, nProbe = 3, m = 16, subDim = 4,
+      // ivf legs mirror the SHIPPED catalog entries, √n sizing law included
+      "ivf_cells" -> Similarity.annIvfSqrt(queries, e, nProbe = 3, k = k),
+      "ivf_pq" -> ivfPqSqrt(e, nProbe = 3, m = 16, subDim = 4,
         codebookK = 64, k = k),
       "lsh_bucketed" -> Similarity.annLsh(queries, e, numPlanes = 6, k = k,
         dim = 64),

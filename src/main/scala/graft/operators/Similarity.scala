@@ -163,6 +163,31 @@ object Similarity {
     c.filter(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
 
+  /** IVF sizing law for the catalog's INDEX queries: stride = max(25,
+    * floor(√n)), so the cell count tracks √n — the standard IVF regime
+    * (FAISS guidance is k ∝ √n cells). The alternative the r10 sf10 sweep
+    * measured — a fixed stride, cells ∝ n — is the wrong asymptote for an
+    * index: at 10⁹ vectors it means a multi-GB centroid broadcast and an
+    * O(n²/stride) assignment; under √n both stay O(√n·d) and O(n^1.5·d/
+    * stride... n·√n·d). Computed IN-PLAN from a broadcast one-row aggregate
+    * (no driver action — catalog registration stays lazy without a
+    * Deferred wrapper), deterministic cross-engine (IEEE sqrt of an exact
+    * integer, floored, in both Spark codegen and DuckDB — see
+    * [[sqrtStrideSql]]). k-means keeps a literal stride (k is a model
+    * hyperparameter, not an index size), and SemDeDup keeps one by design:
+    * its within-cell quadratic verify wants FIXED expected cell size
+    * (cells ∝ n), the regime of the SemDeDup paper. */
+  private[graft] def coarseCentroidsSqrt(c: DataFrame): DataFrame =
+    c.crossJoin(broadcast(c.agg(greatest(lit(25L),
+        floor(sqrt(count(lit(1)))).cast("long")).as("ivf_stride"))))
+      .filter(pmod(col("vec_id"), col("ivf_stride")) === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+
+  /** DuckDB twin of [[coarseCentroidsSqrt]]'s stride; assumes the oracle's
+    * standard `e AS (SELECT ... FROM embeddings)` CTE is in scope. */
+  private[graft] val sqrtStrideSql =
+    "(SELECT greatest(25, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM e)"
+
   /** Top-`n` nearest cells per row of `df` (ranked on the ROUNDED centroid
     * similarity + c_id tiebreak so cell assignment is deterministic across
     * engines and partitionings). Centroids broadcast. */
@@ -181,7 +206,18 @@ object Similarity {
   def annIvf(queries: DataFrame, corpus: DataFrame, stride: Int,
       nProbe: Int, k: Int): DataFrame = {
     val c = withNorm(corpus)
-    val cents = coarseCentroids(c, stride)
+    annIvfCents(queries, c, coarseCentroids(c, stride), nProbe, k)
+  }
+
+  /** [[annIvf]] under the √n sizing law ([[coarseCentroidsSqrt]]). */
+  def annIvfSqrt(queries: DataFrame, corpus: DataFrame,
+      nProbe: Int, k: Int): DataFrame = {
+    val c = withNorm(corpus)
+    annIvfCents(queries, c, coarseCentroidsSqrt(c), nProbe, k)
+  }
+
+  private def annIvfCents(queries: DataFrame, c: DataFrame, cents: DataFrame,
+      nProbe: Int, k: Int): DataFrame = {
     val cells = assignCells(c, cents)
     val q = probeCells(withNorm(queries), cents, "vec_id", nProbe)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -342,8 +378,9 @@ object Similarity {
   }
 
   /** DuckDB replica of [[annIvf]]: same deterministic centroids (every
-    * stride-th vector), same rounded cell ranking, same candidate rank. */
-  private def ivfOracle(stride: Int, nProbe: Int, k: Int): String =
+    * stride-th vector; `stride` is a SQL expression so the √n law can pass
+    * [[sqrtStrideSql]]), same rounded cell ranking, same candidate rank. */
+  private def ivfOracle(stride: String, nProbe: Int, k: Int): String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                    FROM embeddings),
         n AS (SELECT vec_id, v, sqrt(${dotSql.format("v", "v")}) AS nrm FROM e),
@@ -377,11 +414,11 @@ object Similarity {
 
   val annIvfQ = QueryDef(
     "ann_ivf_cells",
-    "approximate top-10 neighbors via IVF coarse quantization (3-probe)",
-    Some(ivfOracle(stride = 25, nProbe = 3, k = 10)),
+    "approximate top-10 neighbors via IVF coarse quantization (3-probe, √n cells)",
+    Some(ivfOracle(stride = sqrtStrideSql, nProbe = 3, k = 10)),
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
-      annIvf(e.filter(col("vec_id") < 5), e, stride = 25, nProbe = 3, k = 10)
+      annIvfSqrt(e.filter(col("vec_id") < 5), e, nProbe = 3, k = 10)
     })
 
   /** One Lloyd iteration of k-means as a DataFrame transform: assign every
@@ -724,7 +761,17 @@ object Similarity {
   def embeddingOutliers(e: DataFrame, stride: Int,
       zThresh: Double): DataFrame = {
     val c = withNorm(e)
-    val cents = coarseCentroids(c, stride)
+    embeddingOutliersCents(c, coarseCentroids(c, stride), zThresh)
+  }
+
+  /** [[embeddingOutliers]] under the √n IVF sizing law. */
+  def embeddingOutliersSqrt(e: DataFrame, zThresh: Double): DataFrame = {
+    val c = withNorm(e)
+    embeddingOutliersCents(c, coarseCentroidsSqrt(c), zThresh)
+  }
+
+  private def embeddingOutliersCents(c: DataFrame, cents: DataFrame,
+      zThresh: Double): DataFrame = {
     val best = c.join(broadcast(cents), lit(true))
       .select(col("vec_id"), packArgmax(
         Num.pround(Vec.cosinePrenormed(
@@ -747,12 +794,12 @@ object Similarity {
 
   val outliersQ = QueryDef(
     "embedding_outliers",
-    "per-vector cosine distance to its IVF centroid, flagged past mean + 1 stddev",
+    "per-vector cosine distance to its IVF centroid (√n cells), flagged past mean + 1 stddev",
     Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                         FROM embeddings),
              n AS (SELECT vec_id, v, sqrt(${dotSql.format("v", "v")}) AS nrm FROM e),
              cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
-                       WHERE vec_id % 25 = 0),
+                       WHERE vec_id % $sqrtStrideSql = 0),
              cellr AS (SELECT vec_id, c_id,
                               ${Num.sql(dotSql.format("v", "cv") + " / (nrm * cn)", 6)} AS csim,
                               row_number() OVER (PARTITION BY vec_id ORDER BY
@@ -765,7 +812,7 @@ object Similarity {
                     FROM cells)
              SELECT vec_id, c_id, dist, dist > thr AS is_outlier
              FROM cells CROSS JOIN st"""),
-    (s, dir) => embeddingOutliers(Tables.embeddings(s, dir), stride = 25,
+    (s, dir) => embeddingOutliersSqrt(Tables.embeddings(s, dir),
       zThresh = 1.0))
 
   private val semDedupTau = 0.35
