@@ -60,6 +60,12 @@ def main(sf_dir: str, out_dir: str) -> int:
     threads = os.environ.get("ORACLE_THREADS")
     if threads:
         con.execute(f"SET threads = {int(threads)}")
+    # DuckDB's default limit (80% of RAM) invites the kernel OOM killer when
+    # Spark JVMs share the host during a scale-up sweep; cap it and let the
+    # temp_directory absorb the difference
+    mem = os.environ.get("ORACLE_MEMORY")
+    if mem:
+        con.execute(f"SET memory_limit = '{mem}'")
     con.execute("SET temp_directory = '/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         con.execute(
