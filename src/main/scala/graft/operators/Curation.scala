@@ -405,14 +405,18 @@ object Curation {
         n AS (SELECT vec_id, v, sqrt(${dot.format("v", "v")}) AS nrm FROM e),
         cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
                   WHERE vec_id % $stride = 0),
-        cellr AS (SELECT n.vec_id, c_id,
-                         row_number() OVER (PARTITION BY n.vec_id ORDER BY
-                           ${Num.sql(dot.format("v", "cv") + " / (nrm * cn)", 6)} DESC,
-                           c_id) AS crank
-                  FROM n CROSS JOIN cents),
-        cells AS (SELECT vec_id, c_id FROM cellr WHERE crank = 1),
-        qcells AS (SELECT vec_id AS q_id, c_id FROM cellr
-                   WHERE crank <= $nProbe AND vec_id < 5),
+        simc AS (SELECT n.vec_id, c_id,
+                        ${Num.sql(dot.format("v", "cv") + " / (nrm * cn)", 6)} AS csim
+                 FROM n CROSS JOIN cents),
+        cells AS (SELECT vec_id,
+                         max(struct_pack(s := csim, t := -c_id)).t * -1 AS c_id
+                  FROM simc GROUP BY vec_id),
+        qcells AS (SELECT vec_id AS q_id, c_id FROM (
+                     SELECT vec_id, c_id,
+                            row_number() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, c_id) AS crank
+                     FROM simc WHERE vec_id < 5)
+                   WHERE crank <= $nProbe),
         sub AS (SELECT vec_id, m, v[m * $subDim + 1 : m * $subDim + $subDim] AS sv
                 FROM e CROSS JOIN unnest($ms) AS t(m)),
         pcents AS (SELECT vec_id AS p_id, m, sv AS pv FROM sub

@@ -379,21 +379,35 @@ object Similarity {
 
   /** DuckDB replica of [[annIvf]]: same deterministic centroids (every
     * stride-th vector; `stride` is a SQL expression so the √n law can pass
-    * [[sqrtStrideSql]]), same rounded cell ranking, same candidate rank. */
+    * [[sqrtStrideSql]]), same rounded cell ranking, same candidate rank.
+    * Cell assignment is an AGGREGATION over narrow (vec_id, c_id, csim)
+    * rows — `max(struct(csim, -c_id))` is the oracle-side twin of the
+    * engine's packed-argmax HashAggregate (proven order-equivalent to the
+    * former `row_number` window). The window form carried the vector
+    * through a corpus×cells sort: ~550 bytes/row × n·cells spilled the
+    * r10 sf10 sweep to disk-full twice. Only the nProbe ranking keeps a
+    * window, restricted to the 5 query vectors; vectors re-join by key. */
   private def ivfOracle(stride: String, nProbe: Int, k: Int): String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                    FROM embeddings),
         n AS (SELECT vec_id, v, sqrt(${dotSql.format("v", "v")}) AS nrm FROM e),
         cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
                   WHERE vec_id % $stride = 0),
-        cellr AS (SELECT vec_id, v, nrm, c_id,
-                         row_number() OVER (PARTITION BY vec_id ORDER BY
-                           ${Num.sql(dotSql.format("v", "cv") + " / (nrm * cn)", 6)} DESC,
-                           c_id) AS crank
-                  FROM n CROSS JOIN cents),
-        cells AS (SELECT vec_id, v, nrm, c_id FROM cellr WHERE crank = 1),
-        q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id
-              FROM cellr WHERE crank <= $nProbe AND vec_id < 5),
+        sim AS (SELECT n.vec_id, c_id,
+                       ${Num.sql(dotSql.format("v", "cv") + " / (nrm * cn)", 6)} AS csim
+                FROM n CROSS JOIN cents),
+        cella AS (SELECT vec_id,
+                         max(struct_pack(s := csim, t := -c_id)).t * -1 AS c_id
+                  FROM sim GROUP BY vec_id),
+        cells AS (SELECT cella.vec_id, n.v, n.nrm, c_id FROM cella
+                  JOIN n ON n.vec_id = cella.vec_id),
+        qr AS (SELECT vec_id, c_id,
+                      row_number() OVER (PARTITION BY vec_id
+                        ORDER BY csim DESC, c_id) AS crank
+               FROM sim WHERE vec_id < 5),
+        q AS (SELECT qr.vec_id AS q_id, n.v AS qv, n.nrm AS qn, c_id
+              FROM qr JOIN n ON n.vec_id = qr.vec_id
+              WHERE crank <= $nProbe),
         sims AS (SELECT q_id, c.vec_id AS vec_id,
                         ${Num.sql(dotSql.format("qv", "c.v") + " / (qn * c.nrm)", 6)} AS cosine
                  FROM cells c JOIN q USING (c_id) WHERE q.q_id <> c.vec_id)
@@ -431,31 +445,56 @@ object Similarity {
     val c = withNorm(e)
     val cents = c.filter(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    kmeansUpdateCents(c, cents)
+  }
+
+  /** [[kmeansUpdate]] under the fixed-k seed law ([[kmeansStrideSql]]):
+    * stride = max(25, ceil(n/64)), so k saturates at ~64 clusters however
+    * large the corpus — k is a MODEL hyperparameter, not a function of
+    * corpus size (the r10 sf10 sweep measured the alternative: seeds ∝
+    * n/25 made the oracle's assignment join n²·d/25 — 10¹¹ rows at 200k
+    * vectors). In-plan like [[coarseCentroidsSqrt]]; /64.0 is a power-of-
+    * two division, exact in both engines, so the ceil is deterministic. */
+  def kmeansUpdateFixedK(e: DataFrame): DataFrame = {
+    val c = withNorm(e)
+    val cents = c.crossJoin(broadcast(c.agg(greatest(lit(25L),
+        ceil(count(lit(1)) / lit(64.0)).cast("long")).as("km_stride"))))
+      .filter(pmod(col("vec_id"), col("km_stride")) === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    kmeansUpdateCents(c, cents)
+  }
+
+  private def kmeansUpdateCents(c: DataFrame, cents: DataFrame): DataFrame =
     assignCells(c, cents)
       .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("c_id"), col("pos").cast("long").as("pos"))
       .agg(count(lit(1)).as("n_members"), Num.pround(avg(col("x")), 6).as("mean_x"))
-  }
+
+  /** DuckDB twin of the fixed-k seed stride. */
+  private[graft] val kmeansStrideSql =
+    "(SELECT greatest(25, CAST(ceil(count(*) / 64.0) AS BIGINT)) FROM embeddings)"
 
   val kmeansQ = QueryDef(
     "kmeans_update",
-    "one k-means Lloyd iteration: nearest-centroid assign + mean update",
+    "one k-means Lloyd iteration: nearest-centroid assign + mean update (fixed-k seeds)",
     Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                         FROM embeddings),
              n AS (SELECT vec_id, v, sqrt(${dotSql.format("v", "v")}) AS nrm FROM e),
              cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
-                       WHERE vec_id % 25 = 0),
-             cellr AS (SELECT vec_id, v, c_id,
-                              row_number() OVER (PARTITION BY vec_id ORDER BY
-                                ${Num.sql(dotSql.format("v", "cv") + " / (nrm * cn)", 6)} DESC,
-                                c_id) AS crank
-                       FROM n CROSS JOIN cents),
-             cells AS (SELECT vec_id, v, c_id FROM cellr WHERE crank = 1)
+                       WHERE vec_id % $kmeansStrideSql = 0),
+             sim AS (SELECT n.vec_id, c_id,
+                            ${Num.sql(dotSql.format("v", "cv") + " / (nrm * cn)", 6)} AS csim
+                     FROM n CROSS JOIN cents),
+             cella AS (SELECT vec_id,
+                              max(struct_pack(s := csim, t := -c_id)).t * -1 AS c_id
+                       FROM sim GROUP BY vec_id),
+             cells AS (SELECT cella.vec_id, n.v, c_id FROM cella
+                       JOIN n ON n.vec_id = cella.vec_id)
              SELECT c_id, CAST(i - 1 AS BIGINT) AS pos, count(*) AS n_members,
                     ${Num.sql("avg(v[i])", 6)} AS mean_x
              FROM cells CROSS JOIN unnest(generate_series(1, 64)) AS t(i)
              GROUP BY c_id, i"""),
-    (s, dir) => kmeansUpdate(Tables.embeddings(s, dir), stride = 25))
+    (s, dir) => kmeansUpdateFixedK(Tables.embeddings(s, dir)))
 
   /** Embedding-cosine near-duplicate detection — the semantic-dedup
     * counterpart of [[graft.operators.Dedup]]'s lexical pipelines.
@@ -671,12 +710,31 @@ object Similarity {
     * vectors drop out — both engines aggregate only non-empty groups.
     * Zero-norm vectors and zero-norm centroids are excluded (direction
     * undefined), mirroring `embedding_quantize`'s guard. */
-  def kmeansIterate(e: DataFrame, stride: Int, steps: Int): DataFrame = {
+  def kmeansIterate(e: DataFrame, stride: Int, steps: Int): DataFrame =
+    kmeansIterateSeeds(e, _.filter(pmod(col("vec_id"), lit(stride)) === 0),
+      steps)
+
+  /** [[kmeansIterate]] under the fixed-k seed law (see
+    * [[kmeansUpdateFixedK]]); the seed stride comes from a broadcast
+    * one-row count over the FULL corpus (matching the oracle's
+    * `count(*) FROM embeddings`). */
+  def kmeansIterateFixedK(e: DataFrame, steps: Int): DataFrame = {
+    val strideDf = e.agg(greatest(lit(25L),
+      ceil(count(lit(1)) / lit(64.0)).cast("long")).as("km_stride"))
+    kmeansIterateSeeds(e,
+      _.crossJoin(broadcast(strideDf))
+        .filter(pmod(col("vec_id"), col("km_stride")) === 0)
+        .drop("km_stride"),
+      steps)
+  }
+
+  private def kmeansIterateSeeds(e: DataFrame,
+      seeds: DataFrame => DataFrame, steps: Int): DataFrame = {
     val va = withNorm(e).filter(col("nrm") > 0).cache()
     val ev = va.select(col("vec_id"), posexplode(col("v")).as(Seq("p", "x")))
       .select(col("vec_id"), (col("p") + 1).cast("long").as("pos"), col("x"))
       .cache()
-    var cents = ev.filter(pmod(col("vec_id"), lit(stride)) === 0)
+    var cents = seeds(ev)
       .select(col("vec_id").as("c_id"), col("pos"), col("x").as("m"))
     for (k <- 1 to steps) {
       // reshape the step's centroid DataFrame back to array form IN-PLAN
@@ -717,7 +775,7 @@ object Similarity {
           vn AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ev GROUP BY 1
                  HAVING sqrt(sum(x*x)) > 0),
           c0 AS (SELECT vec_id AS c_id, pos, x AS m FROM ev
-                 WHERE vec_id % 25 = 0)"""
+                 WHERE vec_id % $kmeansStrideSql = 0)"""
     val chain = (1 to steps).map { k =>
       val prec = if (k == steps) 6 else 9
       s""",
@@ -729,10 +787,9 @@ object Similarity {
                            ${Num.sql("d.dp / (v.nrm * c.cn)", 6)} AS csim
                     FROM dot$k d JOIN vn v USING (vec_id)
                     JOIN cn$k c USING (c_id)),
-          cell$k AS (SELECT vec_id, c_id FROM
-                       (SELECT vec_id, c_id, row_number() OVER
-                          (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS rn
-                        FROM sim$k) WHERE rn = 1),
+          cell$k AS (SELECT vec_id,
+                            max(struct_pack(s := csim, t := -c_id)).t * -1 AS c_id
+                     FROM sim$k GROUP BY vec_id),
           c$k AS (SELECT l.c_id, e.pos, ${Num.sql("avg(e.x)", prec)} AS m
                   FROM cell$k l JOIN ev e USING (vec_id) GROUP BY 1, 2)"""
     }.mkString
@@ -742,10 +799,9 @@ object Similarity {
 
   val kmeansTrainQ = QueryDef(
     "kmeans_train_3",
-    "3 chained Lloyd iterations in one static plan (assign + mean update per step)",
+    "3 chained Lloyd iterations in one static plan (assign + mean update per step, fixed-k seeds)",
     Some(kmeansTrainOracle(3)),
-    (s, dir) => kmeansIterate(Tables.embeddings(s, dir), stride = 25,
-      steps = 3))
+    (s, dir) => kmeansIterateFixedK(Tables.embeddings(s, dir), steps = 3))
 
   /** Embedding-space outlier report — the quality-filter face of the IVF
     * codebook: each vector's cosine DISTANCE to its assigned coarse centroid
@@ -800,14 +856,15 @@ object Similarity {
              n AS (SELECT vec_id, v, sqrt(${dotSql.format("v", "v")}) AS nrm FROM e),
              cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
                        WHERE vec_id % $sqrtStrideSql = 0),
-             cellr AS (SELECT vec_id, c_id,
-                              ${Num.sql(dotSql.format("v", "cv") + " / (nrm * cn)", 6)} AS csim,
-                              row_number() OVER (PARTITION BY vec_id ORDER BY
-                                ${Num.sql(dotSql.format("v", "cv") + " / (nrm * cn)", 6)} DESC,
-                                c_id) AS crank
-                       FROM n CROSS JOIN cents),
-             cells AS (SELECT vec_id, c_id, ${Num.sql("1 - csim", 6)} AS dist
-                       FROM cellr WHERE crank = 1),
+             sim AS (SELECT n.vec_id, c_id,
+                            ${Num.sql(dotSql.format("v", "cv") + " / (nrm * cn)", 6)} AS csim
+                     FROM n CROSS JOIN cents),
+             cella AS (SELECT vec_id,
+                              max(struct_pack(s := csim, t := -c_id)) AS mk
+                       FROM sim GROUP BY vec_id),
+             cells AS (SELECT vec_id, mk.t * -1 AS c_id,
+                              ${Num.sql("1 - mk.s", 6)} AS dist
+                       FROM cella),
              st AS (SELECT ${Num.sql("avg(dist) + 1.0 * stddev_samp(dist)", 4)} AS thr
                     FROM cells)
              SELECT vec_id, c_id, dist, dist > thr AS is_outlier
@@ -825,12 +882,14 @@ object Similarity {
              n AS (SELECT vec_id, v, sqrt(${dotSql.format("v", "v")}) AS nrm FROM e),
              cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
                        WHERE vec_id % 25 = 0),
-             cellr AS (SELECT vec_id, v, nrm, c_id,
-                              row_number() OVER (PARTITION BY vec_id ORDER BY
-                                ${Num.sql(dotSql.format("v", "cv") + " / (nrm * cn)", 6)} DESC,
-                                c_id) AS crank
-                       FROM n CROSS JOIN cents),
-             cells AS (SELECT vec_id, v, nrm, c_id FROM cellr WHERE crank = 1),
+             sim AS (SELECT n.vec_id, c_id,
+                            ${Num.sql(dotSql.format("v", "cv") + " / (nrm * cn)", 6)} AS csim
+                     FROM n CROSS JOIN cents),
+             cella AS (SELECT vec_id,
+                              max(struct_pack(s := csim, t := -c_id)).t * -1 AS c_id
+                       FROM sim GROUP BY vec_id),
+             cells AS (SELECT cella.vec_id, n.v, n.nrm, c_id FROM cella
+                       JOIN n ON n.vec_id = cella.vec_id),
              drp AS (SELECT b.vec_id AS j, min(a.vec_id) AS dup_of
                      FROM cells a JOIN cells b
                        ON a.c_id = b.c_id AND a.vec_id < b.vec_id
