@@ -583,13 +583,14 @@ object Dedup {
     * exact-Jaccard-verified, so the result equals the exact all-pairs answer
     * whenever LSH recall is 1 — which it is on this corpus (true pairs sit at
     * jaccard ≥ 0.8 with nothing between 0.2 and 0.8; a ≥0.8 pair escapes all
-    * 8 bands with probability (1-0.8⁴)⁸ ≈ 1.5%, and the deterministic hashes
-    * over the fixed corpus empirically catch every pair). The oracle is the
+    * `LshBands`=12 4-row bands with probability (1-0.8⁴)¹² ≈ 0.6%, and the
+    * deterministic hashes over the fixed corpus catch every pair — measured
+    * 2066/2066 at sf1). The oracle is the
     * same SQL as dedup_ngram_jaccard; a recall shortfall would surface as a
     * hash mismatch — exactly the regression we want the gate to catch. */
   val minHashQ = QueryDef(
     "dedup_minhash_lsh",
-    "near-dup pairs via 32-perm MinHash + 8-band LSH, exact-verified",
+    s"near-dup pairs via $LshNumHashes-perm MinHash + $LshBands-band LSH, exact-verified",
     Some(jaccardOracle),
     (s, dir) => minHashDedup(Tables.documents(s, dir), "doc_id", "text",
       n = 3, numHashes = LshNumHashes, bands = LshBands, threshold = 0.8))

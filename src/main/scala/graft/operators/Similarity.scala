@@ -134,6 +134,16 @@ object Similarity {
   private[graft] def unpackArgmaxVal(key: Column): Column =
     shiftright(key, CellIdBits).cast("double") / 1e6
 
+  /** Mint a centroid id for [[packArgmax]], enforcing its domain: an id
+    * outside [0, 2^CellIdBits) would silently corrupt the packed argmax
+    * ordering and the decoded c_id (plausible with key-shifted scale-ups à
+    * la GenScale), so fail the job instead. Evaluated only on the few
+    * centroid rows — never in the corpus×centroids hot path. */
+  private def cellId(vecId: Column): Column =
+    when(vecId < 0L || vecId >= (1L << CellIdBits), raise_error(concat(
+      lit(s"vec_id outside packArgmax's [0, 2^$CellIdBits) c_id domain: "),
+      vecId.cast("string")))).otherwise(vecId)
+
   /** Nearest-centroid (top-1 cell) assignment via a packed-key max
     * aggregation, not a window: the broadcast corpus×centroids product
     * collapses in the map-side partial aggregate (rows for one vector are
@@ -161,7 +171,7 @@ object Similarity {
     * precomputed norms — the IVF codebook stand-in. */
   private[graft] def coarseCentroids(c: DataFrame, stride: Int): DataFrame =
     c.filter(pmod(col("vec_id"), lit(stride)) === 0)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .select(cellId(col("vec_id")).as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
 
   /** IVF sizing law for the catalog's INDEX queries: stride = max(25,
     * floor(√n)), so the cell count tracks √n — the standard IVF regime
@@ -181,7 +191,7 @@ object Similarity {
     c.crossJoin(broadcast(c.agg(greatest(lit(25L),
         floor(sqrt(count(lit(1)))).cast("long")).as("ivf_stride"))))
       .filter(pmod(col("vec_id"), col("ivf_stride")) === 0)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .select(cellId(col("vec_id")).as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
 
   /** DuckDB twin of [[coarseCentroidsSqrt]]'s stride; assumes the oracle's
     * standard `e AS (SELECT ... FROM embeddings)` CTE is in scope. */
@@ -444,7 +454,7 @@ object Similarity {
   def kmeansUpdate(e: DataFrame, stride: Int): DataFrame = {
     val c = withNorm(e)
     val cents = c.filter(pmod(col("vec_id"), lit(stride)) === 0)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .select(cellId(col("vec_id")).as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
     kmeansUpdateCents(c, cents)
   }
 
@@ -460,7 +470,7 @@ object Similarity {
     val cents = c.crossJoin(broadcast(c.agg(greatest(lit(25L),
         ceil(count(lit(1)) / lit(64.0)).cast("long")).as("km_stride"))))
       .filter(pmod(col("vec_id"), col("km_stride")) === 0)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .select(cellId(col("vec_id")).as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
     kmeansUpdateCents(c, cents)
   }
 

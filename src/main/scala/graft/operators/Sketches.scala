@@ -102,9 +102,13 @@ object Sketches {
     * over-capacity sketch's top-10 is structurally meaningless, not just
     * off by ε — a near-uniform distribution has NO heavy hitters and no
     * sketch finds a meaningful top-k there at m ≪ |distinct|. Capacity
-    * 2^18 = 262144 (2 MB of counters; each partial ships once per task,
-    * merges prune back to m) keeps the demonstration exact through sf17
-    * (~260k users). The deployment sizing rule is the real content:
+    * 2^18 = 262144 keeps the demonstration exact through sf17 (~260k
+    * users). Memory honesty: the buffer is a boxed java.util.HashMap, so a
+    * FULL partial is ~15 MB (~55 B/entry with boxing + node overhead), not
+    * the 2 MB that 16 B/counter would suggest — Kryo ships ~12 B/entry, so
+    * a full partial is ~3 MB on the wire, once per task, and merges prune
+    * back to m. Fine at this capacity; if per-task memory ever binds, the
+    * fix is a primitive long-keyed open-addressing table (16 B/entry). The deployment sizing rule is the real content:
     * m ≥ |distinct| for exact answers, else m ≥ N/ε for an ε below the
     * hitter/bulk gap — at 100 TB the sketch's whole point is the second
     * regime, where the data has true hitters and the oracle-exact compare

@@ -31,7 +31,14 @@ def _fast_equal(con, got_src: str, sql: str) -> tuple:
     path for this catalog (every float is engine-rounded, both sides render
     through the same DuckDB value-to-string rules) but runs at engine speed —
     the pandas astype(str) compare is minutes per 10M-row result at sf10.
-    Returns (ok, detail)."""
+
+    Caveat (accepted): this is a pre-filter whose PASS is probabilistic —
+    a sum-of-64-bit-hashes collision, or a value containing the chr(31)/
+    chr(0) sentinel bytes, could false-PASS, and a collision-pass never
+    reaches the strict pandas path. Collision odds are ~2^-64 per query;
+    the catalog's values are numeric/ASCII so the sentinel bytes do not
+    occur. A FAIL is always re-checked by the strict path, so no false
+    FAILs. Returns (ok, detail)."""
     def cols(src):
         return sorted(r[0] for r in con.execute(f"DESCRIBE {src}").fetchall())
     gc, wc = cols(got_src), cols(f"({sql})")
