@@ -4,6 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // ambient host load BEFORE the bench contributes its own: the end-of-run
+    // load1m mostly measures the bench itself on local[32] (r10's sf1
+    // artifact recorded 21.5 and read as "measured under heavy load" when
+    // the host was in fact busy AND the bench self-loads) — the start value
+    // is the one that adjudicates whether the host was idle.
+    val load1mStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -69,7 +76,7 @@ object Bench {
     // SPARK_GRAFT_BENCH_OUT points, e.g. BENCH_LOCAL_r9.json in the repo.
     val load1m = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val detail = s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","load1m":${fmt(load1m)},"runs":$runs,"queries":$qsFull,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","load1m_start":${fmt(load1mStart)},"load1m":${fmt(load1m)},"runs":$runs,"queries":$qsFull,"sf":"$sfDir"}"""
     println(detail)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),

@@ -106,6 +106,146 @@ object StreamBench {
     } finally q.stop()
   }
 
+  /** `--soak`: long-horizon state evolution of EVERY stateful operator, not
+    * just the encounter join (r10's `--plateau`). 55 batches per op — well
+    * past encounterAlerts' predicted ~18-batch watermark-fill horizon — with
+    * per-batch state rows/bytes, then one summary row per op classifying the
+    * regime the numbers show:
+    *
+    *  - watermark-bounded ops (encounter join, session windows, within-
+    *    watermark dedup) must PLATEAU: state rows flat (±2%) over the last
+    *    10 batches once eviction starts;
+    *  - corpus-memory ops (incremental MinHash dedup, paragraph dedup) are
+    *    linear BY DESIGN — state remembers every distinct doc/paragraph —
+    *    so the contract row is the measured slope (rows and bytes per 1k
+    *    docs), which is what sizes executors for a given corpus, plus the
+    *    observation that the slope is CONSTANT (no superlinear bookkeeping
+    *    creep: the r10 `ce5eee2` RocksDB-creep re-attribution, now measured
+    *    over 5.5× the horizon).
+    *
+    * Emits one `stream_soak` JSON line (appended next to the throughput line
+    * in BENCH_STREAMING.json by the caller). */
+  private def soakRun(spark: SparkSession): Unit = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val batches = 55
+
+    case class Obs(rows: Long, mb: Double, removed: Long)
+    case class Soak(name: String, kind: String, obs: Seq[Obs]) {
+      // plateau batch: first batch after which rows never exceed 1.02x the
+      // final value (eviction balancing arrivals)
+      def plateauBatch: Int = {
+        val last = obs.last.rows.toDouble
+        val i = obs.indexWhere(_.rows >= last * 0.98)
+        i
+      }
+      def isFlat: Boolean = {
+        val tail = obs.takeRight(10).map(_.rows)
+        tail.max <= (tail.min * 1.02).toLong + 2
+      }
+      // least-squares slope of state rows per batch over the run
+      def slopePerBatch: Double = {
+        val n = obs.length
+        val xs = (0 until n).map(_.toDouble)
+        val ys = obs.map(_.rows.toDouble)
+        val xm = xs.sum / n; val ym = ys.sum / n
+        val cov = xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum
+        cov / xs.map(x => (x - xm) * (x - xm)).sum
+      }
+    }
+
+    def drive(name: String, kind: String, out: DataFrame, mode: String,
+        feed: Int => Unit): Soak = {
+      val q = out.writeStream.outputMode(mode).format("noop").start()
+      try {
+        val obs = (0 until batches).map { b =>
+          feed(b); q.processAllAvailable()
+          val st = q.lastProgress.stateOperators.headOption
+          val o = Obs(st.map(_.numRowsTotal).getOrElse(-1L),
+            st.map(_.memoryUsedBytes / 1048576.0).getOrElse(0.0),
+            st.map(_.numRowsRemoved).getOrElse(-1L))
+          println(s"SOAK op=$name batch=$b rows=${o.rows} " +
+            f"mb=${o.mb}%.1f removed=${o.removed}")
+          o
+        }
+        Soak(name, kind, obs)
+      } finally q.stop()
+    }
+
+    val res = scala.collection.mutable.ArrayBuffer.empty[Soak]
+
+    // watermark-bounded: encounter join (2h wm + 1h range = 3h = 18 batches
+    // of 10 min to fill), dedup-within-watermark, session windows
+    {
+      val in = MemoryStream[ais.PositionEvent]
+      res += drive("encounter_alerts", "watermark_bounded",
+        AisPipeline.encounterAlerts(in.toDS()), "append", b => {
+          in.addData((0 until 4000).map(i =>
+            position(b, i, 4000, nShips = 200, boxDeg = 20, batchSpanSec = 600L))); ()
+        })
+    }
+    {
+      val in = MemoryStream[ais.PositionEvent]
+      res += drive("deduped_positions", "watermark_bounded",
+        AisPipeline.dedupedPositions(in.toDS()), "append", b => {
+          in.addData((0 until 4000).map(i =>
+            position(b, i, 4000, nShips = 500, boxDeg = 20, batchSpanSec = 600L))); ()
+        })
+    }
+    {
+      val in = MemoryStream[ais.PositionEvent]
+      res += drive("voyage_sessions", "watermark_bounded",
+        AisPipeline.voyageSessions(in.toDS()), "append", b => {
+          in.addData((0 until 4000).map(i =>
+            position(b, i, 4000, nShips = 500, boxDeg = 20, batchSpanSec = 600L))); ()
+        })
+    }
+    // corpus-memory (linear by design): slope is the contract
+    val docsRows = 2000;
+    {
+      val in = MemoryStream[CorpusDedup.StreamDoc]
+      res += drive("incremental_dedup", "corpus_linear",
+        CorpusDedup.incrementalDedup(in.toDS()), "update", b => {
+          in.addData((0 until docsRows).map(i => doc(b, i, docsRows))); ()
+        })
+    }
+    {
+      val in = MemoryStream[CorpusDedup.StreamDoc]
+      res += drive("paragraph_dedup", "corpus_linear",
+        CorpusDedup.paragraphDedupStream(in.toDS()), "update", b => {
+          in.addData((0 until docsRows).map(i => doc(b, i, docsRows))); ()
+        })
+    }
+
+    def fmt(v: Double): String =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val ops = res.map { s =>
+      val base = s""""${s.name}":{"kind":"${s.kind}","batches":$batches,""" +
+        s""""state_rows_last":${s.obs.last.rows},"state_mb_last":${fmt(s.obs.last.mb)}"""
+      val extra =
+        if (s.kind == "watermark_bounded")
+          s""","plateau":${s.isFlat},"plateau_batch":${s.plateauBatch},""" +
+            s""""rows_removed_last":${s.obs.last.removed}"""
+        else {
+          val mbPerBatch = (s.obs.last.mb - s.obs.head.mb) / (batches - 1)
+          s""","rows_slope_per_batch":${fmt(s.slopePerBatch)},""" +
+            s""""mb_per_batch":${fmt(mbPerBatch)}"""
+        }
+      base + extra + "}"
+    }.mkString("{", ",", "}")
+    val load1m = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val line = s"""{"metric":"stream_soak","batches":$batches,""" +
+      s""""load1m":${fmt(load1m)},"ops":$ops}"""
+    println(line)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -120,6 +260,11 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
     if (args.contains("--plateau")) {
       plateauRun(spark)
+      spark.stop()
+      return
+    }
+    if (args.contains("--soak")) {
+      soakRun(spark)
       spark.stop()
       return
     }

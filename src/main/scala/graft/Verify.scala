@@ -18,10 +18,19 @@ object Verify {
     // dev aid (driver never sets it): restrict to a comma-separated name list
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only match {
+    // dev aid (driver never sets it): exclude a comma-separated name list —
+    // used by the big-SF sweeps to hold out the gated quadratic
+    // `_oracle_baseline` twins whose OUTPUT is itself quadratic (e.g.
+    // dedup_embedding_cosine_oracle_baseline emits ~2e9 pairs at 200k
+    // vectors: not comparable at any engine speed). Every skip must be
+    // named + justified in BENCH_NOTES for the sweep that used it.
+    val skip = sys.env.get("SPARK_GRAFT_VERIFY_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val selected = (only match {
       case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
       case None => SparkEntry.queries
-    }
+    }).view.filterKeys(!skip(_)).toMap
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
