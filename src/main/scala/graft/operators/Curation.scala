@@ -409,7 +409,7 @@ object Curation {
                         ${Num.sql(dot.format("v", "cv") + " / (nrm * cn)", 6)} AS csim
                  FROM n CROSS JOIN cents),
         cells AS (SELECT vec_id,
-                         max(struct_pack(s := csim, t := -c_id)).t * -1 AS c_id
+                         4398046511103 - (max((CAST(round(csim * 1000000) AS BIGINT) + 1000000) * 4398046511104 + (4398046511103 - c_id)) % 4398046511104) AS c_id
                   FROM simc GROUP BY vec_id),
         qcells AS (SELECT vec_id AS q_id, c_id FROM (
                      SELECT vec_id, c_id,

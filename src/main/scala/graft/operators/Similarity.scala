@@ -391,12 +391,17 @@ object Similarity {
     * stride-th vector; `stride` is a SQL expression so the √n law can pass
     * [[sqrtStrideSql]]), same rounded cell ranking, same candidate rank.
     * Cell assignment is an AGGREGATION over narrow (vec_id, c_id, csim)
-    * rows — `max(struct(csim, -c_id))` is the oracle-side twin of the
-    * engine's packed-argmax HashAggregate (proven order-equivalent to the
-    * former `row_number` window). The window form carried the vector
-    * through a corpus×cells sort: ~550 bytes/row × n·cells spilled the
-    * r10 sf10 sweep to disk-full twice. Only the nProbe ranking keeps a
-    * window, restricted to the 5 query vectors; vectors re-join by key. */
+    * rows, packed into ONE BIGINT exactly like the engine's [[packArgmax]]
+    * (shifted +1e6 so the key stays non-negative and plain `%` decodes):
+    * `max(bigint)` streams the 89.6M-pair product at sf10 in ~8 s / 0.2 GB.
+    * The two prior forms were both scale casualties: a `row_number` window
+    * carried the vector through a corpus×cells sort (~550 B/row, spilled
+    * the r10 sf10 sweep to disk-full twice), and its r10 replacement
+    * `max(struct(csim, -c_id))` hit DuckDB 1.0's struct-max aggregate,
+    * which burns ~2 KB per INPUT row (5.5 GB at sf1's 2.84M pairs,
+    * OOM-killing a 125 GB host at sf10's 89.6M — the r11 sweep's one
+    * blow-up). Only the nProbe ranking keeps a window, restricted to the 5
+    * query vectors; vectors re-join by key. */
   private def ivfOracle(stride: String, nProbe: Int, k: Int): String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                    FROM embeddings),
@@ -407,7 +412,7 @@ object Similarity {
                        ${Num.sql(dotSql.format("v", "cv") + " / (nrm * cn)", 6)} AS csim
                 FROM n CROSS JOIN cents),
         cella AS (SELECT vec_id,
-                         max(struct_pack(s := csim, t := -c_id)).t * -1 AS c_id
+                         4398046511103 - (max((CAST(round(csim * 1000000) AS BIGINT) + 1000000) * 4398046511104 + (4398046511103 - c_id)) % 4398046511104) AS c_id
                   FROM sim GROUP BY vec_id),
         cells AS (SELECT cella.vec_id, n.v, n.nrm, c_id FROM cella
                   JOIN n ON n.vec_id = cella.vec_id),
@@ -496,7 +501,7 @@ object Similarity {
                             ${Num.sql(dotSql.format("v", "cv") + " / (nrm * cn)", 6)} AS csim
                      FROM n CROSS JOIN cents),
              cella AS (SELECT vec_id,
-                              max(struct_pack(s := csim, t := -c_id)).t * -1 AS c_id
+                              4398046511103 - (max((CAST(round(csim * 1000000) AS BIGINT) + 1000000) * 4398046511104 + (4398046511103 - c_id)) % 4398046511104) AS c_id
                        FROM sim GROUP BY vec_id),
              cells AS (SELECT cella.vec_id, n.v, c_id FROM cella
                        JOIN n ON n.vec_id = cella.vec_id)
@@ -798,7 +803,7 @@ object Similarity {
                     FROM dot$k d JOIN vn v USING (vec_id)
                     JOIN cn$k c USING (c_id)),
           cell$k AS (SELECT vec_id,
-                            max(struct_pack(s := csim, t := -c_id)).t * -1 AS c_id
+                            4398046511103 - (max((CAST(round(csim * 1000000) AS BIGINT) + 1000000) * 4398046511104 + (4398046511103 - c_id)) % 4398046511104) AS c_id
                      FROM sim$k GROUP BY vec_id),
           c$k AS (SELECT l.c_id, e.pos, ${Num.sql("avg(e.x)", prec)} AS m
                   FROM cell$k l JOIN ev e USING (vec_id) GROUP BY 1, 2)"""
@@ -870,10 +875,11 @@ object Similarity {
                             ${Num.sql(dotSql.format("v", "cv") + " / (nrm * cn)", 6)} AS csim
                      FROM n CROSS JOIN cents),
              cella AS (SELECT vec_id,
-                              max(struct_pack(s := csim, t := -c_id)) AS mk
+                              max((CAST(round(csim * 1000000) AS BIGINT) + 1000000) * 4398046511104
+                                + (4398046511103 - c_id)) AS mk
                        FROM sim GROUP BY vec_id),
-             cells AS (SELECT vec_id, mk.t * -1 AS c_id,
-                              ${Num.sql("1 - mk.s", 6)} AS dist
+             cells AS (SELECT vec_id, 4398046511103 - (mk % 4398046511104) AS c_id,
+                              ${Num.sql("1 - CAST(mk // 4398046511104 - 1000000 AS DOUBLE) / 1000000", 6)} AS dist
                        FROM cella),
              st AS (SELECT ${Num.sql("avg(dist) + 1.0 * stddev_samp(dist)", 4)} AS thr
                     FROM cells)
@@ -896,7 +902,7 @@ object Similarity {
                             ${Num.sql(dotSql.format("v", "cv") + " / (nrm * cn)", 6)} AS csim
                      FROM n CROSS JOIN cents),
              cella AS (SELECT vec_id,
-                              max(struct_pack(s := csim, t := -c_id)).t * -1 AS c_id
+                              4398046511103 - (max((CAST(round(csim * 1000000) AS BIGINT) + 1000000) * 4398046511104 + (4398046511103 - c_id)) % 4398046511104) AS c_id
                        FROM sim GROUP BY vec_id),
              cells AS (SELECT cella.vec_id, n.v, n.nrm, c_id FROM cella
                        JOIN n ON n.vec_id = cella.vec_id),

@@ -74,6 +74,11 @@ def main(sf_dir: str, out_dir: str) -> int:
     if mem:
         con.execute(f"SET memory_limit = '{mem}'")
     con.execute("SET temp_directory = '/tmp/duckdb_oracle_spill'")
+    # row order is irrelevant (both compare paths sort); letting DuckDB drop
+    # insertion-order preservation unlocks streaming execution for the
+    # list-heavy ANN oracles, whose order-preserving buffering is what blew
+    # a 48 GB memory_limit into a 130 GB RSS OOM kill on the sf10 sweep
+    con.execute("SET preserve_insertion_order = false")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pq(f'{sf_dir}/{t}.parquet')}')")
