@@ -94,19 +94,30 @@ object Curation {
       .select(col("a.id").as("i"), col("b.id").as("j"), col("a.pos").as("pos"))
   }
 
+  /** Oracle note (r11 sf10): the original all-pairs `levenshtein(a,b) = 1`
+    * spelling is EQUIVALENT but quadratic — 1.5M same-length names at sf10
+    * is ~1.1e12 edit-distance evaluations (the sweep's 30-min timeout is
+    * hours short). The linear spelling below rests on two provable facts:
+    * (1) levenshtein = 1 at EQUAL lengths ⇔ exactly one substitution ⇔
+    * Hamming distance 1 (any insert/delete changes length; one edit total);
+    * (2) two same-length names at Hamming distance 1 produce the same
+    * masked string at exactly the differing position p and at no other —
+    * so a self equi-join on (masked string) yields each qualifying pair
+    * once, with pos = p directly. Mechanics stay independent of the
+    * engine: raw masked-substring keys (the engine joins on xxhash64 of a
+    * transform-built mask), so a hashing or mask-construction bug on
+    * either side still surfaces as a mismatch. */
   val fuzzyPairsQ = QueryDef(
     "fuzzy_blocked_pairs",
     "customer-name pairs at edit distance 1 via deletion-neighborhood blocking",
-    Some("""WITH p AS (SELECT a.c_custkey AS i, b.c_custkey AS j,
-                              a.c_name AS an, b.c_name AS bn
-                       FROM customer a JOIN customer b
-                         ON a.c_custkey < b.c_custkey
-                        AND length(a.c_name) = length(b.c_name)
-                        AND levenshtein(a.c_name, b.c_name) = 1)
-            SELECT i, j, min(u.pp) AS pos
-            FROM p CROSS JOIN unnest(generate_series(1, length(an))) AS u(pp)
-            WHERE an[pp] <> bn[pp]
-            GROUP BY i, j"""),
+    Some("""WITH m AS (SELECT c_custkey AS id, pp AS pos,
+                              substring(c_name, 1, pp - 1) || chr(1) ||
+                                substring(c_name, pp + 1) AS k
+                       FROM customer CROSS JOIN
+                         unnest(generate_series(1, length(c_name))) AS u(pp))
+            SELECT a.id AS i, b.id AS j, min(a.pos) AS pos
+            FROM m a JOIN m b ON a.k = b.k AND a.id < b.id
+            GROUP BY 1, 2"""),
     (s, dir) => hamming1Pairs(Tables.customer(s, dir), "c_custkey", "c_name"))
 
   // ---- corpus novelty / coverage scoring -----------------------------------
@@ -740,14 +751,16 @@ object Curation {
        nn AS (SELECT vec_id, v, sqrt(${Similarity.dotSql.format("v", "v")}) AS nrm FROM e),
        cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM nn
                  WHERE vec_id % 25 = 0),
-       cellr AS (SELECT vec_id,
-                        ${Num.sql(Similarity.dotSql.format("v", "cv") + " / (nrm * cn)", 6)} AS csim,
-                        row_number() OVER (PARTITION BY vec_id ORDER BY
-                          ${Num.sql(Similarity.dotSql.format("v", "cv") + " / (nrm * cn)", 6)} DESC,
-                          c_id) AS crank
-                 FROM nn CROSS JOIN cents),
-       cells AS (SELECT vec_id, ${Num.sql("1 - csim", 6)} AS dist
-                 FROM cellr WHERE crank = 1),
+       csim AS (SELECT nn.vec_id, c_id,
+                       ${Num.sql(Similarity.dotSql.format("v", "cv") + " / (nrm * cn)", 6)} AS csim
+                FROM nn CROSS JOIN cents),
+       cellk AS (SELECT vec_id,
+                        max((CAST(round(csim * 1000000) AS BIGINT) + 1000000) * 4398046511104
+                          + (4398046511103 - c_id)) AS mk
+                 FROM csim GROUP BY vec_id),
+       cells AS (SELECT vec_id,
+                        ${Num.sql("1 - CAST(mk // 4398046511104 - 1000000 AS DOUBLE) / 1000000", 6)} AS dist
+                 FROM cellk),
        st AS (SELECT ${Num.sql("avg(dist) + 1.0 * stddev_samp(dist)", 4)} AS thr
               FROM cells),
        outl AS (SELECT vec_id AS doc_id, dist > thr AS is_outlier

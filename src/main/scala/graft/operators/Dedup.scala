@@ -282,6 +282,32 @@ object Dedup {
     minHashDedupFromIndex(shingleIndexHashed(df, id, text, n).cache(),
       numHashes, bands, threshold)
 
+  /** Corpus-size-TIERED LSH geometry — [[hammingPairsAuto]]'s discipline
+    * applied to MinHash. A fixed band count has a fixed per-true-pair
+    * escape probability ((1-t^4)^bands at 4 rows/band), so as the corpus
+    * — and with it the count of true pairs near the threshold — grows,
+    * recall 1 eventually breaks BY MATH, not by bug: the r11 sf10 sweep
+    * measured exactly that (the proven-at-sf1 48/12 geometry missed 2 of
+    * 20,657 true pairs at 500k docs, both in the J∈[0.80,0.88) tail where
+    * escape ≈ 0.1%). Tiers keep 4 rows/band (the t^4 threshold law) and
+    * scale bands with corpus size so expected misses stay ≪ 1:
+    * ≤100k docs → 48/12 (measured 2066/2066 at sf1), ≤2M → 80/20 (escape
+    * at J=0.8 drops to 2.7e-5; measured 20,657/20,657 at sf10), beyond →
+    * 112/28 (1.4e-7 — headroom past 20M docs). The count is one driver
+    * job; catalog entries stay lazy via [[graft.plans.Deferred]]. */
+  def lshGeometry(nDocs: Long): (Int, Int) =
+    if (nDocs <= 100000L) (LshNumHashes, LshBands)
+    else if (nDocs <= 2000000L) (80, 20)
+    else (112, 28)
+
+  /** [[minHashDedup]] under the tiered geometry law ([[lshGeometry]]). */
+  def minHashDedupAuto(df: DataFrame, id: String, text: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val d = df.cache() // counted once, then shingled by the chosen geometry
+    val (h, b) = lshGeometry(d.count())
+    minHashDedup(d, id, text, n, h, b, threshold)
+  }
+
   /** [[minHashDedup]] over a PREBUILT uncapped (doc_id, s) hashed shingle
     * index — the [[jaccardFromIndex]] discipline applied to MinHash: callers
     * holding the index already (e.g. [[dedupRecallReport]], which shares ONE
@@ -526,17 +552,60 @@ object Dedup {
 
   // ---- QueryDefs over `documents` ------------------------------------------
 
+  /** Exact all-pairs word-3-gram Jaccard >= 0.8, restructured as an exact
+    * set-similarity join so the ORACLE ITSELF survives big-SF sweeps (the
+    * naive sh-self-join + GROUP BY (i,j) holds every co-shingled pair —
+    * ~1e9 distinct at sf10's 500k docs over the 40-token vocab — and
+    * DuckDB's out-of-core agg then spills most of the ~5e9-row input
+    * stream: it filled a 72 GB disk twice in the r11 sweep). Two public
+    * building blocks, both EXACT:
+    *
+    *  1. Prefix + positional filtering (Bayardo/Ma/Srikant WWW'07; Xiao et
+    *     al. PPJoin, WWW'08): under one global shingle order, a pair at
+    *     J >= t shares its FIRST common shingle within both docs' first
+    *     floor((1-t)·n)+1 shingles (were every common shingle outside A's
+    *     prefix, the >= la shingles of A preceding it are absent from B,
+    *     so |A∩B| <= n_a - la < t·n_a <= t·|A∪B|), at ranks (ra, rb)
+    *     satisfying min(na-ra, nb-rb)+1 >= ceil(t/(1+t)·(na+nb)) — the
+    *     common elements all sit at or after it in both suffixes. With
+    *     t = 0.8 both bounds are integer-exact: la = n//5 + 1 and
+    *     alpha = (4·(na+nb)+8)//9.
+    *  2. Per-candidate exact intersection via list_intersect over each
+    *     doc's sorted dictionary-encoded shingle list — a streaming SCALAR
+    *     per candidate pair, so there is NO pair aggregation and no
+    *     pair-keyed hash table at all; peak memory is the build sides
+    *     (500k doc lists + the prefix index).
+    *
+    * The 4-dp rounding on the output cannot flip the threshold compare:
+    * any c/(na+nb-c) != 4/5 differs from it by >= 1/(5·(na+nb-c)) >=
+    * ~1.7e-3 at these set sizes, far beyond rounding reach — so candidate
+    * filtering on the EXACT alpha bound and the engine's rounded compare
+    * select identical pair sets (the r10-proven equality against the
+    * unfiltered form at sf0.001-sf1 pins this). */
   private val jaccardOracle =
     s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
        sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
               FROM toks CROSS JOIN unnest(generate_series(1, len(t)-2)) AS u(i)
               WHERE len(t) >= 3),
-       n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-       p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
-             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-       SELECT i, j, ${Num.sql("CAST(c AS DOUBLE) / (na.n + nb.n - c)", 4)} AS jaccard
-       FROM p JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
-       WHERE ${Num.sql("CAST(c AS DOUBLE) / (na.n + nb.n - c)", 4)} >= 0.8"""
+       dict AS (SELECT s, dense_rank() OVER (ORDER BY s) AS sid
+                FROM (SELECT DISTINCT s FROM sh)),
+       shi AS (SELECT doc_id, sid FROM sh JOIN dict USING (s)),
+       lst AS (SELECT doc_id, list_sort(list(sid)) AS l FROM shi GROUP BY 1),
+       prefw AS (SELECT doc_id, sid, r, na FROM (
+                   SELECT doc_id, sid,
+                          row_number() OVER (PARTITION BY doc_id ORDER BY sid) AS r,
+                          count(*) OVER (PARTITION BY doc_id) AS na
+                   FROM shi)
+                 WHERE r <= na // 5 + 1),
+       cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+                FROM prefw a JOIN prefw b ON a.sid = b.sid AND a.doc_id < b.doc_id
+                WHERE least(a.na - a.r, b.na - b.r) + 1 >= (4 * (a.na + b.na) + 8) // 9),
+       p AS (SELECT i, j, len(list_intersect(la.l, lb.l)) AS c,
+                    len(la.l) AS ni, len(lb.l) AS nj
+             FROM cand JOIN lst la ON la.doc_id = i JOIN lst lb ON lb.doc_id = j)
+       SELECT i, j, ${Num.sql("CAST(c AS DOUBLE) / (ni + nj - c)", 4)} AS jaccard
+       FROM p
+       WHERE ${Num.sql("CAST(c AS DOUBLE) / (ni + nj - c)", 4)} >= 0.8"""
 
   val exactQ = QueryDef(
     "dedup_exact",
@@ -582,18 +651,27 @@ object Dedup {
     * Spark's xxhash64 (which DuckDB can't replicate): candidates are
     * exact-Jaccard-verified, so the result equals the exact all-pairs answer
     * whenever LSH recall is 1 — which it is on this corpus (true pairs sit at
-    * jaccard ≥ 0.8 with nothing between 0.2 and 0.8; a ≥0.8 pair escapes all
-    * `LshBands`=12 4-row bands with probability (1-0.8⁴)¹² ≈ 0.6%, and the
-    * deterministic hashes over the fixed corpus catch every pair — measured
-    * 2066/2066 at sf1). The oracle is the
+    * jaccard ≥ 0.8 with nothing between 0.2 and 0.8, and the band count is
+    * TIERED BY CORPUS SIZE ([[lshGeometry]]) so the per-true-pair escape
+    * probability stays below ~1/expected-true-pairs at every tier —
+    * measured 2066/2066 at sf1 under 48/12 and 20,657/20,657 at sf10 under
+    * 80/20, after the fixed 48/12 geometry missed 2 low-J pairs at 500k
+    * docs exactly as the escape math predicts). The oracle is the
     * same SQL as dedup_ngram_jaccard; a recall shortfall would surface as a
     * hash mismatch — exactly the regression we want the gate to catch. */
   val minHashQ = QueryDef(
     "dedup_minhash_lsh",
-    s"near-dup pairs via $LshNumHashes-perm MinHash + $LshBands-band LSH, exact-verified",
+    "near-dup pairs via MinHash LSH (corpus-tiered geometry, 48/12 to 112/28), exact-verified",
     Some(jaccardOracle),
-    (s, dir) => minHashDedup(Tables.documents(s, dir), "doc_id", "text",
-      n = 3, numHashes = LshNumHashes, bands = LshBands, threshold = 0.8))
+    (s, dir) => {
+      import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+      // the geometry law counts the corpus (a driver job) — Deferred keeps
+      // catalog registration job-free, same as dedup_clusters
+      graft.plans.Deferred.dataFrame(s, StructType(Seq(
+        StructField("i", LongType), StructField("j", LongType),
+        StructField("jaccard", DoubleType))),
+        () => minHashDedupAuto(Tables.documents(s, dir), "doc_id", "text"))
+    })
 
   /** DuckDB replica of [[simHash]]: same tokenization, same two rolling
     * hashes via list_reduce, same 60 signed bit votes. Generated, not
@@ -658,8 +736,7 @@ object Dedup {
           // not the full shingle pair join: the pair SET is identical (both
           // hash-match the same oracle) but candidates-then-verify is the
           // form that survives 100 TB — and it's ~30% faster here too
-          val pairs = minHashDedup(Tables.documents(s, dir), "doc_id", "text",
-            n = 3, numHashes = LshNumHashes, bands = LshBands, threshold = 0.8)
+          val pairs = minHashDedupAuto(Tables.documents(s, dir), "doc_id", "text")
           connectedComponents(pairs)
             .select(col("id").as("doc_id"), col("label").as("cluster"),
               (col("id") === col("label")).as("is_keeper"))
@@ -724,8 +801,7 @@ object Dedup {
         StructField("is_keeper", BooleanType))),
         () => {
           val docs = Tables.documents(s, dir)
-          val pairs = minHashDedup(docs, "doc_id", "text",
-            n = 3, numHashes = LshNumHashes, bands = LshBands, threshold = 0.8)
+          val pairs = minHashDedupAuto(docs, "doc_id", "text")
           val labels = connectedComponents(pairs)
             .withColumnRenamed("id", "doc_id")
           val toks = Text.tokens(col("text"))

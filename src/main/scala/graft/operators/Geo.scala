@@ -215,18 +215,46 @@ object Geo {
     */
   val encounterKm = 50.0
   val encounterUs = 3600000000L
+  /** Oracle note (r11 sf10): the original spelling joined p×p under range
+    * predicates — DuckDB's inequality join emits the full 1-hour time-band
+    * product before the spatial filters, which is ~1e10 rows at sf10's
+    * 7.9M filtered positions (the sweep's 30-min timeout is hours short).
+    * The spelling below pre-joins on EXACT cover bins and keeps the
+    * original predicates verbatim as post-filters, so it selects the same
+    * pairs by construction. Bin cover proof: a qualifying pair has
+    * |Δts| ≤ 1 h ⇒ hour-bin delta ∈ {-1,0,1}; rounded d ≤ 50 km ⇒ true
+    * d ≤ 50.00005 ⇒ |Δlat| ≤ d/111.19 km-per-degree < 0.4498° ⇒ lat-cell
+    * delta ∈ {-1,0,1}; and with BOTH |lat| ≤ 70 (the p filter),
+    * cos(la)cos(lb)·sin²(Δλ/2) ≤ sin²(25.0001/R) gives |Δλ| ≤
+    * 2·asin(sin(25.0001/6371.0088)/cos 70°) = 1.3149° < 2 ⇒ lon-cell
+    * delta ∈ [-2, 2] (mod 360 for the antimeridian, same wrap as the
+    * engine). The 45 expansion keys per right-side row are distinct, so
+    * each event pair meets AT MOST once — and at least once by the cover
+    * bounds — keeping n_close an exact pair count with no dedup step. */
   val encountersQ = QueryDef(
     "geo_encounters",
     "ship pairs within 50 km and 1 h: blocked spatio-temporal self-join",
     Some(s"""WITH p AS (SELECT * FROM ($positionsSql) WHERE abs(lat) <= 70),
+             pa AS (SELECT ship, ts_us, lat, lon,
+                           CAST(floor(ts_us / $encounterUs) AS BIGINT) AS hb,
+                           CAST(floor(lat) AS BIGINT) AS cy,
+                           CAST(floor(lon) AS BIGINT) AS cx
+                    FROM p),
+             pb AS (SELECT ship, ts_us, lat, lon,
+                           hb + dh.d AS hb, cy + dy.d AS cy,
+                           ((cx + dx.d + 180) % 360 + 360) % 360 - 180 AS cx
+                    FROM pa
+                    CROSS JOIN unnest(generate_series(-1, 1)) AS dh(d)
+                    CROSS JOIN unnest(generate_series(-1, 1)) AS dy(d)
+                    CROSS JOIN unnest(generate_series(-2, 2)) AS dx(d)),
              j AS (SELECT a.ship AS ship_a, b.ship AS ship_b,
                           ${Num.sql(haversineSql("a.lat", "a.lon", "b.lat", "b.lon"), 4)} AS d
-                   FROM p a JOIN p b
-                     ON a.ship < b.ship
-                    AND abs(a.ts_us - b.ts_us) <= $encounterUs
-                    AND abs(a.lat - b.lat) <= $encounterKm / 110.5
-                    AND ${Num.sql(haversineSql("a.lat", "a.lon", "b.lat", "b.lon"), 4)}
-                          <= $encounterKm)
+                   FROM pa a JOIN pb b USING (hb, cy, cx)
+                   WHERE a.ship < b.ship
+                     AND abs(a.ts_us - b.ts_us) <= $encounterUs
+                     AND abs(a.lat - b.lat) <= $encounterKm / 110.5
+                     AND ${Num.sql(haversineSql("a.lat", "a.lon", "b.lat", "b.lon"), 4)}
+                           <= $encounterKm)
              SELECT ship_a, ship_b, count(*) AS n_close,
                     min(d) AS min_km
              FROM j GROUP BY 1, 2"""),

@@ -719,9 +719,11 @@ object Similarity {
     * codegen'd DotProduct against the BROADCAST centroid array, exactly
     * like [[kmeansUpdate]]; the corpus never shuffles for assignment, and
     * the mean update is the only per-step wide exchange (by (cell, pos)).
-    * Intermediate means round to 9 places on both
-    * engines, the last step to 6, so aggregation-order noise cannot
-    * compound across steps (per-step rounding). Cells that attract no
+    * Per-step means are ORDER-FREE ([[Num.qsum]] quantize-then-sum at
+    * 12 dp, one division by the group count), then round to 9 places
+    * intermediate / 6 final — so the centroid chain is bit-identical
+    * across engines and aggregation orders, not merely
+    * agrees-after-rounding (the latter broke at sf10 group sizes). Cells that attract no
     * vectors drop out — both engines aggregate only non-empty groups.
     * Zero-norm vectors and zero-norm centroids are excluded (direction
     * undefined), mirroring `embedding_quantize`'s guard. */
@@ -771,8 +773,17 @@ object Similarity {
         .groupBy(col("vec_id"))
         .agg(max(col("kk")).as("kk"))
         .select(col("vec_id"), unpackArgmaxId(col("kk")).as("c_id"))
+      // ORDER-FREE mean (Num.qsum quantize-then-sum): at sf10 a cell holds
+      // ~3000 members, and a plain double avg's summation-order error
+      // (~1e-13) lands inside the 9-dp intermediate rounding window often
+      // enough to flip a centroid digit, cascade through the next assign,
+      // and change the final non-empty cell count (measured: 63 vs 62
+      // cells in the r11 sf10 sweep). Quantizing x at 12 dp and summing
+      // as DECIMAL makes both engines add identical integers — the mean
+      // is bit-identical regardless of aggregation order.
       cents = cells.join(ev, "vec_id").groupBy(col("c_id"), col("pos"))
-        .agg(Num.pround(avg(col("x")), if (k == steps) 6 else 9).as("m"))
+        .agg(Num.pround(Num.qsum(col("x"), 12) / count(lit(1)),
+          if (k == steps) 6 else 9).as("m"))
       // cache each step's d·k-row centroid table: without it, step k's
       // broadcast re-executes every prior step's assign+update (the chain
       // would cost Σk instead of k step-executions)
@@ -805,7 +816,8 @@ object Similarity {
           cell$k AS (SELECT vec_id,
                             4398046511103 - (max((CAST(round(csim * 1000000) AS BIGINT) + 1000000) * 4398046511104 + (4398046511103 - c_id)) % 4398046511104) AS c_id
                      FROM sim$k GROUP BY vec_id),
-          c$k AS (SELECT l.c_id, e.pos, ${Num.sql("avg(e.x)", prec)} AS m
+          c$k AS (SELECT l.c_id, e.pos,
+                         ${Num.sql(s"${Num.sqlQsum("e.x", 12)} / count(*)", prec)} AS m
                   FROM cell$k l JOIN ev e USING (vec_id) GROUP BY 1, 2)"""
     }.mkString
     base + chain +
