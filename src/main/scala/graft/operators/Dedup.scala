@@ -570,6 +570,12 @@ object Dedup {
     *     common elements all sit at or after it in both suffixes. With
     *     t = 0.8 both bounds are integer-exact: la = n//5 + 1 and
     *     alpha = (4·(na+nb)+8)//9.
+    *     The theorem holds under ANY global total order; the dictionary
+    *     orders by ASCENDING document frequency (ties by shingle) — the
+    *     canonical PPJoin ordering — so prefixes hold each doc's RAREST
+    *     shingles and the prefix self-join's candidate volume collapses
+    *     (lexicographic order put hot shingles in prefixes and ground the
+    *     sf10 clusters/keep_best oracles past their 30-min window).
     *  2. Per-candidate exact intersection via list_intersect over each
     *     doc's sorted dictionary-encoded shingle list — a streaming SCALAR
     *     per candidate pair, so there is NO pair aggregation and no
@@ -587,8 +593,8 @@ object Dedup {
        sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
               FROM toks CROSS JOIN unnest(generate_series(1, len(t)-2)) AS u(i)
               WHERE len(t) >= 3),
-       dict AS (SELECT s, dense_rank() OVER (ORDER BY s) AS sid
-                FROM (SELECT DISTINCT s FROM sh)),
+       dict AS (SELECT s, row_number() OVER (ORDER BY df, s) AS sid
+                FROM (SELECT s, count(*) AS df FROM sh GROUP BY 1)),
        shi AS (SELECT doc_id, sid FROM sh JOIN dict USING (s)),
        lst AS (SELECT doc_id, list_sort(list(sid)) AS l FROM shi GROUP BY 1),
        prefw AS (SELECT doc_id, sid, r, na FROM (

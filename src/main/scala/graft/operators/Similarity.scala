@@ -792,33 +792,42 @@ object Similarity {
     cents.select(col("c_id"), (col("pos") - 1).as("pos"), col("m").as("mean_x"))
   }
 
+  /** Oracle note (r11 sf10): the long-format spelling computed each step's
+    * dot products as `ev JOIN c ON pos GROUP BY (vec_id, c_id)` — a
+    * 12.8M x 64 = 819M-row aggregation INPUT per step at 200k vectors,
+    * which DuckDB's out-of-core agg spilled past a 58 GB disk. The list
+    * form below is the `kmeans_update`/ANN-family pattern (native
+    * `list_dot_product`, one scalar per corpus x centroid row — 12.8M
+    * narrow rows, no giant aggregation), and is also arithmetically
+    * CLOSER to the engine: norms and dots accumulate in index order
+    * exactly like [[graft.functions.Vec.dot]], instead of a
+    * GROUP-BY-order double sum. */
   private def kmeansTrainOracle(steps: Int): String = {
+    val nrm = dotSql.format("v", "v")
     val base =
-      s"""WITH ev AS (SELECT vec_id, CAST(j AS BIGINT) AS pos,
-                        CAST(embedding[j] AS DOUBLE) AS x
-                      FROM embeddings CROSS JOIN
-                        unnest(generate_series(1, len(embedding))) AS u(j)),
-          vn AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ev GROUP BY 1
-                 HAVING sqrt(sum(x*x)) > 0),
-          c0 AS (SELECT vec_id AS c_id, pos, x AS m FROM ev
-                 WHERE vec_id % $kmeansStrideSql = 0)"""
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+          vv AS (SELECT vec_id, v, sqrt($nrm) AS nrm FROM e WHERE sqrt($nrm) > 0),
+          ev AS (SELECT vec_id, CAST(j AS BIGINT) AS pos, v[j] AS x
+                 FROM vv CROSS JOIN unnest(generate_series(1, len(v))) AS u(j)),
+          c0l AS (SELECT vec_id AS c_id, v AS cv FROM vv
+                  WHERE vec_id % $kmeansStrideSql = 0)"""
     val chain = (1 to steps).map { k =>
       val prec = if (k == steps) 6 else 9
+      val cnrm = dotSql.format("cv", "cv")
       s""",
-          cn$k AS (SELECT c_id, sqrt(sum(m*m)) AS cn FROM c${k - 1} GROUP BY 1
-                   HAVING sqrt(sum(m*m)) > 0),
-          dot$k AS (SELECT e.vec_id, c.c_id, sum(e.x * c.m) AS dp
-                    FROM ev e JOIN c${k - 1} c ON e.pos = c.pos GROUP BY 1, 2),
-          sim$k AS (SELECT d.vec_id, d.c_id,
-                           ${Num.sql("d.dp / (v.nrm * c.cn)", 6)} AS csim
-                    FROM dot$k d JOIN vn v USING (vec_id)
-                    JOIN cn$k c USING (c_id)),
+          cn$k AS (SELECT c_id, cv, sqrt($cnrm) AS cn FROM c${k - 1}l
+                   WHERE sqrt($cnrm) > 0),
+          sim$k AS (SELECT vv.vec_id, c_id,
+                           ${Num.sql(dotSql.format("v", "cv") + " / (nrm * cn)", 6)} AS csim
+                    FROM vv CROSS JOIN cn$k),
           cell$k AS (SELECT vec_id,
                             4398046511103 - (max((CAST(round(csim * 1000000) AS BIGINT) + 1000000) * 4398046511104 + (4398046511103 - c_id)) % 4398046511104) AS c_id
                      FROM sim$k GROUP BY vec_id),
           c$k AS (SELECT l.c_id, e.pos,
                          ${Num.sql(s"${Num.sqlQsum("e.x", 12)} / count(*)", prec)} AS m
-                  FROM cell$k l JOIN ev e USING (vec_id) GROUP BY 1, 2)"""
+                  FROM cell$k l JOIN ev e USING (vec_id) GROUP BY 1, 2),
+          c${k}l AS (SELECT c_id, list(m ORDER BY pos) AS cv FROM c$k GROUP BY 1)"""
     }.mkString
     base + chain +
       s"\n          SELECT c_id, pos - 1 AS pos, m AS mean_x FROM c$steps"
