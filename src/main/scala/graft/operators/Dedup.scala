@@ -712,23 +712,54 @@ object Dedup {
     Some(simhashOracle),
     (s, dir) => simHash(Tables.documents(s, dir), "doc_id", "text"))
 
-  /** Cluster assignment oracled against a DuckDB recursive CTE: both engines
-    * compute "min reachable doc_id" over the near-dup pair graph — label
-    * propagation fixpoint on the Spark side, reflexive-transitive closure +
-    * min on the SQL side. Same fixpoint, independently derived. */
+  /** Min-label rounds as a plain (non-recursive) CTE chain: round k+1 sets
+    * each node's label to min(own, neighbors') — after the chain, `chk`
+    * compares the last two rounds and raises error() on any difference, so
+    * an under-provisioned round count fails LOUDLY instead of passing a
+    * pre-fixpoint labeling. Rounds reach the fixpoint once the round count
+    * >= component min-label eccentricity (near-dup components are small
+    * cliques/short chains; sf1 measures diameter <= 3 — 8 rounds is 2.5x
+    * headroom). Why not WITH RECURSIVE: DuckDB materializes a recursive
+    * statement's CTE tree, which turns the streaming PPJoin pair pipeline
+    * into ~70 GB of materialized intermediates at sf10 (measured,
+    * disk-full twice); the SAME pair SQL in a plain WITH streams in ~14 GB
+    * of spill. Each round is AS MATERIALIZED: without the pin DuckDB
+    * inlines the doubly-referenced l(k-1) into l(k), expanding the chain
+    * to 2^rounds copies of the whole pair pipeline (measured as an EMFILE
+    * blow-up at 8 rounds); with it, each tiny label table evaluates once.
+    * Same fixpoint, same result, loud guard. */
+  private def labelPropSql(rounds: Int): String = {
+    val chain = (1 to rounds).map { k =>
+      s""",
+             l$k AS MATERIALIZED (SELECT e.i AS id, min(least(a.l, b.l)) AS l
+                     FROM edges e JOIN l${k - 1} a ON a.id = e.i
+                     JOIN l${k - 1} b ON b.id = e.j
+                     GROUP BY 1)"""
+    }.mkString
+    s"""edges AS MATERIALIZED (SELECT i, j FROM pairs UNION ALL SELECT j, i FROM pairs),
+             l0 AS MATERIALIZED (SELECT DISTINCT i AS id, i AS l FROM edges)$chain,
+             chk AS (SELECT CASE WHEN count(*) = 0 THEN 0
+                            ELSE CAST(error('label-prop not converged: raise rounds') AS INT)
+                            END AS ok
+                     FROM l${rounds - 1} a JOIN l$rounds b
+                       ON a.id = b.id AND a.l <> b.l),
+             comp AS (SELECT id, l AS root FROM l$rounds CROSS JOIN chk
+                      WHERE chk.ok = 0)"""
+  }
+
+  /** Cluster assignment oracled against an independent DuckDB fixpoint:
+    * both engines compute "min reachable doc_id" over the near-dup pair
+    * graph — the Spark side via [[connectedComponents]], the SQL side via
+    * the guarded min-label chain ([[labelPropSql]]). Same fixpoint,
+    * independently derived. */
   val clustersQ = QueryDef(
     "dedup_clusters",
     "near-dup pairs -> connected components: cluster id + keeper flag",
-    Some(s"""WITH RECURSIVE pairs AS (SELECT i, j FROM ($jaccardOracle) q),
-             edges AS (SELECT i, j FROM pairs UNION ALL SELECT j, i FROM pairs),
-             nodes AS (SELECT DISTINCT i AS id FROM edges),
-             reach(id, r) AS (
-               SELECT id, id FROM nodes
-               UNION
-               SELECT e.j AS id, w.r FROM reach w JOIN edges e ON e.i = w.id)
-             SELECT id AS doc_id, min(r) AS cluster,
-                    (id = min(r)) AS is_keeper
-             FROM reach GROUP BY id"""),
+    Some(s"""WITH pairs AS MATERIALIZED (SELECT i, j FROM ($jaccardOracle) q),
+             ${labelPropSql(8)}
+             SELECT id AS doc_id, root AS cluster,
+                    (id = root) AS is_keeper
+             FROM comp"""),
     (s, dir) => {
       // the fixpoint runs driver-side actions (count, convergence checks), so
       // the builder would otherwise execute the heaviest catalog query at view
@@ -768,14 +799,8 @@ object Dedup {
   val keepBestQ = QueryDef(
     "dedup_keep_best",
     "near-dup clusters keep the highest-quality doc, not the min id",
-    Some(s"""WITH RECURSIVE pairs AS (SELECT i, j FROM ($jaccardOracle) q),
-             edges AS (SELECT i, j FROM pairs UNION ALL SELECT j, i FROM pairs),
-             nodes AS (SELECT DISTINCT i AS id FROM edges),
-             reach(id, r) AS (
-               SELECT id, id FROM nodes
-               UNION
-               SELECT e.j AS id, w.r FROM reach w JOIN edges e ON e.i = w.id),
-             comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
+    Some(s"""WITH pairs AS MATERIALIZED (SELECT i, j FROM ($jaccardOracle) q),
+             ${labelPropSql(8)},
              t AS (SELECT doc_id,
                           string_split_regex(trim(lower(text)), '\\s+') AS toks,
                           length(regexp_replace(trim(text), '\\s+', '', 'g')) AS dense_len

@@ -7,7 +7,13 @@
 set -u
 SF=$1; OUT=$2; LOG=$3; SKIP=${4:-}
 touch "$LOG"
-python3 - "$OUT" <<'EOF' > /tmp/oracle_all_names
+# per-instance scratch log: two concurrent sweeps sharing a fixed temp path
+# clobber each other's PASS/FAIL lines between the run and the grep (seen
+# as spurious "rc=0 killed" entries in the r11 sf10 sweep)
+ONE=$(mktemp /tmp/oracle_one.XXXXXX.log)
+NAMES=$(mktemp /tmp/oracle_names.XXXXXX)
+trap 'rm -f "$ONE" "$NAMES"' EXIT
+python3 - "$OUT" <<'EOF' > "$NAMES"
 import json, sys
 with open(f"{sys.argv[1]}/oracle_sql.json") as f:
     print("\n".join(sorted(json.load(f))))
@@ -18,15 +24,15 @@ while read -r name; do
   ORACLE_FAST=1 ORACLE_THREADS=${ORACLE_THREADS:-8} \
   ORACLE_MEMORY=${ORACLE_MEMORY:-24GB} ORACLE_ONLY=$name \
     timeout "${ORACLE_TIMEOUT:-1800}" python3 "$(dirname "$0")/oracle_check.py" "$SF" "$OUT" \
-    > /tmp/oracle_one.log 2>&1
+    > "$ONE" 2>&1
   rc=$?
-  if grep -q "^PASS $name" /tmp/oracle_one.log; then
-    grep "^PASS $name" /tmp/oracle_one.log >> "$LOG"
-  elif grep -q "^FAIL $name" /tmp/oracle_one.log; then
-    grep "^FAIL $name" /tmp/oracle_one.log | head -1 >> "$LOG"
+  if grep -q "^PASS $name" "$ONE"; then
+    grep "^PASS $name" "$ONE" >> "$LOG"
+  elif grep -q "^FAIL $name" "$ONE"; then
+    grep "^FAIL $name" "$ONE" | head -1 >> "$LOG"
   else
     echo "FAIL $name: process rc=$rc (killed/oom/timeout)" >> "$LOG"
   fi
   tail -1 "$LOG"
-done < /tmp/oracle_all_names
+done < "$NAMES"
 echo "SWEEP DONE: $(grep -c '^PASS' "$LOG") pass, $(grep -c '^FAIL' "$LOG") fail"
