@@ -385,27 +385,59 @@ object Dedup {
     // a long sweep, infeasible for a 100 TB banded table), while this form
     // structurally computes fingerprints once and pays one shuffle on the
     // band key. Records carry the full fingerprint so the exact distance
-    // check runs inside the expansion. Same maxBucket hot-bucket guard.
-    val banded = fp.select(
-      struct(col("doc_id"), col("simhash")).as("rec"),
-      posexplode(array((0 until nBands).map(b =>
+    // check runs inside the expansion. maxBucket triggers the escalation
+    // path (hammingFromBuckets), never a silent drop.
+    // per-band key value + the band's PACKED complement bits ("rest") —
+    // the escalation path sub-bands rest, so it must exclude the bits the
+    // bucket key already fixes (see hammingFromBuckets)
+    def restPacked(b: Int) = {
+      val low = col("simhash").bitwiseAND(lit((1L << (b * width)) - 1))
+      val high = shiftleft(
+        shiftrightunsigned(col("simhash"), b * width + width), b * width)
+      low.bitwiseOR(high)
+    }
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until nBands).map(b => struct(
         shiftright(col("simhash"), b * width)
-          .bitwiseAND(lit((1L << width) - 1))): _*)).as(Seq("band", "bv")))
-    hammingFromBuckets(banded, maxDist, maxBucket)
+          .bitwiseAND(lit((1L << width) - 1)).as("bv"),
+        restPacked(b).as("rest"))): _*)).as(Seq("band", "k")))
+      .select(struct(col("doc_id"), col("simhash"),
+        col("k.rest").as("rest")).as("rec"),
+        col("band"), col("k.bv").as("bv"))
+    hammingFromBuckets(banded, maxDist, maxBucket, bits - width)
   }
 
   /** Shared pair expansion for the pigeonhole banding geometries: bucket by
     * (band, bv), expand each bucket's ascending-distinct records into
-    * ordered pairs, verify exact hamming distance in place. */
+    * ordered pairs, verify exact hamming distance in place.
+    *
+    * Hot buckets ESCALATE instead of dropping (r11 sf10 finding: at 500k
+    * docs the band-pair geometry still grows 6 buckets past the 1000 cap,
+    * and the old `size <= maxBucket` filter silently cost 796 of 87,896
+    * true pairs — recall broken by the guard, the exact failure the r10
+    * auto-geometry fix moved one corpus decade down the road). A bucket
+    * past `maxBucket` re-keys its members by `maxDist + 1` sub-bands of
+    * the PACKED COMPLEMENT of the key bits (`rec.rest`, built per band by
+    * the geometry): members agree on the key bits by bucket membership,
+    * so a true pair's <= maxDist differing bits all fall in rest, and
+    * sub-banding rest leaves >= 1 sub-band intact — exact recall by the
+    * same pigeonhole argument, one level down. Sub-banding the RAW
+    * fingerprint instead would be unsound in the useful direction and
+    * useless in the safe one: a sub-band inside the key bits is bucket-
+    * degenerate (the whole hot bucket shares it — measured: a 1499-member
+    * bucket re-grouped at 1499), and dropping degenerate groups would
+    * re-break recall for pairs whose only intact sub-band it is. Work
+    * stays bounded because an escalated group is the intersection of the
+    * hot key's population with one further rest-value. The final
+    * distinct() dedups pairs found via both paths. The construction
+    * composes (escalate the escalated key) if a corpus ever outgrows one
+    * level. */
   private def hammingFromBuckets(banded: DataFrame, maxDist: Int,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int, restBits: Int): DataFrame = {
     val buckets0 = banded.groupBy(col("band"), col("bv"))
       .agg(array_distinct(sort_array(collect_list(col("rec")))).as("recs"))
       .filter(size(col("recs")) > 1)
-    val buckets =
-      if (maxBucket <= 0) buckets0
-      else buckets0.filter(size(col("recs")) <= maxBucket)
-    buckets
+    def expand(buckets: DataFrame): DataFrame = buckets
       .select(posexplode(col("recs")).as(Seq("px", "x")), col("recs"))
       .select(col("x"),
         explode(slice(col("recs"), col("px") + lit(2), size(col("recs"))))
@@ -414,6 +446,25 @@ object Dedup {
         hamming(col("x.simhash"), col("y.simhash")).as("dist"))
       .filter(col("dist") <= maxDist)
       .distinct()
+    if (maxBucket <= 0) expand(buckets0)
+    else {
+      val nSub = maxDist + 1
+      val w = restBits / nSub
+      require(w >= 1, s"escalation needs restBits >= maxDist + 1")
+      val cold = buckets0.filter(size(col("recs")) <= maxBucket)
+        .select(col("recs"))
+      val hot = buckets0.filter(size(col("recs")) > maxBucket)
+        .select(col("band"), col("bv"), explode(col("recs")).as("rec"))
+        .select(col("band"), col("bv"), col("rec"),
+          posexplode(array((0 until nSub).map(s =>
+            shiftright(col("rec.rest"), s * w)
+              .bitwiseAND(lit((1L << w) - 1))): _*)).as(Seq("sband", "sbv")))
+        .groupBy(col("band"), col("bv"), col("sband"), col("sbv"))
+        .agg(array_distinct(sort_array(collect_list(col("rec")))).as("recs"))
+        .filter(size(col("recs")) > 1)
+        .select(col("recs"))
+      expand(cold.unionByName(hot))
+    }
   }
 
   /** [[hammingPairs]] with band-PAIR bucket keys — the geometry that holds
@@ -443,12 +494,27 @@ object Dedup {
     // distance budget, never break a band, so recall is unaffected.
     val combos = for { i <- 0 until nBands; j <- i + 1 until nBands }
       yield (i, j)
-    val banded = fp.select(
-      struct(col("doc_id"), col("simhash")).as("rec"),
-      posexplode(array(combos.map { case (i, j) =>
-        bandVal(i) * (1L << width) + bandVal(j) }: _*))
-        .as(Seq("band", "bv")))
-    hammingFromBuckets(banded, maxDist, maxBucket)
+    // packed complement of the combo's TWO key bands (see
+    // hammingFromBuckets' escalation contract)
+    def restPacked(i: Int, j: Int) = {
+      val lo = i * width
+      val midLen = (j - i - 1) * width
+      val low = col("simhash").bitwiseAND(lit((1L << lo) - 1))
+      val mid = shiftleft(
+        shiftrightunsigned(col("simhash"), (i + 1) * width)
+          .bitwiseAND(lit((1L << midLen) - 1)), lo)
+      val high = shiftleft(
+        shiftrightunsigned(col("simhash"), (j + 1) * width), lo + midLen)
+      low.bitwiseOR(mid).bitwiseOR(high)
+    }
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array(combos.map { case (i, j) => struct(
+        (bandVal(i) * (1L << width) + bandVal(j)).as("bv"),
+        restPacked(i, j).as("rest")) }: _*)).as(Seq("band", "k")))
+      .select(struct(col("doc_id"), col("simhash"),
+        col("k.rest").as("rest")).as("rec"),
+        col("band"), col("k.bv").as("bv"))
+    hammingFromBuckets(banded, maxDist, maxBucket, bits - 2 * width)
   }
 
   /** Geometry auto-selection for banded hamming search: the narrow

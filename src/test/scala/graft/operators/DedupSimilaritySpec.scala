@@ -98,6 +98,27 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally fp.unpersist()
   }
 
+  test("hot-bucket escalation keeps exact recall: maxBucket=2 forces every " +
+      "bucket through the rest-sub-band path, pair set unchanged") {
+    // r11 sf10 regression: the old cap DROPPED hot buckets (796 of 87,896
+    // true pairs lost at 500k docs). With maxBucket=2 on the real corpus
+    // nearly every bucket escalates, so the escalation path itself — the
+    // packed-complement sub-banding — must reproduce the uncapped ground
+    // truth exactly, in both geometries.
+    val fp = Dedup.simHash(docs, "doc_id", "text").cache()
+    try {
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("i"), col("j"), col("dist")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val truthN = pairs(Dedup.hammingPairs(fp, maxDist = 3, maxBucket = 0))
+      assert(truthN.nonEmpty)
+      assert(pairs(Dedup.hammingPairs(fp, maxDist = 3, maxBucket = 2))
+        == truthN, "narrow escalation lost or invented pairs")
+      assert(pairs(Dedup.hammingPairsWide(fp, maxDist = 3, maxBucket = 2))
+        == truthN, "wide escalation lost or invented pairs")
+    } finally fp.unpersist()
+  }
+
   test("dedup_recall_report: all three scale paths clear the floor; LSH and capped are complete") {
     val report = Dedup.dedupRecallReport(docs).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
