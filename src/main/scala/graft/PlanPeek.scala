@@ -24,9 +24,10 @@ object PlanPeek {
     val dir = "/root/testdata/sf0.001"
     // default: the newest catalog queries; `--all` sweeps the whole catalog
     // (red-flag hunt); explicit names peek exactly those
+    val full = args.contains("--full") // dump the whole executedPlan tree
     val names: Seq[String] =
       if (args.contains("--all")) SparkEntry.catalog.map(_.name)
-      else if (args.nonEmpty) args.toSeq
+      else if (args.nonEmpty) args.toSeq.filterNot(_.startsWith("--"))
       else defaultNames
     for (n <- names) {
       val df = SparkEntry.queries(n)(spark, dir)
@@ -34,8 +35,10 @@ object PlanPeek {
       println(s"=== $n")
       println("  exchanges: " + s.linesIterator.count(_.contains("Exchange")))
       println("  broadcasts: " + s.linesIterator.count(_.contains("BroadcastExchange")))
+      println("  reused: " + s.linesIterator.count(_.contains("ReusedExchange")))
       Seq("CartesianProduct", "Expand", "BroadcastNestedLoop", "SortAggregate")
         .foreach(k => if (s.contains(k)) println(s"  HAS $k"))
+      if (full) println(s)
     }
     spark.stop()
   }

@@ -451,19 +451,32 @@ object Dedup {
       val nSub = maxDist + 1
       val w = restBits / nSub
       require(w >= 1, s"escalation needs restBits >= maxDist + 1")
-      val cold = buckets0.filter(size(col("recs")) <= maxBucket)
-        .select(col("recs"))
-      val hot = buckets0.filter(size(col("recs")) > maxBucket)
-        .select(col("band"), col("bv"), explode(col("recs")).as("rec"))
+      // ONE conditional re-keying instead of a cold/hot UNION of two
+      // consumers: a union branches the plan, and Spark re-executes the
+      // whole corpus pipeline (tokenize -> fingerprint agg -> banding
+      // shuffle) once per branch — the r9 single-evaluation lesson, and
+      // caching the corpus-sized bucket table is exactly the residency
+      // assumption that form was built to avoid. Here every bucket's
+      // members re-key in place (cold -> one group per bucket, sband=-1;
+      // hot -> nSub sub-band groups), and because the re-grouping key
+      // EXTENDS (band, bv), the existing hash partitioning already
+      // satisfies its clustering — the second aggregation is
+      // partition-local, zero new exchanges (pinned by PlanSpec).
+      val rekeyed = buckets0
+        .select(col("band"), col("bv"), size(col("recs")).as("n"),
+          explode(col("recs")).as("rec"))
         .select(col("band"), col("bv"), col("rec"),
-          posexplode(array((0 until nSub).map(s =>
-            shiftright(col("rec.rest"), s * w)
-              .bitwiseAND(lit((1L << w) - 1))): _*)).as(Seq("sband", "sbv")))
-        .groupBy(col("band"), col("bv"), col("sband"), col("sbv"))
+          explode(when(col("n") <= maxBucket,
+            array(struct(lit(-1).as("sband"), lit(0L).as("sbv"))))
+            .otherwise(array((0 until nSub).map { s =>
+              struct(lit(s).as("sband"),
+                shiftright(col("rec.rest"), s * w)
+                  .bitwiseAND(lit((1L << w) - 1)).as("sbv"))
+            }: _*))).as("sk"))
+        .groupBy(col("band"), col("bv"), col("sk.sband"), col("sk.sbv"))
         .agg(array_distinct(sort_array(collect_list(col("rec")))).as("recs"))
         .filter(size(col("recs")) > 1)
-        .select(col("recs"))
-      expand(cold.unionByName(hot))
+      expand(rekeyed)
     }
   }
 

@@ -344,6 +344,18 @@ class PlanSpec extends SparkSpec {
       val p = plan(df)
       assert(!p.contains("Join"), s"$name reacquired a join:\n$p")
       assert(p.contains("Generate"), p) // posexplode pair expansion
+      // r11 escalation regression pin: the conditional re-keying must stay
+      // a SINGLE-evaluation plan. The regressed shape was a cold/hot UNION
+      // whose branches each re-ran the whole fingerprint pipeline
+      // (tokenize -> 60-sum agg -> banding shuffle) — so the precise
+      // detector is "no Union operator anywhere". (A raw Scan/Exchange
+      // count is unusable here: in suite context the fingerprint table may
+      // be cached, and InMemoryTableScan PRINTS its recovery plan — extra
+      // FileScan lines that are never executed.) Standalone-measured
+      // shape: 1 corpus scan, 3 exchanges (fingerprint agg, banding agg,
+      // final distinct), escalated re-grouping exchange-free because its
+      // key extends (band, bv).
+      assert(!p.contains("Union"), s"$name re-evaluates the pipeline:\n$p")
     }
     // and the auto entry still resolves to one of them at execution time
     assert(run("simhash_hamming_pairs").queryExecution.executedPlan
