@@ -98,6 +98,25 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally fp.unpersist()
   }
 
+  test("tiered LSH geometry: 4 rows/band at every tier, bands monotone in " +
+      "corpus size, measured tier assignments pinned") {
+    // the r11 sf10 boundary law: lshGeometry keeps the t^4 threshold shape
+    // (4 rows/band) and only ever ADDS bands as the corpus grows (more
+    // bands = strictly lower per-pair escape, so recall never regresses
+    // under growth); the tier assignments that were MEASURED exact are
+    // pinned so a future re-tune can't silently shrink them
+    var prevBands = 0
+    for (n <- Seq(1L, 50000L, 100000L, 100001L, 2000000L, 2000001L, 20000000L)) {
+      val (h, b) = Dedup.lshGeometry(n)
+      assert(h == 4 * b, s"tier at $n docs broke the 4-rows/band law: $h/$b")
+      assert(b >= prevBands, s"bands shrank at $n docs: $b < $prevBands")
+      prevBands = b
+    }
+    assert(Dedup.lshGeometry(50000L) == ((48, 12)))   // sf1, measured 2066/2066
+    assert(Dedup.lshGeometry(500000L) == ((80, 20)))  // sf10, measured 20657/20657
+    assert(Dedup.lshGeometry(5000000L) == ((112, 28))) // pre-provisioned headroom
+  }
+
   test("hot-bucket escalation keeps exact recall: maxBucket=2 forces every " +
       "bucket through the rest-sub-band path, pair set unchanged") {
     // r11 sf10 regression: the old cap DROPPED hot buckets (796 of 87,896
