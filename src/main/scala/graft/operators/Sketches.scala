@@ -112,19 +112,43 @@ object Sketches {
     * m ≥ |distinct| for exact answers, else m ≥ N/ε for an ε below the
     * hitter/bulk gap — at 100 TB the sketch's whole point is the second
     * regime, where the data has true hitters and the oracle-exact compare
-    * is replaced by the ε guarantee. */
+    * is replaced by the ε guarantee.
+    *
+    * The catalog entry now APPLIES the m ≥ |distinct| rule instead of
+    * restating it (the r11 discipline: lshGeometry / hammingPairsAuto /
+    * simhash geometry all derive their knobs from a Deferred-wrapped
+    * corpus statistic, because every constant so far has been outgrown by
+    * the next decade — 4096 broke at sf1, 65536 at sf10, and 262144 WOULD
+    * break at sf30's ~450k distinct users): capacity = next power of two
+    * ≥ |distinct user_id|, floored at 2^18 and clamped at 2^20 (a full
+    * 2^20 partial is ~58 MB in-heap / ~12 MB Kryo — the practical ceiling
+    * for per-task buffers). Past 2^20 distinct keys the exact
+    * DEMONSTRATION regime ends by design and the oracle gate fails
+    * loudly; the deployment answer there is the ε-regime, not a bigger
+    * table. The count-distinct is one extra driver job, deferred to first
+    * action ([[graft.plans.Deferred]], the dedup_clusters discipline). */
   val heavyQ = QueryDef(
     "heavy_hitters_user",
-    "Space-Saving sketch: top-10 users by event volume (exact regime)",
+    "Space-Saving sketch: top-10 users by event volume (auto-sized exact regime)",
     Some("""SELECT user_id, count(*) AS est
             FROM events GROUP BY user_id
             ORDER BY est DESC, user_id LIMIT 10"""),
-    (s, dir) => Tables.events(s, dir)
-      .agg(graft.functions.HeavyHittersAgg
-        .heavy_hitters(col("user_id"), 262144).as("hh"))
-      .select(explode(col("hh")).as(Seq("user_id", "est")))
-      .orderBy(desc("est"), col("user_id"))
-      .limit(10))
+    (s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      graft.plans.Deferred.dataFrame(s, StructType(Seq(
+        StructField("user_id", LongType), StructField("est", LongType))),
+        () => {
+          val ev = Tables.events(s, dir)
+          val distinct = ev.select(col("user_id")).distinct().count()
+          val cap = math.min(1L << 20, math.max(1L << 18,
+            java.lang.Long.highestOneBit(math.max(1L, distinct - 1)) << 1)).toInt
+          ev.agg(graft.functions.HeavyHittersAgg
+            .heavy_hitters(col("user_id"), cap).as("hh"))
+            .select(explode(col("hh")).as(Seq("user_id", "est")))
+            .orderBy(desc("est"), col("user_id"))
+            .limit(10)
+        })
+    })
 
   val defs: Seq[QueryDef] = Seq(cmsQ, heavyQ)
 }
