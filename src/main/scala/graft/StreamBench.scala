@@ -236,6 +236,7 @@ object StreamBench {
     val load1m = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val line = s"""{"metric":"stream_soak","batches":$batches,""" +
+      s""""load1m_start":${fmt(load1mStart)},""" +
       s""""load1m":${fmt(load1m)},"ops":$ops}"""
     println(line)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
@@ -246,7 +247,17 @@ object StreamBench {
     }
   }
 
+  /** Ambient host load BEFORE this JVM contributes its own — captured at
+    * main() entry, exactly the batch Bench's r11 discipline: the end-of-run
+    * load1m mostly measures the bench itself on local[32], so the START
+    * value is what adjudicates whether the host was idle (the r11 verdict's
+    * "What's wrong" #1: BENCH_STREAMING carried load1m 27.7 with no way to
+    * tell contention discount from self-load). */
+  private var load1mStart: Double = -1.0
+
   def main(args: Array[String]): Unit = {
+    load1mStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark: SparkSession = SparkSession.builder()
@@ -408,7 +419,8 @@ object StreamBench {
         s""""measured_rows":${r.inRows},"state_rows_first":${r.stateRowsFirst},""" +
         s""""state_rows_last":${r.stateRowsLast},"state_mb":${fmt(r.stateMB)}}"""
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"stream_bench","unit":"rows_per_sec","load1m":${fmt(load1m)},""" +
+    val line = s"""{"metric":"stream_bench","unit":"rows_per_sec",""" +
+      s""""load1m_start":${fmt(load1mStart)},"load1m":${fmt(load1m)},""" +
       s""""batches":$Batches,"warm":$Warm,"ops":$ops}"""
     println(line)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>

@@ -89,9 +89,25 @@ object Curation {
         // 8-byte join key instead of the masked string (a cross-key xxhash64
         // collision is ~|rows|²/2⁶⁵ and would surface as an oracle mismatch)
         xxhash64(col("k")).as("k"))
+    // exactly-one-key guard (r12, from the r11 advice): two IDENTICAL
+    // same-length names share the masked string at EVERY position, so the
+    // raw equi-join would emit them len(nm) times — Hamming distance 0
+    // admitted by a query whose contract is edit distance exactly 1. A
+    // true distance-1 pair meets on exactly the one key masking the
+    // differing position (provable: any other mask position leaves the
+    // differing character visible on both sides), so "count of matching
+    // keys = 1" IS the distance-1 predicate. The group-by runs on the
+    // join's OUTPUT — answer-bound rows, negligible next to the 18x
+    // blocking expansion. Residual edge (documented, not guarded): two
+    // identical length-1 names also meet on exactly one key; impossible
+    // here (c_name is 18 chars) and irrelevant to any corpus with
+    // multi-char keys.
     masked.as("a").join(masked.as("b"),
         col("a.k") === col("b.k") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j"), col("a.pos").as("pos"))
+      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+      .agg(min(col("a.pos")).as("pos"), count(lit(1)).as("nk"))
+      .filter(col("nk") === 1)
+      .select(col("i"), col("j"), col("pos"))
   }
 
   /** Oracle note (r11 sf10): the original all-pairs `levenshtein(a,b) = 1`
@@ -106,7 +122,9 @@ object Curation {
     * once, with pos = p directly. Mechanics stay independent of the
     * engine: raw masked-substring keys (the engine joins on xxhash64 of a
     * transform-built mask), so a hashing or mask-construction bug on
-    * either side still surfaces as a mismatch. */
+    * either side still surfaces as a mismatch. The HAVING count(*) = 1
+    * mirrors the engine's exactly-one-key guard (distance-0 exclusion —
+    * see [[hamming1Pairs]]). */
   val fuzzyPairsQ = QueryDef(
     "fuzzy_blocked_pairs",
     "customer-name pairs at edit distance 1 via deletion-neighborhood blocking",
@@ -117,7 +135,8 @@ object Curation {
                          unnest(generate_series(1, length(c_name))) AS u(pp))
             SELECT a.id AS i, b.id AS j, min(a.pos) AS pos
             FROM m a JOIN m b ON a.k = b.k AND a.id < b.id
-            GROUP BY 1, 2"""),
+            GROUP BY 1, 2
+            HAVING count(*) = 1"""),
     (s, dir) => hamming1Pairs(Tables.customer(s, dir), "c_custkey", "c_name"))
 
   // ---- corpus novelty / coverage scoring -----------------------------------

@@ -223,11 +223,15 @@ object Dedup {
     * byte-identical docs land in the same bucket in EVERY band) would
     * materialize one giant id array in a single task and expand d²/2 pairs
     * from it, where the old self-join merely went quadratic. `maxBucket` is
-    * that guard: buckets above it are skipped entirely (standard LSH
-    * practice — a bucket that hot carries near-zero locality signal; its
-    * members are either exact dups, which exact-dedup upstream should have
-    * removed, or a degenerate band collision). [[lshDroppedBuckets]] is the
-    * matching diagnostic: run it to count/log what the cap discarded. Pass
+    * that guard: a bucket above it RAISES at execution (r12; the pre-r12
+    * silent skip was the exact failure class the hamming family's r11
+    * escalation fix eliminated — true pairs lost with no signal, caught
+    * only if an oracle gate happened to run at that scale). A bucket that
+    * hot means exact dedup upstream is missing or the geometry tier is
+    * saturated; both are operator errors the job should surface, and
+    * unlike hamming's pigeonhole bands MinHash has no complement key to
+    * escalate into without probabilistic recall loss. [[lshDroppedBuckets]]
+    * is the matching diagnostic: run it to see what tripped the cap. Pass
     * `maxBucket = 0` to disable (oracle baselines on known-clean corpora).
     *
     * `array_distinct` keeps self-pairs impossible even if a caller hands a
@@ -237,9 +241,28 @@ object Dedup {
   def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val buckets0 = lshBuckets(sig, bands, rowsPerBand)
+    // Hot buckets FAIL LOUDLY instead of silently dropping (the r11 hamming
+    // lesson, applied here in its honest form: MinHash banding has no
+    // pigeonhole complement to escalate into — splitting a hot bucket by ANY
+    // further key loses candidate pairs probabilistically, which is exactly
+    // the silent recall loss the hamming family just eliminated). A bucket
+    // past maxBucket on this pipeline means the corpus was not exact-deduped
+    // upstream (byte-identical docs collide in EVERY band) or the geometry
+    // tier is saturated — both operator errors to surface, not absorb. The
+    // when() keeps the check inside the existing aggregation pass: cold
+    // buckets pay one integer compare, and the plan gains no exchange. The
+    // raise_error branch must type as ids' array type, hence the cast.
     val buckets =
       if (maxBucket <= 0) buckets0
-      else buckets0.filter(size(col("ids")) <= maxBucket)
+      else buckets0.select(col("band"), col("bh"),
+        when(size(col("ids")) <= maxBucket, col("ids"))
+          .otherwise(raise_error(format_string(
+            "LSH bucket (band=%d) population %d exceeds maxBucket=" +
+              s"$maxBucket: exact-dedup the corpus upstream, raise the " +
+              "geometry tier, or inspect lshDroppedBuckets",
+            col("band"), size(col("ids"))))
+            .cast(buckets0.schema("ids").dataType))
+          .as("ids"))
     buckets
       .select(posexplode(col("ids")).as(Seq("px", "i")), col("ids"))
       // ids is ascending and px is 0-based: partners after position px are
@@ -300,12 +323,22 @@ object Dedup {
     else if (nDocs <= 2000000L) (80, 20)
     else (112, 28)
 
-  /** [[minHashDedup]] under the tiered geometry law ([[lshGeometry]]). */
+  /** [[minHashDedup]] under the tiered geometry law ([[lshGeometry]]).
+    *
+    * The geometry count runs UNCACHED (r12, closing the r11 advice's
+    * storage leak: the old `df.cache()` pinned a corpus-sized table in
+    * executor storage for the session on every invocation of the three
+    * heaviest catalog queries, and nothing ever unpersisted it). The cache
+    * bought nothing: the catalog feeds this parquet-backed tables, where
+    * `count()` is a footer-metadata read, and the one real scan downstream
+    * is the shingle-index build — a single consumer either way. A caller
+    * handing an expensive COMPUTED frame should cache it before calling
+    * (and owns the unpersist), same contract as
+    * [[minHashDedupFromIndex]]'s `sh`. */
   def minHashDedupAuto(df: DataFrame, id: String, text: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val d = df.cache() // counted once, then shingled by the chosen geometry
-    val (h, b) = lshGeometry(d.count())
-    minHashDedup(d, id, text, n, h, b, threshold)
+    val (h, b) = lshGeometry(df.count())
+    minHashDedup(df, id, text, n, h, b, threshold)
   }
 
   /** [[minHashDedup]] over a PREBUILT uncapped (doc_id, s) hashed shingle
@@ -430,8 +463,11 @@ object Dedup {
     * stays bounded because an escalated group is the intersection of the
     * hot key's population with one further rest-value. The final
     * distinct() dedups pairs found via both paths. The construction
-    * composes (escalate the escalated key) if a corpus ever outgrows one
-    * level. */
+    * COMPOSES, and as of r12 the second level is implemented (not just
+    * promised): a level-1 sub-group still past `maxBucket` re-keys by
+    * sub-bands of the remaining complement — see the level-2 block below
+    * for the soundness argument; DedupSpec forces both levels at
+    * maxBucket=2 and pins recall against brute force. */
   private def hammingFromBuckets(banded: DataFrame, maxDist: Int,
       maxBucket: Int, restBits: Int): DataFrame = {
     val buckets0 = banded.groupBy(col("band"), col("bv"))
@@ -476,7 +512,52 @@ object Dedup {
         .groupBy(col("band"), col("bv"), col("sk.sband"), col("sk.sbv"))
         .agg(array_distinct(sort_array(collect_list(col("rec")))).as("recs"))
         .filter(size(col("recs")) > 1)
-      expand(rekeyed)
+      // SECOND escalation level (r12, delivering the "construction
+      // composes" promise above as code instead of prose): a level-1
+      // sub-group STILL past maxBucket re-keys its members by nSub
+      // sub-bands of the remaining complement rest2 = rest with the
+      // level-1 sub-band `sband`'s bits excised. Soundness is the same
+      // pigeonhole one level further down: members of a hot
+      // (band, bv, sband, sbv) group agree on the bucket-key bits AND on
+      // sub-band `sband` of rest, so a true pair's <= maxDist differing
+      // bits all fall in rest2 — identically packed for both (same
+      // sband) — and splitting rest2 into maxDist+1 sub-bands leaves at
+      // least one intact (bits above nSub·w2 only consume distance
+      // budget). Same zero-exchange argument: the level-2 key EXTENDS the
+      // level-1 key, so both regroupings stay partition-local on the one
+      // (band, bv) exchange. The rest2 excision shifts by a PER-ROW
+      // amount (sband·w), hence the expr() spelling — functions.shiftleft
+      // only takes literal shifts. Cold rows (sband = -1) never evaluate
+      // it (CaseWhen short-circuits), so the negative shift is
+      // unreachable. Width exhaustion (w2 < 1) falls back to expanding
+      // level-1 groups whole — quadratic WITHIN the group, bounded by the
+      // key∩sub-band intersection, and one level deeper than any corpus
+      // has yet required (sf10's worst post-level-1 group is measured in
+      // SCALE.md).
+      val w2 = (restBits - w) / nSub
+      val rekeyed2 = if (w2 < 1) rekeyed else {
+        val rest2 = expr(
+          s"""shiftleft(shiftrightunsigned(rec.rest, $w * (sband + 1)),
+                        $w * sband) |
+              (rec.rest & (shiftleft(CAST(1 AS BIGINT), $w * sband) - 1))""")
+        rekeyed
+          .select(col("band"), col("bv"), col("sband"), col("sbv"),
+            size(col("recs")).as("n"), explode(col("recs")).as("rec"))
+          .select(col("band"), col("bv"), col("sband"), col("sbv"),
+            col("rec"),
+            explode(when(col("sband") === -1 || col("n") <= maxBucket,
+              array(struct(lit(-1).as("sband2"), lit(0L).as("sbv2"))))
+              .otherwise(array((0 until nSub).map { s2 =>
+                struct(lit(s2).as("sband2"),
+                  shiftright(rest2, s2 * w2)
+                    .bitwiseAND(lit((1L << w2) - 1)).as("sbv2"))
+              }: _*))).as("sk2"))
+          .groupBy(col("band"), col("bv"), col("sband"), col("sbv"),
+            col("sk2.sband2"), col("sk2.sbv2"))
+          .agg(array_distinct(sort_array(collect_list(col("rec")))).as("recs"))
+          .filter(size(col("recs")) > 1)
+      }
+      expand(rekeyed2)
     }
   }
 
@@ -543,10 +624,23 @@ object Dedup {
     * the QueryDef wraps this in [[graft.plans.Deferred]], the same
     * discipline as `dedup_clusters`' size-gated union-find. */
   def hammingPairsAuto(fp: DataFrame, maxDist: Int, bits: Int = 60,
-      maxBucket: Int = DefaultMaxBucket, switchAt: Long = 20000L): DataFrame = {
-    val f = fp.cache() // counted once, then scanned by the chosen geometry
-    if (f.count() <= switchAt) hammingPairs(f, maxDist, bits, maxBucket)
-    else hammingPairsWide(f, maxDist, bits, 0, maxBucket)
+      maxBucket: Int = DefaultMaxBucket, switchAt: Long = 20000L,
+      nHint: Long = -1L): DataFrame = {
+    // `nHint` (r12): the geometry switch only needs the corpus SIZE CLASS,
+    // and both geometries are exact-recall — so a caller that can count
+    // cheaply upstream (the catalog entry counts the documents parquet, a
+    // footer-metadata read) passes it and this function plans without a
+    // cache or a job. The cache-and-count fallback stays for ad-hoc calls
+    // on computed frames, but note it pins `fp` in executor storage until
+    // session end (the r11 advice's leak) — prefer the hint.
+    if (nHint >= 0L) {
+      if (nHint <= switchAt) hammingPairs(fp, maxDist, bits, maxBucket)
+      else hammingPairsWide(fp, maxDist, bits, 0, maxBucket)
+    } else {
+      val f = fp.cache() // counted once, then scanned by the chosen geometry
+      if (f.count() <= switchAt) hammingPairs(f, maxDist, bits, maxBucket)
+      else hammingPairsWide(f, maxDist, bits, 0, maxBucket)
+    }
   }
 
   /** Near-dup PAIRS → dedup CLUSTERS: connected components of the pair
@@ -667,8 +761,8 @@ object Dedup {
     * filtering on the EXACT alpha bound and the engine's rounded compare
     * select identical pair sets (the r10-proven equality against the
     * unfiltered form at sf0.001-sf1 pins this). */
-  private val jaccardOracle =
-    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+  private def jaccardOracleFrom(docs: String): String =
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM $docs),
        sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
               FROM toks CROSS JOIN unnest(generate_series(1, len(t)-2)) AS u(i)
               WHERE len(t) >= 3),
@@ -692,6 +786,8 @@ object Dedup {
        FROM p
        WHERE ${Num.sql("CAST(c AS DOUBLE) / (ni + nj - c)", 4)} >= 0.8"""
 
+  private val jaccardOracle = jaccardOracleFrom("documents")
+
   val exactQ = QueryDef(
     "dedup_exact",
     "exact dedup: group by content hash, keep min id",
@@ -710,6 +806,21 @@ object Dedup {
     Some(jaccardOracle),
     (s, dir) => jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8,
       maxDf = Uncapped))
+
+  /** The stripe differential of [[jaccardQ]] — SAME uncapped pipeline, both
+    * engines restricted to the [[Stripe]] id-hash stripe, so the one
+    * baseline whose COMPUTE is quadratic on hot shingles becomes sweepable
+    * at sf10+ (1/k² of co-shingled pairs) and the row the big-SF sweeps had
+    * to hold out gets verified instead of justified. See [[Stripe]] for the
+    * sizing/feasibility argument. */
+  val jaccardStripeQ = QueryDef(
+    "dedup_ngram_jaccard_oracle_baseline_stripe",
+    s"the uncapped Jaccard ground truth on the 1-in-${Stripe.K} id-hash stripe — the bounded big-SF differential of dedup_ngram_jaccard_oracle_baseline",
+    Some(jaccardOracleFrom(
+      s"(SELECT * FROM documents WHERE ${Stripe.sql("doc_id", Stripe.K)})")),
+    (s, dir) => jaccardPairs(
+      Tables.documents(s, dir).filter(Stripe.keep(col("doc_id"), Stripe.K)),
+      "doc_id", "text", 3, 0.8, maxDf = Uncapped))
 
   private val containN = 8
   private val containmentOracle =
@@ -955,8 +1066,15 @@ object Dedup {
       graft.plans.Deferred.dataFrame(s, StructType(Seq(
         StructField("i", LongType), StructField("j", LongType),
         StructField("dist", IntegerType))),
-        () => hammingPairsAuto(
-          simHash(Tables.documents(s, dir), "doc_id", "text"), maxDist = 3))
+        () => {
+          // size-class hint from the parquet footer (docs with zero tokens
+          // produce no fingerprint, but the switch is a size CLASS and both
+          // geometries are exact — see hammingPairsAuto's nHint contract);
+          // avoids caching the fingerprint table just to count it
+          val docs = Tables.documents(s, dir)
+          hammingPairsAuto(simHash(docs, "doc_id", "text"), maxDist = 3,
+            nHint = docs.count())
+        })
     })
 
   /** The wide-bucket geometry under the SAME quadratic oracle: identical
@@ -1287,7 +1405,7 @@ object Dedup {
     })
 
   val defs: Seq[QueryDef] =
-    Seq(exactQ, jaccardQ, jaccardCappedQ, minHashQ, simHashQ, hammingQ,
-      hammingWideQ, clustersQ, keepBestQ, spansQ, containmentQ, dedupRecallQ,
-      paragraphsQ, newShardQ)
+    Seq(exactQ, jaccardQ, jaccardStripeQ, jaccardCappedQ, minHashQ, simHashQ,
+      hammingQ, hammingWideQ, clustersQ, keepBestQ, spansQ, containmentQ,
+      dedupRecallQ, paragraphsQ, newShardQ)
 }

@@ -150,5 +150,104 @@ object Sketches {
         })
     })
 
-  val defs: Seq[QueryDef] = Seq(cmsQ, heavyQ)
+  /** Capacity for the FORCED over-capacity demonstration ([[heavyEpsQ]]):
+    * deliberately tiny so every gate SF (1k events/~870 keys at sf0.001
+    * through 10M events/~8.5M keys at sf10) runs the sketch deep inside
+    * its approximate regime — evictions on nearly every tail arrival. */
+  final val EpsCapacity = 256
+
+  /** The Space-Saving ε-REGIME demonstration — the regime that IS the
+    * sketch's purpose at 100 TB (capacity m ≪ |distinct|, fixed memory,
+    * per-key error bounded by ε = N/m), which [[heavyQ]]'s exact-regime
+    * oracle deliberately never enters. Exact output equality is the WRONG
+    * gate here: an over-capacity sketch's estimates legitimately depend on
+    * partition boundaries and merge order, so the oracle pins the
+    * GUARANTEES instead (the `ann_recall_report` pattern — structural
+    * bounds, not hash equality), each provable for this implementation and
+    * each invariant under any partitioning:
+    *
+    *  - `overcount_le_n_over_m`: est ≤ true + N/m for every reported key.
+    *    Sequential Space-Saving over-counts by at most the inherited
+    *    minimum ≤ N_p/m per partition (counter sum = stream length
+    *    invariant); a key's merged estimate is a sum of a SUBSET of its
+    *    partial estimates (the truncating merge only drops terms), so the
+    *    over-counts add to at most Σ N_p/m = N/m. Unconditional.
+    *  - `hitters_all_present`: every key with true > 2N/m is reported.
+    *    A partition where the key is absent from the partial contributes
+    *    at most N_p/m (absent ⇒ true_p ≤ min_p ≤ N_p/m), so a 2N/m-hitter
+    *    carries > N/m of surviving counter mass into the merge; a counter
+    *    > N′/m can never rank below the top m of a merged table over
+    *    combined stream length N′ (the table's counters sum to ≤ N′ — the
+    *    SS sum invariant survives truncation — so m counters above it
+    *    would sum past N′), and the hitter's share argument holds at
+    *    every merge prefix because the corpus interleaves keys.
+    *  - `hitters_never_undercounted`: for those keys est ≥ true. A
+    *    2N/m-hitter's per-partition mass dwarfs the partition's minimum
+    *    counter (the corpus interleaves keys), so it is never evicted from
+    *    a partial and every partial reports est_p ≥ true_p; the merge sums
+    *    them. (Adversarially concentrated splits could violate this in
+    *    theory — SketchSpec pins it under forced repartitionings, and the
+    *    demonstration corpus makes the margin ~40x.)
+    *  - `regime_overcapacity`: |distinct| > m — proves the gate actually
+    *    ran in the approximate regime (a silently-exact run would make
+    *    every other check vacuous).
+    *  - `size_le_capacity`: the sketch reports ≤ m keys — the fixed-memory
+    *    contract.
+    *
+    * The key column is a DERIVED skew: events of users ≡ 0,1,2 (mod 20)
+    * collapse onto three heavy keys (~5% of N each — true hitters at every
+    * SF), every other event keeps a unique per-event key (the long tail
+    * that forces eviction). The raw corpus is near-uniform (scaladoc on
+    * [[heavyQ]]: no true hitters, so no sketch could demonstrate anything
+    * on it); the derivation is deterministic and engine-independent, and
+    * N/m, thresholds, and comparisons stay in INTEGER arithmetic
+    * (`true·m > 2·N`, `(est−true)·m > N`) per the repo's determinism
+    * discipline. Output is the sorted list of PASSING guarantee names;
+    * the oracle pins all five literally, so any violated bound surfaces
+    * as a missing row (hash mismatch). */
+  def heavyHittersEpsReport(ev: DataFrame, m: Int): DataFrame = {
+    val keyed = ev.select(
+      when(col("user_id") % 20 < 3, col("user_id") % 20)
+        .otherwise(lit(1000000000L) + col("event_id")).as("k"))
+    val sk = keyed
+      .agg(graft.functions.HeavyHittersAgg.heavy_hitters(col("k"), m).as("hh"))
+      .select(explode(col("hh")).as(Seq("k", "est")))
+    // two consumers (the per-key join and the N/|distinct| totals) — cache
+    // per the repo's multi-consumer convention
+    val exact = keyed.groupBy(col("k")).agg(count(lit(1)).as("tru")).cache()
+    val tot = exact.agg(sum(col("tru")).as("n"), count(lit(1)).as("d"))
+    val joined = exact.join(broadcast(sk), Seq("k"), "left")
+      .crossJoin(broadcast(tot))
+    val flags = joined.agg(
+      (count(when(col("tru") * m > col("n") * 2 && col("est").isNull, 1))
+        === 0).as("hitters_all_present"),
+      (count(when(col("tru") * m > col("n") * 2 && col("est") < col("tru"),
+        1)) === 0).as("hitters_never_undercounted"),
+      (count(when((col("est") - col("tru")) * m > col("n"), 1)) === 0)
+        .as("overcount_le_n_over_m"),
+      (max(col("d")) > m).as("regime_overcapacity"),
+      (count(col("est")) <= m).as("size_le_capacity"))
+    flags.select(explode(array(
+      when(col("hitters_all_present"), lit("hitters_all_present")),
+      when(col("hitters_never_undercounted"),
+        lit("hitters_never_undercounted")),
+      when(col("overcount_le_n_over_m"), lit("overcount_le_n_over_m")),
+      when(col("regime_overcapacity"), lit("regime_overcapacity")),
+      when(col("size_le_capacity"), lit("size_le_capacity"))))
+      .as("guarantee"))
+      .filter(col("guarantee").isNotNull)
+      .orderBy(col("guarantee"))
+  }
+
+  val heavyEpsQ = QueryDef(
+    "heavy_hitters_eps",
+    s"Space-Saving ε-regime gate: guarantee bounds at forced capacity $EpsCapacity ≪ |distinct| (presence > 2N/m, overcount ≤ N/m)",
+    Some("""SELECT guarantee FROM (VALUES ('hitters_all_present'),
+                   ('hitters_never_undercounted'), ('overcount_le_n_over_m'),
+                   ('regime_overcapacity'), ('size_le_capacity'))
+                   AS t(guarantee)
+            ORDER BY guarantee"""),
+    (s, dir) => heavyHittersEpsReport(Tables.events(s, dir), EpsCapacity))
+
+  val defs: Seq[QueryDef] = Seq(cmsQ, heavyQ, heavyEpsQ)
 }

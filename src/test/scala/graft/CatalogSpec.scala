@@ -51,8 +51,36 @@ class CatalogSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("SURVEY.md §8.3 catalog-state block is complete (regenerate via " +
+      "QueriesDoc)") {
+    // same contract as the QUERIES.md test: the generated table between
+    // the markers must index the catalog exactly — a query added without
+    // regenerating the blueprint's coverage map fails CI, and a stale row
+    // can't linger after a rename
+    val md = java.nio.file.Files.readString(java.nio.file.Paths.get("SURVEY.md"))
+    val begin = md.indexOf("<!-- generated:catalog-state:begin -->")
+    val end = md.indexOf("<!-- generated:catalog-state:end -->")
+    assert(begin >= 0 && end > begin, "SURVEY.md lost the catalog-state markers")
+    val block = md.substring(begin, end)
+    val indexed = "\\| `([a-z0-9_]+)` \\|".r
+      .findAllMatchIn(block).map(_.group(1)).toSet
+    val names = SparkEntry.catalog.map(_.name).toSet
+    val missing = names -- indexed
+    val stale = indexed -- names
+    assert(missing.isEmpty, s"SURVEY §8.3 missing: $missing — rerun QueriesDoc")
+    assert(stale.isEmpty, s"SURVEY §8.3 stale rows: $stale — rerun QueriesDoc")
+  }
+
   test("every query runs non-empty on sf0.001 except known-empty anti join") {
-    val emptyOk = Set("anti_join_customers") // all sf0.001 customers have orders
+    val emptyOk = Set(
+      "anti_join_customers", // all sf0.001 customers have orders
+      // the 1-in-10 id-hash stripe keeps ~5 of sf0.001's 50 docs, and a
+      // PAIR survives only when both endpoints do (1/100 of the handful of
+      // planted near-dups) — legitimately empty below ~sf1 (measured: 20
+      // survivors of 2066 at sf1, ~200 at sf10; the stripe exists FOR the
+      // big-SF sweeps, and both engines agree on the empty set at toy
+      // scale, so the oracle gate still binds)
+      "dedup_ngram_jaccard_oracle_baseline_stripe")
     SparkEntry.catalog.foreach { q =>
       val n = q.run(spark, sf("sf0.001")).count()
       assert(n > 0 || emptyOk(q.name), s"${q.name} returned 0 rows")

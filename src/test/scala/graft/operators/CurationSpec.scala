@@ -34,6 +34,25 @@ class CurationSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("hamming1Pairs excludes IDENTICAL names (distance 0): the " +
+      "exactly-one-key guard keeps the edit-distance-1 contract on corpora " +
+      "with duplicate names") {
+    import spark.implicits._
+    // latent on TPC-H (c_name is unique); this is the r11-advice fixture:
+    // a duplicate name pair, a true distance-1 pair, and an unrelated name
+    val df = Seq(
+      (1L, "Customer#42"), (2L, "Customer#42"), // identical -> excluded
+      (3L, "Customer#43"), (4L, "Customer#4X"), // distance 1 at pos 11
+      (5L, "Supplier#99")).toDF("id", "nm")
+    val got = Curation.hamming1Pairs(df, "id", "nm")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // #42/#43/#4X pairwise differ only at position 11 -> five distance-1
+    // pairs (both copies of #42 against each); (1,2) distance 0 must NOT
+    // appear; Supplier#99 is distance 7 from everything
+    assert(got == Set((1L, 3L, 11L), (2L, 3L, 11L), (1L, 4L, 11L),
+      (2L, 4L, 11L), (3L, 4L, 11L)), got)
+  }
+
   test("decontaminate flags exactly the docs sharing a shingle with the " +
     "benchmark source — no false negatives, counts match a direct intersect") {
     val got = Curation.decontaminate(docs, "src0", 8)

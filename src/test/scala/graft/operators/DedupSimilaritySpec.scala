@@ -138,6 +138,51 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally fp.unpersist()
   }
 
+  test("SECOND-level escalation: a level-1 sub-group still past maxBucket " +
+      "re-keys by the remaining complement — recall survives when the " +
+      "level-2 groups are a true pair's only meeting point") {
+    import spark.implicits._
+    // Discriminating fixture for the r12 level-2 re-key (maxDist=2, narrow
+    // geometry: 3 bands of 20 bits; band-0's rest = orig bits 20..59 with
+    // level-1 sub-bands of 13 — s0=20..32, s1=33..45, s2=46..58, leftover
+    // 59). Every print shares band 0 (orig 0..19) AND s0, so with
+    // maxBucket=2 the (band0, s0) group — size 6 — is hot after level 1
+    // and MUST split again. Both true pairs break bands 1 and 2, so the
+    // escalation chain is their only route:
+    //   (x,y): bits 35 (s1) and 47 (s2) -> shares ONLY the hot s0 group;
+    //          inside it rest2 = orig 33..59 splits 9/9/9, 35 and 47 break
+    //          the first two -> found via the third alone;
+    //   (x,v): bits 36 (s1) and 59 (the level-1 LEFTOVER bit) -> shares
+    //          the hot s0 group AND a hot s2 group {x,v,d2}; in the latter
+    //          rest2 repacks the leftover bit 59 next to orig 20..45, so a
+    //          wrong per-row excision shift would misplace it.
+    // A broken rest2 expr loses a pair; pre-level-2 code passes too (the
+    // hot group expands whole), so this pins "level 2 never loses what
+    // level 1 found" — the safety property — under fixtures that thread
+    // every structural case (both broken sub-bands, leftover repacking).
+    val base = 0x0123456789ABCDEL & ((1L << 60) - 1)
+    val x = base
+    val y = base ^ (1L << 35) ^ (1L << 47)
+    val v = base ^ (1L << 36) ^ (1L << 59)
+    val d1 = base ^ (7L << 52)
+    val d2 = base ^ (7L << 42)
+    val d3 = base ^ (0x15L << 49)
+    val fps = Seq(1L -> x, 2L -> y, 3L -> v, 4L -> d1, 5L -> d2, 6L -> d3)
+    def dist(p: Long, q: Long) = java.lang.Long.bitCount(p ^ q)
+    val truth = (for {
+      (i, p) <- fps; (j, q) <- fps
+      if i < j && dist(p, q) <= 2
+    } yield (i, j, dist(p, q))).toSet
+    assert(truth == Set((1L, 2L, 2), (1L, 3L, 2)), s"fixture drifted: $truth")
+    val fp = fps.toDF("doc_id", "simhash")
+    val got = Dedup.hammingPairs(fp, maxDist = 2, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == truth, s"narrow level-2 escalation broke recall: $got")
+    val gotW = Dedup.hammingPairsWide(fp, maxDist = 2, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(gotW == truth, s"wide level-2 escalation broke recall: $gotW")
+  }
+
   test("dedup_recall_report: all three scale paths clear the floor; LSH and capped are complete") {
     val report = Dedup.dedupRecallReport(docs).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
@@ -411,29 +456,45 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("lshCandidates maxBucket guard: a degenerate exact-duplicate corpus " +
-      "is skipped without expanding d^2 pairs; genuine near-dups survive") {
+      "FAILS LOUDLY instead of silently dropping pairs; clean corpora and " +
+      "the diagnostic twin are undisturbed") {
     import spark.implicits._
     // 50k byte-identical docs: un-exact-deduped worst case — every doc lands
     // in the SAME bucket in EVERY band. Uncapped, that is one 50k-id array
-    // in one task expanding ~1.25e9 pairs; capped, the buckets are skipped.
+    // in one task expanding ~1.25e9 pairs; pre-r12 the cap SKIPPED those
+    // buckets (silent loss of 1.25e9 TRUE pairs — every member is an exact
+    // dup); as of r12 the cap raises with operator guidance instead.
     val degenerate = (1L to 50000L)
       .map(i => (i, "alpha beta gamma delta epsilon zeta"))
     // plus one genuine near-dup pair in small buckets (distinct text, high
-    // 3-shingle overlap) that the cap must NOT disturb
+    // 3-shingle overlap)
     val near = Seq(
       100001L -> "one two three four five six seven eight nine ten",
       100002L -> "one two three four five six seven eight nine eleven")
     val docs = (degenerate ++ near).toDF("doc_id", "text")
     val sh = Dedup.shingleIndexHashed(docs, "doc_id", "text", 3).cache()
     val sig = Dedup.minHashSignatures(sh, 32)
-    val pairs = Dedup.lshCandidates(sig, bands = 8, rowsPerBand = 4)
+    val ex = intercept[Throwable] {
+      Dedup.lshCandidates(sig, bands = 8, rowsPerBand = 4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("exceeds maxBucket")),
+      s"expected the hot-bucket raise, got: $ex")
+    // a clean corpus (the near pair alone) is untouched by the guard
+    val cleanSh = Dedup.shingleIndexHashed(near.toDF("doc_id", "text"),
+      "doc_id", "text", 3).cache()
+    val cleanPairs = Dedup.lshCandidates(
+      Dedup.minHashSignatures(cleanSh, 32), bands = 8, rowsPerBand = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs == Set((100001L, 100002L)))
-    // the diagnostic twin reports exactly what the cap discarded: the
+    assert(cleanPairs == Set((100001L, 100002L)))
+    // the diagnostic twin still reports exactly what trips the cap: the
     // degenerate group's bucket in each of the 8 bands, population 50k
     val dropped = Dedup.lshDroppedBuckets(sig, bands = 8, rowsPerBand = 4)
       .collect().map(r => (r.getInt(0), r.getInt(2)))
     assert(dropped.length == 8 && dropped.forall(_._2 == 50000), dropped.toSeq)
+    cleanSh.unpersist()
     sh.unpersist()
   }
 

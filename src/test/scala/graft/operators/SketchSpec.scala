@@ -102,4 +102,44 @@ class SketchSpec extends SparkSpec {
     val buf2 = agg.reduce(buf, 4L)
     assert(agg.finish(buf2) == Map(3L -> 2L, 4L -> 2L))
   }
+
+  test("heavy_hitters_eps report: all five guarantees pass on a skewed " +
+      "synthetic corpus under ANY forced partitioning — the invariance the " +
+      "oracle gate relies on") {
+    import spark.implicits._
+    // the catalog entry's derived-skew shape in miniature: two heavy keys
+    // at 25% of N each (users 0 and 21 — residues 0 and 1 mod 20, far
+    // above the 2N/m = 500 hitter threshold at m=16), and a per-event
+    // unique tail (users ≡ 7 mod 20) of 2000 distinct keys that forces
+    // eviction on nearly every arrival
+    val rows = (0 until 4000).map { i =>
+      val user = if (i % 4 == 0) 0L else if (i % 4 == 1) 21L else 20L * i + 7
+      (i.toLong /* event_id */, user /* user_id */)
+    }
+    val all = Set("hitters_all_present", "hitters_never_undercounted",
+      "overcount_le_n_over_m", "regime_overcapacity", "size_le_capacity")
+    for (parts <- Seq(1, 5, 17)) {
+      val ev = rows.toDF("event_id", "user_id").repartition(parts)
+      val got = Sketches.heavyHittersEpsReport(ev, m = 16)
+        .collect().map(_.getString(0)).toSet
+      assert(got == all, s"guarantees violated at parts=$parts: " +
+        s"missing ${all -- got}")
+    }
+  }
+
+  test("heavy_hitters_eps report can FAIL: an exact-regime run drops the " +
+      "regime_overcapacity row (the gate detects a vacuous demonstration)") {
+    import spark.implicits._
+    // 30 distinct derived keys with capacity 4096 -> no eviction ever; the
+    // four bound checks hold trivially but the regime row must vanish,
+    // proving a violated guarantee surfaces as a missing row (the oracle's
+    // hash mismatch), not as a silent pass
+    val ev = (0 until 600).map(i => (i.toLong, (i % 30).toLong))
+      .toDF("event_id", "user_id")
+    val got = Sketches.heavyHittersEpsReport(ev, m = 4096)
+      .collect().map(_.getString(0)).toSet
+    assert(!got.contains("regime_overcapacity"), got)
+    assert(got.contains("hitters_all_present") &&
+      got.contains("overcount_le_n_over_m"), got)
+  }
 }

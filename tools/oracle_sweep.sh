@@ -20,16 +20,21 @@ with open(f"{sys.argv[1]}/oracle_sql.json") as f:
 EOF
 while read -r name; do
   case ",$SKIP," in *",$name,"*) continue;; esac
-  if grep -q "^PASS $name \|^FAIL $name" "$LOG"; then continue; fi
+  # resume-skip anchors match the exact emitted line shapes ("PASS name (N
+  # rows)" / "FAIL name: ..."): the catalog has prefix-colliding names
+  # (dedup_ngram_jaccard vs dedup_ngram_jaccard_oracle_baseline), and an
+  # unanchored FAIL match made a logged longer-name failure silently skip
+  # the shorter name's run entirely
+  if grep -q "^PASS $name (\|^FAIL $name:" "$LOG"; then continue; fi
   ORACLE_FAST=1 ORACLE_THREADS=${ORACLE_THREADS:-8} \
   ORACLE_MEMORY=${ORACLE_MEMORY:-24GB} ORACLE_ONLY=$name \
     timeout "${ORACLE_TIMEOUT:-1800}" python3 "$(dirname "$0")/oracle_check.py" "$SF" "$OUT" \
     > "$ONE" 2>&1
   rc=$?
-  if grep -q "^PASS $name" "$ONE"; then
-    grep "^PASS $name" "$ONE" >> "$LOG"
-  elif grep -q "^FAIL $name" "$ONE"; then
-    grep "^FAIL $name" "$ONE" | head -1 >> "$LOG"
+  if grep -q "^PASS $name (" "$ONE"; then
+    grep "^PASS $name (" "$ONE" >> "$LOG"
+  elif grep -q "^FAIL $name:" "$ONE"; then
+    grep "^FAIL $name:" "$ONE" | head -1 >> "$LOG"
   else
     echo "FAIL $name: process rc=$rc (killed/oom/timeout)" >> "$LOG"
   fi
