@@ -73,7 +73,14 @@ def main(sf_dir: str, out_dir: str) -> int:
     mem = os.environ.get("ORACLE_MEMORY")
     if mem:
         con.execute(f"SET memory_limit = '{mem}'")
-    con.execute("SET temp_directory = '/tmp/duckdb_oracle_spill'")
+    # PER-PROCESS spill dir (r12): two concurrent oracle processes sharing
+    # one fixed temp_directory clobber each other's spill files — observed
+    # as "Could not read enough bytes from duckdb_temp_storage" and
+    # garbage-size "Cannot resize vector to N PiB" failures when an sf10
+    # retry overlapped the sf30 sweep. Same lesson as the r11 mktemp
+    # scratch log, one layer down.
+    con.execute(
+        f"SET temp_directory = '/tmp/duckdb_oracle_spill_{os.getpid()}'")
     # row order is irrelevant (both compare paths sort); letting DuckDB drop
     # insertion-order preservation unlocks streaming execution for the
     # list-heavy ANN oracles, whose order-preserving buffering is what blew
