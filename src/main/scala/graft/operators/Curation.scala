@@ -669,10 +669,15 @@ object Curation {
     * (dup_frac > 0.72 ≈ p95, weight < -2e6 µnats ≈ p10, dist > mean+1σ);
     * each is a named constant a deployment re-tunes.
     *
-    * Scale: every signal is individually linear (see its operator); the
-    * assembly is per-doc equi-joins — contamination is a broadcast of the
-    * flagged minority, the rest shuffle by doc_id once. Nothing quadratic
-    * joins INTO the scorecard. */
+    * Scale: every signal is individually linear-to-n^1.5 (see its
+    * operator); the assembly is per-doc equi-joins — contamination is a
+    * broadcast of the flagged minority, the rest shuffle by doc_id once.
+    * Nothing quadratic joins INTO the scorecard. The outlier leg rides the
+    * √n IVF sizing law ([[Similarity.embeddingOutliersSqrt]]): the r12 sf10
+    * bench caught the fixed stride-25 codebook costing n²/25 broadcast-
+    * assignment dots (1.6e9 at 200k vectors — 42 s of the scorecard's
+    * wall), the same wrong-asymptote the r10 sweep evicted from the ANN
+    * index queries. */
   val ScorecardMinTokens = 10L
   val ScorecardMaxDupFrac = 0.72
   val ScorecardMinWeightMicro = -2000000L
@@ -695,7 +700,7 @@ object Curation {
     val contam = decontaminate(docs, BenchmarkSource, decontamW)
       .select(col("doc_id"), lit(true).as("contam"))
     val dsir = dsirWeights(docs).select(col("doc_id"), col("weight_micro"))
-    val outl = Similarity.embeddingOutliers(emb, stride = 25, zThresh = 1.0)
+    val outl = Similarity.embeddingOutliersSqrt(emb, zThresh = 1.0)
       .select(col("vec_id").as("doc_id"), col("is_outlier"))
     val flagged = rep.join(exact, "doc_id")
       .join(broadcast(contam), Seq("doc_id"), "left")
@@ -769,7 +774,7 @@ object Curation {
              FROM embeddings),
        nn AS (SELECT vec_id, v, sqrt(${Similarity.dotSql.format("v", "v")}) AS nrm FROM e),
        cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM nn
-                 WHERE vec_id % 25 = 0),
+                 WHERE vec_id % ${Similarity.sqrtStrideSql} = 0),
        csim AS (SELECT nn.vec_id, c_id,
                        ${Num.sql(Similarity.dotSql.format("v", "cv") + " / (nrm * cn)", 6)} AS csim
                 FROM nn CROSS JOIN cents),

@@ -184,9 +184,11 @@ object Similarity {
     * Deferred wrapper), deterministic cross-engine (IEEE sqrt of an exact
     * integer, floored, in both Spark codegen and DuckDB — see
     * [[sqrtStrideSql]]). k-means keeps a literal stride (k is a model
-    * hyperparameter, not an index size), and SemDeDup keeps one by design:
-    * its within-cell quadratic verify wants FIXED expected cell size
-    * (cells ∝ n), the regime of the SemDeDup paper. */
+    * hyperparameter, not an index size). SemDeDup and the scorecard's
+    * outlier leg moved onto this law in r12: their fixed stride kept
+    * within-cell work bounded but left the ASSIGNMENT at O(n²/stride) —
+    * the sf10 bench measured it — and √n cells improve the method's
+    * cross-cell recall trade at the same time (see [[semDedupSqrt]]). */
   private[graft] def coarseCentroidsSqrt(c: DataFrame): DataFrame =
     c.crossJoin(broadcast(c.agg(greatest(lit(25L),
         floor(sqrt(count(lit(1)))).cast("long")).as("ivf_stride"))))
@@ -733,9 +735,28 @@ object Similarity {
     * the verdict join is a per-cell equi-join, never global. */
   def semDedup(e: DataFrame, stride: Int, tau: Double): DataFrame = {
     val c = withNorm(e)
+    semDedupCells(c, coarseCentroids(c, stride), tau)
+  }
+
+  /** [[semDedup]] under the √n IVF sizing law ([[coarseCentroidsSqrt]]):
+    * the catalog's default. √n cells cut the broadcast-assignment dots from
+    * O(n²/stride) to O(n^1.5·d) — the r12 sf10 bench measured the fixed
+    * stride-25 codebook at 1.6e9 assignment dots for 200k vectors — and the
+    * within-cell scan grows to the SAME O(n·√n) (expected cell size √n), so
+    * both phases share one asymptote. Recall only improves: fewer, larger
+    * cells means fewer cross-cell near-dup misses (the method's documented
+    * approximation), so the √n law dominates the fixed stride on both axes
+    * once n > stride². */
+  def semDedupSqrt(e: DataFrame, tau: Double): DataFrame = {
+    val c = withNorm(e)
+    semDedupCells(c, coarseCentroidsSqrt(c), tau)
+  }
+
+  private def semDedupCells(c: DataFrame, cents: DataFrame,
+      tau: Double): DataFrame = {
     // cached: feeds both sides of the pair scan AND the verdict base —
     // without it the broadcast-assign subtree runs three times
-    val cells = assignCells(c, coarseCentroids(c, stride)).cache()
+    val cells = assignCells(c, cents).cache()
     val a = cells.select(col("c_id"), col("vec_id").as("i"),
       col("v").as("vi"), col("nrm").as("ni"))
     val b = cells.select(col("c_id"), col("vec_id").as("j"),
@@ -958,12 +979,12 @@ object Similarity {
 
   val semDedupQ = QueryDef(
     "semdedup_verdicts",
-    s"SemDeDup: per-vector keep/drop verdicts from the within-cell cosine >= $semDedupTau scan",
+    s"SemDeDup: per-vector keep/drop verdicts from the within-cell (√n cells) cosine >= $semDedupTau scan",
     Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                         FROM embeddings),
              n AS (SELECT vec_id, v, sqrt(${dotSql.format("v", "v")}) AS nrm FROM e),
              cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
-                       WHERE vec_id % 25 = 0),
+                       WHERE vec_id % $sqrtStrideSql = 0),
              sim AS (SELECT n.vec_id, c_id,
                             ${Num.sql(dotSql.format("v", "cv") + " / (nrm * cn)", 6)} AS csim
                      FROM n CROSS JOIN cents),
@@ -980,8 +1001,7 @@ object Similarity {
              SELECT c.vec_id, c.c_id, drp.dup_of IS NULL AS kept,
                     coalesce(drp.dup_of, -1) AS dup_of
              FROM cells c LEFT JOIN drp ON drp.j = c.vec_id"""),
-    (s, dir) => semDedup(Tables.embeddings(s, dir), stride = 25,
-      tau = semDedupTau))
+    (s, dir) => semDedupSqrt(Tables.embeddings(s, dir), tau = semDedupTau))
 
   val defs: Seq[QueryDef] =
     Seq(pairsQ, pairsStripeQ, annQ, annTruncatedQ, annLshQ, annIvfQ, kmeansQ,
