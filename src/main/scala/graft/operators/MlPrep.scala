@@ -28,7 +28,9 @@ object MlPrep {
     * first `NegKeep` by draw order. LINEAR in |customers| — the classic
     * scale mistake this replaces is enumerating the customer x part product
     * and filtering; here the product is never formed, and the positive set
-    * is the only join (co-partitioned on the customer key at 100 TB). Part
+    * is the only join, co-partitioned with the candidates on (c,p) by an
+    * unhinted shuffle (PlanSpec pins that no customer-derived side carries
+    * a broadcast hint — both sides grow with |customers|). Part
     * keys are contiguous 0..N-1 (FIXTURES.md §B), so hash % N is a valid
     * id; with sparse ids the draw would join a part-dimension lookup
     * instead. */
@@ -64,20 +66,28 @@ object MlPrep {
         .select(col("c"), col("k"),
           (RollingHash.rolling_hash(concat(col("c").cast("string"), lit(":"),
             col("k").cast("string"))) % col("n")).as("p"))
-      // prune the fact-scale positive set by the (tiny, NegK·|customers|)
-      // candidate set BEFORE any wide operation: the broadcast semi join
-      // replaces a full distinct of customer x part purchase pairs — the
-      // anti join then runs against only the positives that could matter
+      // prune the fact-scale positive set by the (NegK·|customers|)
+      // candidate set BEFORE any wide operation: the semi join replaces a
+      // full distinct of customer x part purchase pairs — the anti join
+      // then runs against only the positives that could matter. Both the
+      // semi and the anti join are (c,p)-keyed with NO strategy hint: both
+      // sides are O(|customers|), so at scale they MUST shuffle (a forced
+      // broadcast here was the catalog's one 100x-fatal plan — 7.5M rows
+      // at sf10, past Spark's 8 GB broadcast cap at 100x); at toy SF
+      // Catalyst's size estimate picks broadcast on its own. The semi's
+      // (c,p) exchange of pos is then reused verbatim by the anti join and
+      // the group-by (same key), so dropping the hints adds exactly one
+      // fact-side exchange. Only the 1-row part count stays broadcast.
       val pos = Tables.orders(s, dir)
         .join(Tables.lineitem(s, dir),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-        .join(broadcast(cand.select(col("c"), col("p"))),
+        .join(cand.select(col("c"), col("p")),
           Seq("c", "p"), "left_semi")
         .distinct()
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("c")).orderBy(col("k"), col("p"))
-      cand.join(broadcast(pos), Seq("c", "p"), "left_anti")
+      cand.join(pos, Seq("c", "p"), "left_anti")
         .groupBy(col("c"), col("p")).agg(min(col("k")).as("k"))
         .withColumn("neg_rank", row_number().over(w))
         .filter(col("neg_rank") <= NegKeep)

@@ -401,6 +401,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("negative_samples carries no broadcast hint on a customer-scale side") {
+    // the ONLY broadcast hint allowed is the 1-row part-count cross join;
+    // the (c,p)-keyed semi/anti joins' sides are O(|customers|) (7.5M rows
+    // at sf10, past the 8 GB broadcast cap at 100x) and must stay free to
+    // shuffle — a hint there was the catalog's one 100x-fatal plan (r12)
+    val df = run("negative_samples")
+    val lp = df.queryExecution.optimizedPlan.toString
+    // every surviving broadcast hint must sit on the Cross join against the
+    // 1-row part-count aggregate (the cand subtree appears twice, so the np
+    // hint legitimately appears twice); the customer-scale semi/anti joins
+    // must carry NO strategy hint at all
+    lp.linesIterator.filter(_.contains("strategy=broadcast")).foreach { l =>
+      assert(l.contains("Join Cross"), s"non-cross join carries a broadcast hint:\n$l\n$lp")
+    }
+    val semiAnti = lp.linesIterator.filter(l =>
+      l.contains("Join LeftSemi") || l.contains("Join LeftAnti")).toSeq
+    assert(semiAnti.size == 2 && semiAnti.forall(!_.contains("strategy=")), lp)
+  }
+
+  test("negative_samples at scale-like stats: customer joins shuffle, " +
+      "(c,p) exchange is reused across semi/anti/group-by") {
+    // autoBroadcastJoinThreshold=-1 simulates fact-scale size estimates:
+    // the unhinted semi/anti must become shuffle joins (the hinted 1-row
+    // np broadcast survives the threshold by design)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(run("negative_samples"))
+      assert(!p.contains("BroadcastHashJoin"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("no catalog query degrades to a CartesianProduct") {
     // vector pair scans are deliberate *conditioned* nested-loop joins
     // (BroadcastNestedLoopJoin); a true CartesianProduct anywhere means a
