@@ -1,5 +1,7 @@
 package graft.functions
 
+import com.esotericsoftware.kryo.{Kryo, KryoSerializable}
+import com.esotericsoftware.kryo.io.{Input, Output}
 import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
@@ -15,22 +17,34 @@ import org.apache.spark.sql.functions.udaf
   * in its own table size exactly there. This implementation is the standard
   * stream-summary shape instead:
   *
-  *  - `counts`: open hash map, key -> estimated count (O(1) per row);
+  *  - `counts`: [[LongLongOpenMap]] — primitive open-addressing, two parallel
+  *    long arrays at 16 B/slot (≤ 32 B/entry at the 50% load ceiling), O(1)
+  *    per row. This replaced the boxed `java.util.HashMap` whose ~55 B/entry
+  *    (boxing + node headers) put a FULL 2^20 partial at ~58 MB in-heap; the
+  *    primitive table caps the same partial at 32 MB of flat arrays with
+  *    zero per-entry objects for the GC to trace (measured: BENCH_NOTES r13).
   *  - `buckets`: count -> ordered key set (a TreeMap of TreeSets), giving
   *    O(log m) min lookup and eviction with the same deterministic tie rule
   *    as before (evict the LARGEST key among the minimum-count entries);
-  *  - the bucket index is built LAZILY at the first eviction and maintained
-  *    incrementally only from then on, so the exact regime
-  *    (capacity >= |distinct|, the oracle-pinned demonstration) never pays
-  *    for it at all — one hash update per row.
+  *    still boxed — it exists ONLY in the eviction regime (built lazily at
+  *    the first eviction), so the exact-regime hot path (the oracle-pinned
+  *    demonstration) never allocates a single box per row.
   *
-  * The index is `@transient`: only `counts` crosses the partial/final shuffle
-  * (Kryo), and a deserialized buffer rebuilds buckets on demand. Semantics
-  * are IDENTICAL to the previous implementation — SketchSpec pins both the
-  * exact and the eviction regime against hand-computed tables. */
-final class SpaceSavingSketch(val capacity: Int) extends Serializable {
+  * The index is `@transient`; the wire format is explicit KryoSerializable
+  * (capacity, size, then the occupied (key, value) pairs — 16 B/entry, ~16 MB
+  * for a full 2^20 partial), so the empty table slots never cross the
+  * shuffle. A deserialized buffer rebuilds buckets on demand. Semantics are
+  * IDENTICAL to the boxed implementation — SketchSpec pins the exact regime,
+  * the eviction tie rule, and a randomized differential of the open map
+  * against java.util.HashMap. */
+final class SpaceSavingSketch(private var cap: Int)
+    extends Serializable with KryoSerializable {
 
-  val counts = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+  def this() = this(0) // Kryo/objenesis instantiation path
+
+  def capacity: Int = cap
+
+  var counts = new LongLongOpenMap()
 
   @transient private var buckets:
       java.util.TreeMap[java.lang.Long, java.util.TreeSet[java.lang.Long]] = _
@@ -49,21 +63,17 @@ final class SpaceSavingSketch(val capacity: Int) extends Serializable {
 
   private def ensureBuckets(): Unit = if (buckets == null) {
     buckets = new java.util.TreeMap[java.lang.Long, java.util.TreeSet[java.lang.Long]]()
-    val it = counts.entrySet().iterator()
-    while (it.hasNext) { val e = it.next(); indexKey(e.getKey, e.getValue) }
+    counts.foreachEntry((k, c) => indexKey(k, c))
   }
 
   def add(key: Long): Unit = {
-    val k = java.lang.Long.valueOf(key)
-    val c = counts.get(k)
-    if (c != null) {
-      val c1 = java.lang.Long.valueOf(c + 1L)
-      counts.put(k, c1)
-      if (buckets != null) { unindexKey(k, c); indexKey(k, c1) }
-    } else if (counts.size < capacity) {
-      val one = java.lang.Long.valueOf(1L)
-      counts.put(k, one)
-      if (buckets != null) indexKey(k, one)
+    val c = counts.get(key)
+    if (c >= 0L) {
+      counts.put(key, c + 1L)
+      if (buckets != null) { unindexKey(key, c); indexKey(key, c + 1L) }
+    } else if (counts.size < cap) {
+      counts.put(key, 1L)
+      if (buckets != null) indexKey(key, 1L)
     } else {
       // evict the minimum (tie: largest key id — deterministic); the
       // newcomer inherits its count + 1
@@ -72,45 +82,54 @@ final class SpaceSavingSketch(val capacity: Int) extends Serializable {
       val evict = buckets.get(minC).last()
       unindexKey(evict, minC)
       counts.remove(evict)
-      val inherited = java.lang.Long.valueOf(minC + 1L)
-      counts.put(k, inherited)
-      indexKey(k, inherited)
+      val inherited = minC + 1L
+      counts.put(key, inherited)
+      indexKey(key, inherited)
     }
   }
 
   /** Sum both tables; past capacity keep the top-`capacity` by
     * (count desc, key asc) — the same truncating-merge rule as before. */
   def mergeWith(other: SpaceSavingSketch): SpaceSavingSketch = {
-    val out = new SpaceSavingSketch(capacity)
-    out.counts.putAll(counts)
-    val it = other.counts.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      out.counts.merge(e.getKey, e.getValue, (a, b) => a + b)
-    }
-    if (out.counts.size > capacity) {
-      val entries = new java.util.ArrayList(out.counts.entrySet())
+    val out = new SpaceSavingSketch(cap)
+    counts.foreachEntry((k, v) => out.counts.put(k, v))
+    other.counts.foreachEntry((k, v) => out.counts.addTo(k, v))
+    if (out.counts.size > cap) {
+      val entries = new java.util.ArrayList[Array[Long]](out.counts.size)
+      out.counts.foreachEntry((k, v) => { entries.add(Array(k, v)); () })
       entries.sort(
         java.util.Comparator
-          .comparingLong[java.util.Map.Entry[java.lang.Long, java.lang.Long]](
-            e => -e.getValue)
-          .thenComparingLong(e => e.getKey))
-      out.counts.clear()
+          .comparingLong[Array[Long]](e => -e(1))
+          .thenComparingLong(e => e(0)))
+      val trimmed = new LongLongOpenMap(cap * 2)
       var i = 0
-      while (i < capacity) {
-        val e = entries.get(i); out.counts.put(e.getKey, e.getValue); i += 1
+      while (i < cap) {
+        val e = entries.get(i); trimmed.put(e(0), e(1)); i += 1
       }
+      out.counts = trimmed
     }
     out
   }
 
   def toMap: Map[Long, Long] = {
     val b = Map.newBuilder[Long, Long]
-    val it = counts.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next(); b += (e.getKey.longValue() -> e.getValue.longValue())
-    }
+    counts.foreachEntry((k, v) => { b += (k -> v); () })
     b.result()
+  }
+
+  override def write(kryo: Kryo, out: Output): Unit = {
+    out.writeInt(cap)
+    out.writeInt(counts.size)
+    counts.foreachEntry((k, v) => { out.writeLong(k); out.writeLong(v) })
+  }
+
+  override def read(kryo: Kryo, in: Input): Unit = {
+    cap = in.readInt()
+    val n = in.readInt()
+    counts = new LongLongOpenMap(math.max(32, n * 2))
+    var i = 0
+    while (i < n) { counts.put(in.readLong(), in.readLong()); i += 1 }
+    buckets = null
   }
 }
 
@@ -125,11 +144,14 @@ final class SpaceSavingSketch(val capacity: Int) extends Serializable {
   * minimum, bounded by N/capacity); the truncating merge of partition
   * partials can additionally drop a key's minority-partition mass, so the
   * merged estimate carries a symmetric |est - true| <= ε·layers bound with
-  * ε = N/capacity (SketchSpec pins both regimes). When capacity >=
-  * |distinct keys| no eviction ever happens, the merge is lossless, and
-  * every estimate is EXACT — the regime the DuckDB oracle pins at test
-  * scale; at 100 TB capacity ≪ |distinct| trades exactness for fixed
-  * memory under those bounds. */
+  * ε = N/capacity (SketchSpec pins both regimes) — unless the input is
+  * hash-partitioned BY KEY, which confines each key to one partial and
+  * makes presence and never-undercount unconditional (see
+  * [[graft.operators.Sketches]]). When capacity >= |distinct keys| no
+  * eviction ever happens, the merge is lossless, and every estimate is
+  * EXACT — the regime the DuckDB oracle pins at test scale; at 100 TB
+  * capacity ≪ |distinct| trades exactness for fixed memory under those
+  * bounds. */
 case class SpaceSavingAggregator(capacity: Int)
     extends Aggregator[Long, SpaceSavingSketch, Map[Long, Long]] {
 

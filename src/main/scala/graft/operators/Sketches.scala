@@ -121,34 +121,72 @@ object Sketches {
     * the next decade — 4096 broke at sf1, 65536 at sf10, and 262144 WOULD
     * break at sf30's ~450k distinct users): capacity = next power of two
     * ≥ |distinct user_id|, floored at 2^18 and clamped at 2^20 (a full
-    * 2^20 partial is ~58 MB in-heap / ~12 MB Kryo — the practical ceiling
-    * for per-task buffers). Past 2^20 distinct keys the exact
-    * DEMONSTRATION regime ends by design and the oracle gate fails
-    * loudly; the deployment answer there is the ε-regime, not a bigger
-    * table. The count-distinct is one extra driver job, deferred to first
-    * action ([[graft.plans.Deferred]], the dedup_clusters discipline). */
-  val heavyQ = QueryDef(
-    "heavy_hitters_user",
-    "Space-Saving sketch: top-10 users by event volume (auto-sized exact regime)",
-    Some("""SELECT user_id, count(*) AS est
-            FROM events GROUP BY user_id
-            ORDER BY est DESC, user_id LIMIT 10"""),
-    (s, dir) => {
-      import org.apache.spark.sql.types.{LongType, StructField, StructType}
-      graft.plans.Deferred.dataFrame(s, StructType(Seq(
-        StructField("user_id", LongType), StructField("est", LongType))),
-        () => {
-          val ev = Tables.events(s, dir)
-          val distinct = ev.select(col("user_id")).distinct().count()
-          val cap = math.min(1L << 20, math.max(1L << 18,
+    * 2^20 partial is ~32 MB of flat arrays in-heap / ~16 MB Kryo with the
+    * primitive open-addressing buffer — the practical ceiling for
+    * per-task buffers). Past 2^20 distinct keys the query DEGRADES TO THE
+    * ε-REGIME instead of raising (r12 verdict item 3): the output carries
+    * a `regime` column — 'exact' below capacity (top-10, oracle-pinned
+    * bit-exact) and 'eps' above it, where the rows are the PASSING
+    * guarantee names of [[epsGuarantees]] at m = 2^20 (est ≤ true + N/m
+    * for every key, presence and no-undercount for every 2N/m-hitter,
+    * fixed size ≤ m) — the oracle's own regime branch selects the same
+    * leg from |distinct|, so one catalog entry is exact below capacity
+    * and guarantee-based above it without the user knowing a sibling
+    * query exists. The count-distinct is one extra driver job, deferred
+    * to first action ([[graft.plans.Deferred]], the dedup_clusters
+    * discipline). SketchSpec forces both branches through
+    * [[heavyHittersUserReport]] at a tiny clamp. */
+  final val UserCapClamp = 1 << 20
+
+  /** The `heavy_hitters_user` body with the capacity clamp exposed so the
+    * spec can force the ε branch at toy scale (the real clamp crosses at
+    * ~sf70, far past any in-sandbox corpus). */
+  def heavyHittersUserReport(s: org.apache.spark.sql.SparkSession,
+      ev: DataFrame, clamp: Int): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    graft.plans.Deferred.dataFrame(s, StructType(Seq(
+      StructField("regime", StringType, nullable = false),
+      StructField("user_id", LongType), StructField("est", LongType),
+      StructField("guarantee", StringType))),
+      () => {
+        val distinct = ev.select(col("user_id")).distinct().count()
+        if (distinct <= clamp) {
+          val cap = math.min(clamp.toLong, math.max(1L << 18,
             java.lang.Long.highestOneBit(math.max(1L, distinct - 1)) << 1)).toInt
           ev.agg(graft.functions.HeavyHittersAgg
             .heavy_hitters(col("user_id"), cap).as("hh"))
             .select(explode(col("hh")).as(Seq("user_id", "est")))
             .orderBy(desc("est"), col("user_id"))
             .limit(10)
-        })
-    })
+            .select(lit("exact").as("regime"), col("user_id"), col("est"),
+              lit(null).cast("string").as("guarantee"))
+        } else {
+          epsGuarantees(ev.select(col("user_id").as("k")), clamp)
+            .select(lit("eps").as("regime"),
+              lit(null).cast("long").as("user_id"),
+              lit(null).cast("long").as("est"), col("guarantee"))
+        }
+      })
+  }
+
+  val heavyQ = QueryDef(
+    "heavy_hitters_user",
+    "Space-Saving top-10 users: exact regime below 2^20 distinct, ε-guarantee report above",
+    Some(s"""WITH nd AS (SELECT count(DISTINCT user_id) AS d FROM events)
+             SELECT 'exact' AS regime, user_id, est,
+                    CAST(NULL AS VARCHAR) AS guarantee
+             FROM (SELECT user_id, count(*) AS est FROM events
+                   GROUP BY user_id ORDER BY est DESC, user_id LIMIT 10)
+             WHERE (SELECT d FROM nd) <= $UserCapClamp
+             UNION ALL
+             SELECT 'eps', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), g
+             FROM (VALUES ('hitters_all_present'),
+                          ('hitters_never_undercounted'),
+                          ('overcount_le_n_over_m'),
+                          ('regime_overcapacity'), ('size_le_capacity'))
+                  AS t(g)
+             WHERE (SELECT d FROM nd) > $UserCapClamp"""),
+    (s, dir) => heavyHittersUserReport(s, Tables.events(s, dir), UserCapClamp))
 
   /** Capacity for the FORCED over-capacity demonstration ([[heavyEpsQ]]):
     * deliberately tiny so every gate SF (1k events/~870 keys at sf0.001
@@ -181,13 +219,17 @@ object Sketches {
     *    SS sum invariant survives truncation — so m counters above it
     *    would sum past N′), and the hitter's share argument holds at
     *    every merge prefix because the corpus interleaves keys.
-    *  - `hitters_never_undercounted`: for those keys est ≥ true. A
-    *    2N/m-hitter's per-partition mass dwarfs the partition's minimum
-    *    counter (the corpus interleaves keys), so it is never evicted from
-    *    a partial and every partial reports est_p ≥ true_p; the merge sums
-    *    them. (Adversarially concentrated splits could violate this in
-    *    theory — SketchSpec pins it under forced repartitionings, and the
-    *    demonstration corpus makes the margin ~40x.)
+    *  - `hitters_never_undercounted`: for those keys est ≥ true. The gate
+    *    hash-partitions the stream BY KEY before sketching (below), so a
+    *    key's entire mass lives in exactly one partial: there true_p =
+    *    true > 2N/m ≥ 2N_p/m keeps it in the table at partition end (the
+    *    SS presence guarantee) with est_p ≥ true_p (the SS no-undercount
+    *    invariant, order-independent), and no truncating merge can drop a
+    *    counter > 2N'/m (m larger counters would sum past the table's N'
+    *    bound). Under key partitioning this is UNCONDITIONAL — the r12
+    *    caveat about adversarially concentrated splits is gone by
+    *    construction, not by margin (ADVICE r12); SketchSpec still pins it
+    *    under forced upstream repartitionings.
     *  - `regime_overcapacity`: |distinct| > m — proves the gate actually
     *    ran in the approximate regime (a silently-exact run would make
     *    every other check vacuous).
@@ -205,17 +247,35 @@ object Sketches {
     * discipline. Output is the sorted list of PASSING guarantee names;
     * the oracle pins all five literally, so any violated bound surfaces
     * as a missing row (hash mismatch). */
-  def heavyHittersEpsReport(ev: DataFrame, m: Int): DataFrame = {
-    val keyed = ev.select(
+  def heavyHittersEpsReport(ev: DataFrame, m: Int): DataFrame =
+    epsGuarantees(ev.select(
       when(col("user_id") % 20 < 3, col("user_id") % 20)
-        .otherwise(lit(1000000000L) + col("event_id")).as("k"))
-    val sk = keyed
+        .otherwise(lit(1000000000L) + col("event_id")).as("k")), m)
+
+  /** Fixed partition count for the pre-sketch by-key shuffle: independent of
+    * `spark.sql.shuffle.partitions`, so the partial composition — and with
+    * it the reported estimates — cannot drift under AQE or session config
+    * (ADVICE r12: the oracle row set is now invariant by construction). */
+  final val EpsShufflePartitions = 64
+
+  /** The guarantee gate over an already-keyed stream (column `k`) — shared
+    * by the forced-capacity demonstration ([[heavyEpsQ]]) and
+    * [[heavyHittersUserReport]]'s ε leg. The stream is hash-partitioned BY
+    * KEY before sketching: one fact-scale exchange, bought deliberately —
+    * it confines each key's mass to one partial, which upgrades the two
+    * hitter guarantees from "holds unless splits are adversarially
+    * concentrated" to unconditional (scaladoc above). Totals (N, |distinct|)
+    * are computed in their own pass over the keyed stream rather than
+    * reusing a cached exact-counts table — the r12 ADVICE leak (a
+    * session-lifetime |distinct|-row cache per run) is gone; three cheap
+    * column-pruned scans replace two scans plus permanent executor
+    * residency. */
+  private[operators] def epsGuarantees(keyed: DataFrame, m: Int): DataFrame = {
+    val sk = keyed.repartition(EpsShufflePartitions, col("k"))
       .agg(graft.functions.HeavyHittersAgg.heavy_hitters(col("k"), m).as("hh"))
       .select(explode(col("hh")).as(Seq("k", "est")))
-    // two consumers (the per-key join and the N/|distinct| totals) — cache
-    // per the repo's multi-consumer convention
-    val exact = keyed.groupBy(col("k")).agg(count(lit(1)).as("tru")).cache()
-    val tot = exact.agg(sum(col("tru")).as("n"), count(lit(1)).as("d"))
+    val exact = keyed.groupBy(col("k")).agg(count(lit(1)).as("tru"))
+    val tot = keyed.agg(count(lit(1)).as("n"), count_distinct(col("k")).as("d"))
     val joined = exact.join(broadcast(sk), Seq("k"), "left")
       .crossJoin(broadcast(tot))
     val flags = joined.agg(

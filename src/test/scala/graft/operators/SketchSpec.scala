@@ -127,6 +127,30 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("heavy_hitters_user bridges regimes: exact top-10 below the clamp, " +
+      "the ε-guarantee report above it — one entry, no raise (r12 item 3)") {
+    import spark.implicits._
+    // exact branch: 30 distinct users under a clamp of 4096
+    val small = (0 until 600).map(i => (i.toLong, (i % 30).toLong))
+      .toDF("event_id", "user_id")
+    val exact = Sketches.heavyHittersUserReport(spark, small, clamp = 4096)
+      .collect()
+    assert(exact.length == 10)
+    assert(exact.forall(r => r.getString(0) == "exact" && r.isNullAt(3)))
+    assert(exact.forall(_.getLong(2) == 20L)) // 600 events / 30 users
+    // ε branch: 2000 distinct users forced past a clamp of 16 — the SAME
+    // catalog entry degrades to the guarantee report instead of raising
+    val big = (0 until 4000).map(i => (i.toLong, (i % 2000).toLong))
+      .toDF("event_id", "user_id")
+    val eps = Sketches.heavyHittersUserReport(spark, big, clamp = 16)
+      .collect()
+    assert(eps.map(_.getString(3)).toSet == Set("hitters_all_present",
+      "hitters_never_undercounted", "overcount_le_n_over_m",
+      "regime_overcapacity", "size_le_capacity"), eps.mkString(","))
+    assert(eps.forall(r => r.getString(0) == "eps" && r.isNullAt(1) &&
+      r.isNullAt(2)))
+  }
+
   test("heavy_hitters_eps report can FAIL: an exact-regime run drops the " +
       "regime_overcapacity row (the gate detects a vacuous demonstration)") {
     import spark.implicits._

@@ -79,6 +79,16 @@ def main(sf_dir: str, out_dir: str) -> int:
     # garbage-size "Cannot resize vector to N PiB" failures when an sf10
     # retry overlapped the sf30 sweep. Same lesson as the r11 mktemp
     # scratch log, one layer down.
+    # best-effort reap of spill dirs left by SIGKILLed runs (ADVICE r12:
+    # oracle_sweep's timeout kills leave one stale dir per attempt and
+    # nothing else ever cleans them) — a dir whose pid is no longer alive
+    # is garbage by construction; live concurrent runs are untouched
+    import shutil
+    for d in os.listdir("/tmp"):
+        if d.startswith("duckdb_oracle_spill_"):
+            pid = d.rsplit("_", 1)[-1]
+            if pid.isdigit() and not os.path.exists(f"/proc/{pid}"):
+                shutil.rmtree(f"/tmp/{d}", ignore_errors=True)
     con.execute(
         f"SET temp_directory = '/tmp/duckdb_oracle_spill_{os.getpid()}'")
     # row order is irrelevant (both compare paths sort); letting DuckDB drop
