@@ -822,6 +822,61 @@ object Dedup {
       Tables.documents(s, dir).filter(Stripe.keep(col("doc_id"), Stripe.K)),
       "doc_id", "text", 3, 0.8, maxDf = Uncapped))
 
+  /** The striped docs source, both engines' spelling — shared by the r13
+    * stripe twins that close the sf30 jaccard-family oracle rows directly
+    * (r12 verdict item 2: the DuckDB leg of the PPJoin / keep-best
+    * pipelines needed >49 GB spill or blew the sweep window at 1.5M docs;
+    * on the 1-in-K stripe it is sf1-sized work, which every one of these
+    * pipelines has already passed whole). */
+  private val stripedDocsSql =
+    s"(SELECT * FROM documents WHERE ${Stripe.sql("doc_id", Stripe.K)})"
+  private def stripedDocs(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    Tables.documents(s, dir).filter(Stripe.keep(col("doc_id"), Stripe.K))
+
+  /** Stripe twin of [[jaccardCappedQ]]: the DEFAULT capped pipeline on the
+    * striped corpus. Note the maxDf=50 cap binds per-corpus — on the stripe
+    * it caps the striped document frequency, which is the point: both
+    * engines run the same guard on the same subset, so the code path under
+    * test (skew cap + pair join) is exercised end to end. */
+  val jaccardCappedStripeQ = QueryDef(
+    "dedup_ngram_jaccard_stripe",
+    s"the capped (maxDf=50) Jaccard default on the 1-in-${Stripe.K} id-hash stripe — the bounded big-SF differential of dedup_ngram_jaccard",
+    Some(cappedJaccardOracleFrom(stripedDocsSql)),
+    (s, dir) => jaccardPairs(stripedDocs(s, dir), "doc_id", "text", 3, 0.8,
+      maxDf = 50))
+
+  /** Stripe twin of [[minHashQ]]: the full LSH pipeline — tier selection,
+    * banding, candidate generation, exact verify — on the striped corpus,
+    * against the exact PPJoin answer on the same stripe. A recall escape or
+    * geometry mistake surfaces as a hash mismatch exactly as in the full
+    * entry; the tier is derived from the STRIPED corpus size, which is the
+    * correct self-consistency (the knob law sees the corpus it processes). */
+  val minHashStripeQ = QueryDef(
+    "dedup_minhash_lsh_stripe",
+    s"MinHash LSH on the 1-in-${Stripe.K} id-hash stripe vs the exact striped PPJoin answer — the bounded big-SF differential of dedup_minhash_lsh",
+    Some(jaccardOracleFrom(stripedDocsSql)),
+    (s, dir) => {
+      import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+      graft.plans.Deferred.dataFrame(s, StructType(Seq(
+        StructField("i", LongType), StructField("j", LongType),
+        StructField("jaccard", DoubleType))),
+        () => minHashDedupAuto(stripedDocs(s, dir), "doc_id", "text"))
+    })
+
+  /** Stripe twin of [[keepBestQ]]: LSH pairs -> connected components ->
+    * quality ranking, all on the striped corpus, vs DuckDB's independent
+    * label-prop fixpoint + window on the same stripe. Every striped doc
+    * appears in the output (singletons keep themselves), so this row is
+    * non-vacuous at EVERY SF — |stripe| rows even when the stripe kills
+    * all pairs. */
+  val keepBestStripeQ = QueryDef(
+    "dedup_keep_best_stripe",
+    s"quality-aware keeper selection on the 1-in-${Stripe.K} id-hash stripe — the bounded big-SF differential of dedup_keep_best",
+    Some(keepBestOracleFrom(stripedDocsSql)),
+    (s, dir) => graft.plans.Deferred.dataFrame(s, keepBestSchema,
+      () => keepBestBuild(stripedDocs(s, dir))))
+
   private val containN = 8
   private val containmentOracle =
     s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
@@ -970,7 +1025,11 @@ object Dedup {
         })
     })
 
-  private val enListSql: String =
+  // a def, not a val: the stripe twin vals above initialize before this
+  // point in the object's declaration order — as a val they would render
+  // a literal "null" into the striped oracle's stopword list (caught by
+  // the gate-SF differential: stop_ratio = 0 on the oracle side only)
+  private def enListSql: String =
     Text.stopwords("en").map(w => s"'$w'").mkString(", ")
 
   /** Quality-aware keeper selection — what production dedup actually ships:
@@ -986,15 +1045,13 @@ object Dedup {
     * pass over the corpus and a window PARTITIONED BY cluster (cluster
     * populations are near-dup group sizes — small by the same argument as
     * LSH bucket populations, and capped upstream by `maxBucket`). */
-  val keepBestQ = QueryDef(
-    "dedup_keep_best",
-    "near-dup clusters keep the highest-quality doc, not the min id",
-    Some(s"""WITH pairs AS MATERIALIZED (SELECT i, j FROM ($jaccardOracle) q),
+  private def keepBestOracleFrom(docs: String): String =
+    s"""WITH pairs AS MATERIALIZED (SELECT i, j FROM (${jaccardOracleFrom(docs)}) q),
              ${labelPropSql(8)},
              t AS (SELECT doc_id,
                           string_split_regex(trim(lower(text)), '\\s+') AS toks,
                           length(regexp_replace(trim(text), '\\s+', '', 'g')) AS dense_len
-                   FROM documents),
+                   FROM $docs),
              f AS (SELECT doc_id, len(toks) AS n_tokens,
                           CAST(dense_len AS DOUBLE) / len(toks) AS mean_len,
                           CAST(len(list_filter(toks, x -> x IN ($enListSql))) AS DOUBLE)
@@ -1011,42 +1068,53 @@ object Dedup {
              SELECT doc_id, cluster, quality,
                     (row_number() OVER (PARTITION BY cluster
                        ORDER BY quality DESC, doc_id) = 1) AS is_keeper
-             FROM cl"""),
-    (s, dir) => {
+             FROM cl"""
+
+  /** The keep-best pipeline body over an arbitrary docs frame — shared by
+    * the full entry and its big-SF stripe twin. */
+  private def keepBestBuild(docs: DataFrame): DataFrame = {
+    val pairs = minHashDedupAuto(docs, "doc_id", "text")
+    val labels = connectedComponents(pairs)
+      .withColumnRenamed("id", "doc_id")
+    val toks = Text.tokens(col("text"))
+    val sc = docs
+      .select(col("doc_id"), toks.as("toks"),
+        Text.denseLength(col("text")).as("dense_len"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        (col("dense_len").cast("double") / size(col("toks"))).as("mean_len"),
+        (Text.hitCount(col("toks"), Text.stopwords("en")).cast("double") /
+          size(col("toks"))).as("sr"))
+      .select(col("doc_id"),
+        Text.qualityScore(col("n_tokens"), col("mean_len"), col("sr"))
+          .as("quality"))
+    val cl = sc.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster"),
+        col("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    cl.withColumn("is_keeper", row_number().over(w) === 1)
+  }
+
+  private def keepBestSchema = {
+    import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StructField, StructType}
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("cluster", LongType),
+      StructField("quality", DoubleType),
+      StructField("is_keeper", BooleanType)))
+  }
+
+  val keepBestQ = QueryDef(
+    "dedup_keep_best",
+    "near-dup clusters keep the highest-quality doc, not the min id",
+    Some(keepBestOracleFrom("documents")),
+    (s, dir) =>
       // same Deferred discipline as dedup_clusters: the fixpoint's builder
       // runs driver-side actions, so it must not fire at view registration
-      import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StructField, StructType}
-      graft.plans.Deferred.dataFrame(s, StructType(Seq(
-        StructField("doc_id", LongType), StructField("cluster", LongType),
-        StructField("quality", DoubleType),
-        StructField("is_keeper", BooleanType))),
-        () => {
-          val docs = Tables.documents(s, dir)
-          val pairs = minHashDedupAuto(docs, "doc_id", "text")
-          val labels = connectedComponents(pairs)
-            .withColumnRenamed("id", "doc_id")
-          val toks = Text.tokens(col("text"))
-          val sc = docs
-            .select(col("doc_id"), toks.as("toks"),
-              Text.denseLength(col("text")).as("dense_len"))
-            .select(col("doc_id"),
-              size(col("toks")).as("n_tokens"),
-              (col("dense_len").cast("double") / size(col("toks"))).as("mean_len"),
-              (Text.hitCount(col("toks"), Text.stopwords("en")).cast("double") /
-                size(col("toks"))).as("sr"))
-            .select(col("doc_id"),
-              Text.qualityScore(col("n_tokens"), col("mean_len"), col("sr"))
-                .as("quality"))
-          val cl = sc.join(labels, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              coalesce(col("label"), col("doc_id")).as("cluster"),
-              col("quality"))
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("cluster"))
-            .orderBy(col("quality").desc, col("doc_id"))
-          cl.withColumn("is_keeper", row_number().over(w) === 1)
-        })
-    })
+      graft.plans.Deferred.dataFrame(s, keepBestSchema,
+        () => keepBestBuild(Tables.documents(s, dir))))
 
   /** Banded hamming search under the oracle: the DuckDB side computes the
     * full quadratic answer; the engine's pigeonhole banding must return
@@ -1096,10 +1164,8 @@ object Dedup {
     * dropped on both sides. A tighter-than-default cap so the guard path
     * actually fires on this corpus; the uncapped ground truth lives under
     * `dedup_ngram_jaccard_oracle_baseline`. */
-  val jaccardCappedQ = QueryDef(
-    "dedup_ngram_jaccard",
-    "near-dup pairs by word-3-gram Jaccard >= 0.8 with the document-frequency skew cap (maxDf=50) — the scale-safe default",
-    Some(s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+  private def cappedJaccardOracleFrom(docs: String): String =
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM $docs),
        sh0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
               FROM toks CROSS JOIN unnest(generate_series(1, len(t)-2)) AS u(i)
               WHERE len(t) >= 3),
@@ -1110,7 +1176,12 @@ object Dedup {
              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
        SELECT i, j, ${Num.sql("CAST(c AS DOUBLE) / (na.n + nb.n - c)", 4)} AS jaccard
        FROM p JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
-       WHERE ${Num.sql("CAST(c AS DOUBLE) / (na.n + nb.n - c)", 4)} >= 0.8"""),
+       WHERE ${Num.sql("CAST(c AS DOUBLE) / (na.n + nb.n - c)", 4)} >= 0.8"""
+
+  val jaccardCappedQ = QueryDef(
+    "dedup_ngram_jaccard",
+    "near-dup pairs by word-3-gram Jaccard >= 0.8 with the document-frequency skew cap (maxDf=50) — the scale-safe default",
+    Some(cappedJaccardOracleFrom("documents")),
     (s, dir) => jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8,
       maxDf = 50))
 
@@ -1405,7 +1476,8 @@ object Dedup {
     })
 
   val defs: Seq[QueryDef] =
-    Seq(exactQ, jaccardQ, jaccardStripeQ, jaccardCappedQ, minHashQ, simHashQ,
-      hammingQ, hammingWideQ, clustersQ, keepBestQ, spansQ, containmentQ,
-      dedupRecallQ, paragraphsQ, newShardQ)
+    Seq(exactQ, jaccardQ, jaccardStripeQ, jaccardCappedQ,
+      jaccardCappedStripeQ, minHashQ, minHashStripeQ, simHashQ,
+      hammingQ, hammingWideQ, clustersQ, keepBestQ, keepBestStripeQ,
+      spansQ, containmentQ, dedupRecallQ, paragraphsQ, newShardQ)
 }

@@ -80,7 +80,12 @@ class CatalogSpec extends SparkSpec {
       // survivors of 2066 at sf1, ~200 at sf10; the stripe exists FOR the
       // big-SF sweeps, and both engines agree on the empty set at toy
       // scale, so the oracle gate still binds)
-      "dedup_ngram_jaccard_oracle_baseline_stripe")
+      "dedup_ngram_jaccard_oracle_baseline_stripe",
+      // same argument for the r13 jaccard-family pair twins (StripeSpec
+      // pins the 44-id survivor set at gate SF so 0 pairs can't hide a
+      // dead predicate; keep_best_stripe is NOT here — it emits one row
+      // per striped doc and must stay non-empty at every SF)
+      "dedup_ngram_jaccard_stripe", "dedup_minhash_lsh_stripe")
     SparkEntry.catalog.foreach { q =>
       val n = q.run(spark, sf("sf0.001")).count()
       assert(n > 0 || emptyOk(q.name), s"${q.name} returned 0 rows")
