@@ -51,26 +51,38 @@ object Bench {
         System.gc()
         name -> dt
       }
-    // best-of-N per query: a second pass removes scheduler/IO noise from a
-    // loaded host (steady-state cost is the comparable number). Guarded: if
-    // the first pass already blew a 5-minute budget the host is saturated —
-    // report pass 1 rather than doubling the wall clock. FORCE_RUNS skips
-    // the guard: at big SF the guard always trips, yet min-of-2 is exactly
-    // what neutralizes the C2-JIT first-execution lottery the r12 sf10
-    // bench uncovered (same plan, tier-4-compiled, 13.9 s vs 79-580 s on a
-    // generated class's FIRST run; always ~12 s once C2-stable — proven by
-    // a TieredStopAtLevel=1 run landing 56-59 s on all three runs).
+    // best-of-N per query, min-of-2 UNCONDITIONALLY by default (r12 verdict
+    // item 8): pass 2 is the post-C2-JIT steady state, and the C2-JIT
+    // first-execution lottery the sf10 bench uncovered (same plan,
+    // tier-4-compiled, 13.9 s vs 79-580 s on a generated class's FIRST run;
+    // always ~12 s once C2-stable — proven by a TieredStopAtLevel=1 run
+    // landing 56-59 s flat) hits hardest exactly where the old ">300 s
+    // budget" guard used to skip the second pass. The guard is gone — a big
+    // SF is the case that NEEDS min-of-2; SPARK_GRAFT_BENCH_RUNS=1 is the
+    // explicit opt-out for quick iteration loops. (SPARK_GRAFT_BENCH_
+    // FORCE_RUNS is accepted-and-ignored for older scripts.)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val force = sys.env.contains("SPARK_GRAFT_BENCH_FORCE_RUNS")
     val pass1 = onePass()
+    val later = if (runs <= 1) Seq.empty else Seq.fill(runs - 1)(onePass())
     val results =
-      if (runs <= 1 || (!force && pass1.map(_._2).sum > 300.0)) pass1
-      else {
-        val more = Seq.fill(runs - 1)(onePass())
-        pass1.map { case (name, t1) =>
-          name -> (t1 +: more.flatMap(_.collect { case (`name`, t) => t })).min
-        }
+      if (later.isEmpty) pass1
+      else pass1.map { case (name, t1) =>
+        name -> (t1 +: later.flatMap(_.collect { case (`name`, t) => t })).min
       }
+    // loud lottery row: any query whose first pass exceeded its best later
+    // pass by >2x is a C2-promotion suspect — single-pass artifacts of such
+    // queries are NOT comparable numbers and must not be read as plans
+    val suspects = if (later.isEmpty) Seq.empty
+      else pass1.flatMap { case (name, t1) =>
+        val best = later.flatMap(_.collect { case (`name`, t) => t }).min
+        if (best > 0.5 && t1 > 2 * best)
+          Some(s"$name pass1=${"%.1f".format(t1)}s best=${"%.1f".format(best)}s")
+        else None
+      }
+    if (suspects.nonEmpty)
+      System.err.println(
+        s"BENCH_WARN c2_lottery (first-run JIT churn, ${suspects.size} queries): " +
+          suspects.mkString("; "))
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -82,7 +94,7 @@ object Bench {
     // SPARK_GRAFT_BENCH_OUT points, e.g. BENCH_LOCAL_r9.json in the repo.
     val load1m = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val detail = s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","load1m_start":${fmt(load1mStart)},"load1m":${fmt(load1m)},"runs":$runs,"queries":$qsFull,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","load1m_start":${fmt(load1mStart)},"load1m":${fmt(load1m)},"runs":$runs,"c2_suspects":${suspects.size},"queries":$qsFull,"sf":"$sfDir"}"""
     println(detail)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
