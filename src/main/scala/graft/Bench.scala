@@ -30,10 +30,16 @@ object Bench {
     // adjudication of a few suspect queries) without paying the full catalog
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    def selected = only match {
+    // mirror of Verify's SPARK_GRAFT_VERIFY_SKIP: hold out the API-gated
+    // quadratic ground-truth twins at big SF (each use justified in
+    // BENCH_NOTES) without spelling the other 200+ names into BENCH_ONLY
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    def selected = (only match {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
-    }
+    }).filter(kv => !skip(kv._1))
     // stable alphabetical order so per-query timings compare across rounds
     def onePass(): Seq[(String, Double)] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>

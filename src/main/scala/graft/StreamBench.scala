@@ -247,6 +247,74 @@ object StreamBench {
     }
   }
 
+  /** `--statescale`: the incremental-dedup state contract driven FAR past
+    * the 55-batch soak horizon (r12 verdict item 7) — default 550 batches x
+    * 2,000 docs = 1.1M distinct docs, 10x the soak corpus. Two claims under
+    * test, both of which only a long horizon can falsify:
+    *
+    *  - the corpus-linear slope is CONSTANT into the next decade — state
+    *    bytes/rows per batch in the last tenth of the run must match the
+    *    first tenth (superlinear creep in RocksDB bookkeeping, compaction
+    *    debt, or the signature lists themselves would bend it);
+    *  - batch latency stays flat while state grows 10x — RocksDB keeps the
+    *    working set on disk, so per-batch work is probe-sized, not
+    *    state-sized (the property that makes terabyte state tractable on a
+    *    cluster: each executor pays memory for its block cache, not its
+    *    key count).
+    *
+    * Emits one `stream_statescale` JSON line. Batch count tunable via
+    * SPARK_GRAFT_STATESCALE_BATCHES. */
+  private def stateScaleRun(spark: SparkSession): Unit = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val batches = sys.env.getOrElse("SPARK_GRAFT_STATESCALE_BATCHES", "550").toInt
+    val rows = 2000
+    val in = MemoryStream[CorpusDedup.StreamDoc]
+    val q = CorpusDedup.incrementalDedup(in.toDS())
+      .writeStream.outputMode("update").format("noop").start()
+    case class Obs(batch: Int, rowsTotal: Long, mb: Double, batchMs: Long)
+    val obs = scala.collection.mutable.ArrayBuffer.empty[Obs]
+    try {
+      (0 until batches).foreach { b =>
+        in.addData((0 until rows).map(i => doc(b, i, rows)))
+        q.processAllAvailable()
+        if (b % 25 == 0 || b == batches - 1) {
+          val st = q.lastProgress.stateOperators.headOption
+          val o = Obs(b, st.map(_.numRowsTotal).getOrElse(-1L),
+            st.map(_.memoryUsedBytes / 1048576.0).getOrElse(0.0),
+            q.lastProgress.batchDuration)
+          obs += o
+          println(f"STATESCALE batch=$b rows=${o.rowsTotal} mb=${o.mb}%.1f " +
+            s"batchMs=${o.batchMs}")
+        }
+      }
+    } finally q.stop()
+    def slope(a: Obs, z: Obs): Double =
+      (z.rowsTotal - a.rowsTotal).toDouble / math.max(1, z.batch - a.batch)
+    val headSlope = slope(obs.head, obs(obs.length / 10))
+    val tailSlope = slope(obs(obs.length - 1 - obs.length / 10), obs.last)
+    def fmt(v: Double): String =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val load1m = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val line = s"""{"metric":"stream_statescale","batches":$batches,""" +
+      s""""docs":${batches.toLong * rows},""" +
+      s""""load1m_start":${fmt(load1mStart)},"load1m":${fmt(load1m)},""" +
+      s""""state_rows_last":${obs.last.rowsTotal},""" +
+      s""""state_mb_last":${fmt(obs.last.mb)},""" +
+      s""""rows_slope_first_decile":${fmt(headSlope)},""" +
+      s""""rows_slope_last_decile":${fmt(tailSlope)},""" +
+      s""""batch_ms_first":${obs.head.batchMs},""" +
+      s""""batch_ms_last":${obs.last.batchMs}}"""
+    println(line)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+  }
+
   /** Ambient host load BEFORE this JVM contributes its own — captured at
     * main() entry, exactly the batch Bench's r11 discipline: the end-of-run
     * load1m mostly measures the bench itself on local[32], so the START
@@ -276,6 +344,11 @@ object StreamBench {
     }
     if (args.contains("--soak")) {
       soakRun(spark)
+      spark.stop()
+      return
+    }
+    if (args.contains("--statescale")) {
+      stateScaleRun(spark)
       spark.stop()
       return
     }

@@ -134,6 +134,105 @@ object CorpusDedup {
         .as("dup_of"))
   }
 
+  case class TimedDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+  case class TimedBandProbe(band: Int, band_hash: Long, doc_id: Long,
+      sig: Array[Long], ts: java.sql.Timestamp)
+  case class TimedBandVerdict(doc_id: Long, ts: java.sql.Timestamp,
+      band: Int, dup_of: Long)
+  case class TimedEntry(doc_id: Long, sig: Array[Long], last_ms: Long)
+  case class TimedBucketState(entries: List[TimedEntry])
+
+  /** The ROLLING-HORIZON form of [[incrementalDedup]] — the eviction story
+    * the unbounded-stream contract needs (SCALE.md "streaming CorpusDedup
+    * state contract"): a kept signature is authoritative only for `horizon`
+    * of EVENT time past its last match, after which its band buckets are
+    * reclaimed and the same content arriving later is a fresh keeper. Two
+    * mechanisms, both required:
+    *
+    *  - entry-level filter: on every bucket invocation, stored entries whose
+    *    refreshed last-seen timestamp has fallen `horizon` behind the
+    *    current watermark are dropped BEFORE matching. This is what makes
+    *    eviction correct for hot buckets — Spark fires a group's event-time
+    *    timeout only when the group receives NO data, so a bucket that keeps
+    *    getting traffic would otherwise retain expired entries forever.
+    *  - group-level timeout (EventTimeTimeout set to last-seen + horizon):
+    *    reclaims the state of buckets that stop receiving traffic entirely —
+    *    the long tail that entry filtering alone would never visit again.
+    *
+    * Matching a keeper REFRESHES its last-seen (the keeper stays
+    * representative of its cluster while the cluster is live — LRU
+    * semantics, same reason caches refresh on hit). Returns the raw
+    * per-(doc, band) verdicts (doc_id, ts, band, dup_of); reduce per doc in
+    * the sink via [[reducePerDoc]] — see its scaladoc for why the reduction
+    * must live OUTSIDE the streaming graph. Total query state is O(docs
+    * kept within one horizon), not O(corpus) — the knob that turns the
+    * corpus-linear soak slope into a plateau. Append output mode. */
+  def incrementalDedupTtl(docs: Dataset[TimedDoc], horizonMs: Long,
+      maxBucket: Int = 10000): DataFrame = {
+    import docs.sparkSession.implicits._
+    require(horizonMs > 0, "horizon must be positive")
+    val horizon = s"$horizonMs milliseconds"
+    val probes = docs.flatMap { d =>
+      val sig = signature(d.text)
+      bandKeys(sig).zipWithIndex.map { case (bh, b) =>
+        TimedBandProbe(b, bh, d.doc_id, sig, d.ts)
+      }
+    }.withWatermark("ts", horizon)
+    val verdicts = probes
+      .groupByKey(p => (p.band, p.band_hash))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, Long), rows: Iterator[TimedBandProbe],
+            state: GroupState[TimedBucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            var stored = state.getOption.map(_.entries).getOrElse(Nil)
+              .filter(e => e.last_ms + horizonMs > wm)
+            val out = List.newBuilder[TimedBandVerdict]
+            rows.toSeq.sortBy(_.doc_id).foreach { p =>
+              val tMs = p.ts.getTime
+              stored.filter(e => estJaccard(e.sig, p.sig) >= Threshold)
+                .map(_.doc_id).sorted.headOption match {
+                case Some(keeper) =>
+                  stored = stored.map(e =>
+                    if (e.doc_id == keeper) e.copy(last_ms = math.max(e.last_ms, tMs))
+                    else e)
+                  out += TimedBandVerdict(p.doc_id, p.ts, key._1, keeper)
+                case None =>
+                  if (stored.size < maxBucket)
+                    stored = TimedEntry(p.doc_id, p.sig, tMs) :: stored
+                  out += TimedBandVerdict(p.doc_id, p.ts, key._1, -1L)
+              }
+            }
+            if (stored.isEmpty) state.remove()
+            else {
+              state.update(TimedBucketState(stored))
+              state.setTimeoutTimestamp(
+                math.max(stored.map(_.last_ms).max + horizonMs, wm + 1L))
+            }
+            out.result().iterator
+          }
+      }
+    verdicts.toDF()
+  }
+
+  /** Per-doc reduction of [[incrementalDedupTtl]]'s band verdicts — run it
+    * in the SINK (`foreachBatch`), where the micro-batch is a plain batch
+    * frame and the group-by is exact and stateless: a doc's 8 band verdicts
+    * all emit in its arrival batch, so no cross-batch state is ever needed.
+    * Keeping this out of the streaming graph is load-bearing, not style:
+    * Spark's global-watermark correctness checker rejects
+    * flatMapGroupsWithState feeding ANY further stateful operator (it
+    * cannot prove the black-box stage emits nothing older than the
+    * watermark), so the TTL query stays a single stateful op and its total
+    * state stays O(docs within one horizon). */
+  def reducePerDoc(bandVerdicts: DataFrame): DataFrame =
+    bandVerdicts
+      .groupBy(col("doc_id"))
+      .agg(coalesce(min(when(col("dup_of") >= 0, col("dup_of"))), lit(-1L))
+        .as("dup_of"))
+
   /** Streaming EXACT dedup: first writer wins on the content hash — the
     * compaction analog for document streams. State is one 16-byte hash per
     * distinct doc (dropDuplicates keyed state); bound it with a watermark

@@ -44,6 +44,44 @@ class CorpusDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rolling-horizon dedup: dup within the horizon points at its keeper; " +
+      "the same content past the horizon is a FRESH keeper (state evicted)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    def timed(d: StreamDoc, sec: Long) =
+      CorpusDedup.TimedDoc(d.doc_id, d.text, at(sec))
+    val input = MemoryStream[CorpusDedup.TimedDoc]
+    val out = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = CorpusDedup.incrementalDedupTtl(input.toDS(), horizonMs = 10000L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        CorpusDedup.reducePerDoc(df).collect()
+          .foreach(r => out.put(r.getLong(0), r.getLong(1)))
+      }.start()
+    try {
+      input.addData(timed(mkDoc(10, "alpha"), 10))
+      q.processAllAvailable()
+      // within the 10 s horizon: the near-copy resolves to keeper 10 (and
+      // refreshes 10's last-seen to t=15)
+      input.addData(timed(nearCopy(11, "alpha"), 15))
+      q.processAllAvailable()
+      // an unrelated doc far in the future advances the watermark to 90 s —
+      // 65 s past keeper 10's refreshed expiry (15 + 10)
+      input.addData(timed(mkDoc(30, "gamma"), 100))
+      q.processAllAvailable()
+      // same alpha content at t = 110: the expired entry must NOT match —
+      // the entry-level filter fires even though the bucket receives data
+      // (group timeouts alone never fire for hot buckets)
+      input.addData(timed(nearCopy(12, "alpha"), 110))
+      q.processAllAvailable()
+      assert(out.get(10L) == -1L && out.get(30L) == -1L, out.toString)
+      assert(out.get(11L) == 10L, s"within-horizon dup must match: $out")
+      assert(out.get(12L) == -1L,
+        s"past-horizon content must be a fresh keeper: $out")
+    } finally q.stop()
+  }
+
   test("intra-batch duplicates resolve deterministically to the lowest id") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
