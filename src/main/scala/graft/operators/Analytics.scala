@@ -3,6 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.functions.Num
 import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Product-analytics query shapes over the event stream — funnel
@@ -287,18 +288,35 @@ object Analytics {
     })
 
   private val sessGapUs = 1800000000L
-  private val sessBinUs = 3600000000L
 
   /** Interval-OVERLAP join: for each user session (30-min-gap windows, as in
     * `session_windows`), how many other users had a session overlapping it in
     * time. The join shape Spark lacks natively: blocked by exploding each
-    * interval to the hour bins it spans, equi-joining on bin, and emitting a
+    * interval to the time bins it spans, equi-joining on bin, and emitting a
     * qualifying pair exactly once — in the bin containing the LATER session
-    * start (both intervals necessarily cover that bin), so no post-join
-    * dedup. The oracle runs the quadratic theta join; the engine's candidate
-    * work scales with per-bin concurrency, never |sessions|². Same
-    * exactly-once-by-construction trick as the spatio-temporal
-    * `geo_encounters`, here in one dimension. */
+    * start (both intervals necessarily cover that instant, hence intersect
+    * that bin, FOR ANY bin width — which is what makes the width a pure
+    * performance knob), so no post-join dedup. The oracle runs the quadratic
+    * theta join; the engine's candidate work scales with per-bin
+    * concurrency, never |sessions|².
+    *
+    * THE BIN WIDTH IS CORPUS-DERIVED (r13 — the density knee arrived at sf30
+    * exactly as SCALE.md predicted: the fixed 1-hour bin cost 96 → 892 s for
+    * 3× density, elasticity 2.0). Candidate volume per unit time is
+    * ρ²·(L+W)²/W for session arrival rate ρ, mean session length L, bin
+    * width W: a session intersects (L/W + 1) bins, so per-bin concurrency is
+    * ρ(L+W) and there are 1/W bins per unit time. d/dW[(L+W)²/W] = 0 at
+    * **W = L** — the bins should be AS WIDE AS THE THING BEING JOINED. This
+    * corpus's sessions average ~43 s against the old 3600 s bin, an ~21×
+    * candidate-volume overhang ((L+3600)²/3600 ÷ 4L with L=43). The law
+    * needs mean session length, which falls out of the already-cached
+    * session table for free (exact BIGINT sum / count — deterministic under
+    * any partitioning); clamped to [1 s, 1 h] so degenerate corpora (all
+    * single-instant sessions, or day-long sessions) stay sane. Driver stat ⇒
+    * Deferred, per the lshGeometry/dedup_clusters discipline. At the NEXT
+    * density decade the law self-adjusts only via L; if ρ²L ever outgrows
+    * the cluster, the remaining lever is the output itself (∝ρ²L) — no
+    * algorithm beats its own output size. */
   val sessionOverlapQ = QueryDef(
     "session_overlap_join",
     "per-session concurrency: interval-overlap self-join via hour-bin blocking",
@@ -319,32 +337,57 @@ object Analytics {
                ON a.user_id <> b.user_id AND a.s0 <= b.s1 AND b.s0 <= a.s1
              GROUP BY 1, 2"""),
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
-      val sess = Tables.events(s, dir)
-        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
-        .withColumn("brk",
-          when(lag(col("ts_us"), 1).over(w).isNull ||
-            col("ts_us") - lag(col("ts_us"), 1).over(w) > sessGapUs, 1)
-            .otherwise(0))
-        .withColumn("sid", sum(col("brk")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("user_id"), col("sid"))
-        .agg(min(col("ts_us")).as("s0"), max(col("ts_us")).as("s1"))
-        .drop("sid")
-        .cache() // both sides of the bin-blocked self-join
-      def binned(alias: String) = sess
-        .withColumn("bin",
-          explode(expr(s"sequence(s0 div $sessBinUs, s1 div $sessBinUs)")))
-        .select(col("user_id").as(s"${alias}_u"), col("s0").as(s"${alias}0"),
-          col("s1").as(s"${alias}1"), col("bin"))
-      binned("a").join(binned("b"), "bin")
-        .filter(col("a_u") =!= col("b_u") &&
-          col("a0") <= col("b1") && col("b0") <= col("a1") &&
-          col("bin") === expr(s"greatest(a0, b0) div $sessBinUs"))
-        .groupBy(col("a_u").as("user_id"), col("a0").as("session_start_us"))
-        .agg(count(lit(1)).as("n_concurrent"))
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      graft.plans.Deferred.dataFrame(s, StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("session_start_us", LongType),
+        StructField("n_concurrent", LongType, nullable = false))),
+        () => {
+          val sess = sessionize(Tables.events(s, dir))
+            .cache() // stats pass + both sides of the bin-blocked self-join
+          // W = clamp(E[session length], 1 s, 1 h) — the (L+W)²/W minimizer;
+          // exact BIGINT arithmetic, invariant under partitioning
+          val st = sess.agg(sum(col("s1") - col("s0")).as("lenSum"),
+            count(lit(1)).as("n")).head()
+          val binUs = math.max(1000000L,
+            math.min(3600000000L, st.getLong(0) / math.max(1L, st.getLong(1))))
+          sessionOverlapBinned(sess, binUs)
+        })
     })
+
+  /** 30-min-gap sessionization: (user_id, s0, s1) per session. */
+  private[graft] def sessionize(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    ev.select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("brk",
+        when(lag(col("ts_us"), 1).over(w).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(w) > sessGapUs, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts_us")).as("s0"), max(col("ts_us")).as("s1"))
+      .drop("sid")
+  }
+
+  /** The bin-blocked overlap self-join at an explicit bin width — the
+    * operator form PlanSpec pins (the catalog entry is Deferred-wrapped by
+    * the width derivation, which makes its plan opaque to explain). */
+  private[graft] def sessionOverlapBinned(sess: DataFrame,
+      binUs: Long): DataFrame = {
+    def binned(alias: String) = sess
+      .withColumn("bin",
+        explode(expr(s"sequence(s0 div $binUs, s1 div $binUs)")))
+      .select(col("user_id").as(s"${alias}_u"), col("s0").as(s"${alias}0"),
+        col("s1").as(s"${alias}1"), col("bin"))
+    binned("a").join(binned("b"), "bin")
+      .filter(col("a_u") =!= col("b_u") &&
+        col("a0") <= col("b1") && col("b0") <= col("a1") &&
+        col("bin") === expr(s"greatest(a0, b0) div $binUs"))
+      .groupBy(col("a_u").as("user_id"), col("a0").as("session_start_us"))
+      .agg(count(lit(1)).as("n_concurrent"))
+  }
 
   /** Gini coefficient of per-user event volume — the standard inequality
     * measure ("do 1% of users generate 90% of events?"). Gini needs a GLOBAL

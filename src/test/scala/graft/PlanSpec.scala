@@ -264,10 +264,19 @@ class PlanSpec extends SparkSpec {
   }
 
   test("session_overlap_join is an equi hash join on the bin key") {
-    val p = plan(run("session_overlap_join"))
+    // the catalog entry is Deferred-wrapped since r13 (the corpus-derived
+    // bin width runs a driver stat), so pin the operator form directly —
+    // same move as the hamming-geometry pins
+    val sess = graft.operators.Analytics.sessionize(
+      graft.sources.Tables.events(spark, sf("sf0.001")))
+    val p = plan(graft.operators.Analytics
+      .sessionOverlapBinned(sess, 60000000L))
     assert(p.contains("hashpartitioning(bin") ||
       "(Broadcast|Shuffled)HashJoin|SortMergeJoin".r.findFirstIn(p).nonEmpty, p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // and the catalog entry resolves through the Deferred at execution time
+    assert(run("session_overlap_join").queryExecution.executedPlan
+      .toString.contains("Deferred"))
   }
 
   test("paragraph dedup is exactly two hash exchanges — hash window, " +
