@@ -24,6 +24,7 @@ object QueriesDoc {
     ("Relational (TPC-H core)", operators.Relational.defs, "Joins"),
     ("Relational (TPC-H full suite)", operators.TpchMore.defs, "Joins"),
     ("Advanced relational", operators.Advanced.defs, "Joins"),
+    ("Prefix aggregates", operators.PrefixAgg.defs, "Joins"),
     ("Skew handling", operators.Skew.defs,
       "Aggregation (D1/D2/D5/D6, q1, tumbling/sliding/session)"),
     ("Sketches / approximate", operators.Sketches.defs,
@@ -86,6 +87,7 @@ object QueriesDoc {
     "Relational (TPC-H core)" -> "operators/Relational.scala",
     "Relational (TPC-H full suite)" -> "operators/TpchMore.scala",
     "Advanced relational" -> "operators/Advanced.scala",
+    "Prefix aggregates" -> "operators/PrefixAgg.scala",
     "Skew handling" -> "operators/Skew.scala",
     "Sketches / approximate" -> "operators/Sketches.scala",
     "AIS pipeline" -> "operators/AisThroughput.scala",

@@ -28,7 +28,7 @@ object SparkEntry {
   val catalog: Seq[QueryDef] =
     operators.Serving.defs ++ operators.Ingest.defs ++
       operators.Relational.defs ++ operators.TpchMore.defs ++
-      operators.Advanced.defs ++
+      operators.Advanced.defs ++ operators.PrefixAgg.defs ++
       operators.Skew.defs ++ operators.Sketches.defs ++
       operators.AisThroughput.defs ++
       operators.Geo.defs ++ operators.Analytics.defs ++

@@ -98,6 +98,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("range_agg_prefix plans ZERO joins — the prefix scan replaces pair " +
+      "materialization entirely") {
+    // the catalog entry is Deferred (driver-side offsets collect), so pin
+    // the operator form directly, like the hamming/session geometries
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val left = Seq((1L, 100L)).toDF("id", "t")
+    val right = Seq((95L, 5L)).toDF("rt", "cents")
+    val p = plan(graft.operators.PrefixAgg.trailingCountSum(
+      spark, left, "id", "t", right, "rt", "cents", 10L))
+    assert(!p.toLowerCase.contains("join"), p)
+    // the final group-by runs over 2|L| probe deltas, never over pairs
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("nearest-centroid assignment aggregates — no window over the product") {
     val p = plan(run("kmeans_update"))
     assert(!p.contains("Window"), p)
