@@ -146,5 +146,37 @@ object PrefixAgg {
       })
     })
 
-  val defs: Seq[QueryDef] = Seq(rangeAggPrefixQ)
+  /** The SAME question as NAIVE SQL — count(*) AND an integral sum over a
+    * raw inequality join + GROUP BY; [[graft.plans.RewriteRangeAggToPrefix]]
+    * supplies the prefix plan automatically (it registers ahead of the
+    * binning rule, so the aggregate collapses before the join would be
+    * binned). Pins the whole rewrite stack: a user's untouched SQL gets the
+    * output-independent plan, sum included (exact Long prefix sums, NULL for
+    * all-NULL windows — the spec forces that leg on synthetic frames). */
+  val rangeAggAutoQ = QueryDef(
+    "range_agg_auto",
+    "naive-SQL trailing-window count+sum, auto-collapsed to the prefix plan by the optimizer",
+    Some("""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, event_type, value FROM events)
+            SELECT a.event_id, count(*) AS n_signups_1h,
+                   CAST(sum(CAST(floor(b.value * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS sum_cents_1h
+            FROM (SELECT * FROM e WHERE event_type = 'purchase') a
+            JOIN (SELECT * FROM e WHERE event_type = 'signup') b
+              ON b.ts_us >= a.ts_us - 3600000000 AND b.ts_us <= a.ts_us
+            GROUP BY 1"""),
+    (s, dir) => {
+      graft.plans.RangeAgg.register(s)
+      Tables.events(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"), col("value"))
+        .createOrReplaceTempView("rap_events")
+      s.sql("""SELECT a.event_id, count(*) AS n_signups_1h,
+                      sum(CAST(floor(b.value * 1e2 + 0.5) AS BIGINT)) AS sum_cents_1h
+               FROM (SELECT * FROM rap_events WHERE event_type = 'purchase') a
+               JOIN (SELECT * FROM rap_events WHERE event_type = 'signup') b
+                 ON b.ts_us >= a.ts_us - 3600000000 AND b.ts_us <= a.ts_us
+               GROUP BY 1""")
+    })
+
+  val defs: Seq[QueryDef] = Seq(rangeAggPrefixQ, rangeAggAutoQ)
 }

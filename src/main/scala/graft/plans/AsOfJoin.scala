@@ -199,6 +199,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => PushFilterThroughAsOf)
     e.injectOptimizerRule(_ => BlockHaversineJoins)
+    e.injectOptimizerRule(_ => RewriteRangeAggToPrefix) // must precede binning
     e.injectOptimizerRule(_ => BlockRangeJoins)
     e.injectPlannerStrategy(_ => DeferredStrategy)
     graft.Graft.sqlFunctions.foreach { case (name, n, build) =>

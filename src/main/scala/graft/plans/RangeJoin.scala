@@ -37,13 +37,13 @@ object BlockRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
 
   private val Marker = "__graft_rbin"
 
-  private def stripCast(e: Expression): Expression = e match {
+  private[plans] def stripCast(e: Expression): Expression = e match {
     case Cast(c, _, _, _) => stripCast(c)
     case _ => e
   }
 
   /** b >= a - C in either spelling; also strict `>`. Yields (b, a, C). */
-  private object Lower {
+  private[plans] object Lower {
     def unapply(e: Expression): Option[(Expression, Expression, Long)] = {
       def sub(y: Expression): Option[(Expression, Long)] = stripCast(y) match {
         case Subtract(a, Literal(c: Long, LongType), _) if c > 0 =>
@@ -65,7 +65,7 @@ object BlockRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** b <= a in either spelling; also strict. Yields (b, a). */
-  private object Upper {
+  private[plans] object Upper {
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case LessThanOrEqual(x, y) => Some((stripCast(x), stripCast(y)))
       case LessThan(x, y) => Some((stripCast(x), stripCast(y)))
@@ -76,7 +76,7 @@ object BlockRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** floor(x / c) for longs via the non-negative pmod. */
-  private def floorDiv(x: Expression, c: Long): Expression =
+  private[plans] def floorDiv(x: Expression, c: Long): Expression =
     IntegralDivide(Subtract(x, Pmod(x, Literal(c))), Literal(c))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
@@ -132,11 +132,10 @@ object BlockRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
 }
 
 object RangeJoin {
-  /** Idempotently install the rewrite (mirrors [[SpatialJoin.register]];
-    * also injected build-time by [[GraftExtensions]]). */
-  def register(spark: SparkSession): Unit = {
-    val opts = spark.experimental.extraOptimizations
-    if (!opts.contains(BlockRangeJoins))
-      spark.experimental.extraOptimizations = opts :+ BlockRangeJoins
-  }
+  /** Idempotently install the range-join rewrites (mirrors
+    * [[SpatialJoin.register]]; also injected build-time by
+    * [[GraftExtensions]]). Delegates to [[RangeAgg.register]] so the
+    * prefix-aggregate collapse always sits AHEAD of the binning rule —
+    * an aggregated range join must match before its join is binned. */
+  def register(spark: SparkSession): Unit = RangeAgg.register(spark)
 }

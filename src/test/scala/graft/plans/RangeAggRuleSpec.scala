@@ -1,0 +1,141 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+import graft.{Graft, SparkSpec}
+
+/** The aggregate-over-range-join collapse: `GROUP BY a.k, count(*)/sum(b.x)`
+  * over naive trailing-window SQL must plan as the prefix scan (a Deferred
+  * leaf, zero joins), return EXACTLY the join plan's rows, and leave every
+  * ineligible shape to [[BlockRangeJoins]]. */
+class RangeAggRuleSpec extends SparkSpec {
+
+  private def setup(): Unit = {
+    Graft.init(spark)
+    Graft.registerTables(spark, sf("sf0.001"))
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW ra_e AS
+         SELECT event_id, unix_micros(ts) AS ts_us, event_type, value,
+                CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents
+         FROM events""")
+  }
+
+  private val aggSql =
+    """SELECT a.event_id, count(*) AS n, sum(b.cents) AS c
+       FROM (SELECT * FROM ra_e WHERE event_type = 'purchase') a
+       JOIN (SELECT * FROM ra_e WHERE event_type = 'signup') b
+         ON b.ts_us >= a.ts_us - 3600000000 AND b.ts_us <= a.ts_us
+       GROUP BY 1"""
+
+  private def optimized(df: DataFrame) = df.queryExecution.optimizedPlan
+
+  private def isCollapsed(df: DataFrame): Boolean = {
+    val p = optimized(df)
+    p.collectFirst { case d: DeferredResultPlan => d }.isDefined &&
+      p.collectFirst {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.isEmpty
+  }
+
+  test("count+sum over naive range-join SQL collapses to the prefix plan " +
+      "and matches the join plan row-for-row") {
+    setup()
+    val df = spark.sql(aggSql)
+    assert(isCollapsed(df), optimized(df).toString)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // rule-off reference: drop BOTH range rules, let Catalyst nested-loop it
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = saved.filterNot(o =>
+      o == RewriteRangeAggToPrefix || o == BlockRangeJoins)
+    try {
+      val naive = spark.sql(aggSql).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == naive, s"rule=${got.size} naive=${naive.size}")
+      assert(got.nonEmpty)
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
+  test("range_join_auto (count-only) also collapses — deterministically, " +
+      "since the prefix rule always registers ahead of the binning rule") {
+    setup()
+    val df = graft.SparkEntry.queries("range_join_auto")(spark, sf("sf0.001"))
+    assert(isCollapsed(df), optimized(df).toString)
+  }
+
+  test("sum NULL semantics survive the collapse: all-NULL window sums NULL, " +
+      "mixed window skips NULLs, count(*) still counts the rows") {
+    setup()
+    import spark.implicits._
+    Seq((1L, 100L), (2L, 200L)).toDF("id", "t").createOrReplaceTempView("ra_a")
+    Seq((95L, None: Option[Long]), (96L, None: Option[Long]),
+      (198L, Some(7L)), (199L, None: Option[Long]))
+      .toDF("t", "v").createOrReplaceTempView("ra_b")
+    val df = spark.sql(
+      """SELECT a.id, count(*) AS n, sum(b.v) AS s
+         FROM ra_a a JOIN ra_b b
+           ON b.t >= a.t - 10 AND b.t <= a.t
+         GROUP BY 1""")
+    assert(isCollapsed(df), optimized(df).toString)
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toSet
+    assert(rows == Set((1L, 2L, None), (2L, 2L, Some(7L))), rows.toString)
+  }
+
+  test("NULL timestamps cancel: rows with NULL ts on either side never " +
+      "match, exactly as the join semantics demand") {
+    setup()
+    import spark.implicits._
+    Seq((1L, Some(100L)), (2L, None: Option[Long]))
+      .toDF("id", "t").createOrReplaceTempView("ra_na")
+    Seq((Some(95L), 5L), (None: Option[Long], 99L))
+      .toDF("t", "v").createOrReplaceTempView("ra_nb")
+    val df = spark.sql(
+      """SELECT a.id, count(*) AS n, sum(b.v) AS s
+         FROM ra_na a JOIN ra_nb b
+           ON b.t >= a.t - 10 AND b.t <= a.t
+         GROUP BY 1""")
+    assert(isCollapsed(df), optimized(df).toString)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, 1L, 5L)), rows.toString)
+  }
+
+  test("ineligible shapes fall through to the binning rule: max(), " +
+      "sum(DOUBLE), an extra equi-key, and a global aggregate") {
+    setup()
+    val maxSql =
+      """SELECT a.event_id, max(b.cents) AS mx
+         FROM (SELECT * FROM ra_e WHERE event_type = 'purchase') a
+         JOIN (SELECT * FROM ra_e WHERE event_type = 'signup') b
+           ON b.ts_us >= a.ts_us - 3600000000 AND b.ts_us <= a.ts_us
+         GROUP BY 1"""
+    val dblSql =
+      """SELECT a.event_id, sum(b.value) AS sv
+         FROM (SELECT * FROM ra_e WHERE event_type = 'purchase') a
+         JOIN (SELECT * FROM ra_e WHERE event_type = 'signup') b
+           ON b.ts_us >= a.ts_us - 3600000000 AND b.ts_us <= a.ts_us
+         GROUP BY 1"""
+    val keyedSql =
+      """SELECT a.event_id, count(*) AS n
+         FROM ra_e a JOIN ra_e b
+           ON a.event_type = b.event_type
+          AND b.ts_us >= a.ts_us - 3600000000 AND b.ts_us <= a.ts_us
+         GROUP BY 1"""
+    val globalSql =
+      """SELECT count(*) AS n
+         FROM (SELECT * FROM ra_e WHERE event_type = 'purchase') a
+         JOIN (SELECT * FROM ra_e WHERE event_type = 'signup') b
+           ON b.ts_us >= a.ts_us - 3600000000 AND b.ts_us <= a.ts_us"""
+    for (sql <- Seq(maxSql, dblSql, keyedSql, globalSql)) {
+      val p = optimized(spark.sql(sql))
+      assert(p.collectFirst { case d: DeferredResultPlan => d }.isEmpty, p)
+      assert(p.collectFirst {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.isDefined, p)
+    }
+    // and the binned rewrite still serves them (no nested loop on the
+    // un-keyed shapes)
+    val mp = spark.sql(maxSql).queryExecution.executedPlan.toString
+    assert(mp.contains("__graft_rbin"), mp)
+  }
+}
