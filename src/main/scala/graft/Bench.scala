@@ -40,11 +40,22 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }).filter(kv => !skip(kv._1))
+    // A failed query must be LOUD: the Kryo add-opens incident (r13)
+    // recorded a query's time-to-exception as if it were a success, and the
+    // contaminated artifact read as a plausible 3 s. Track failures by name,
+    // warn on stderr, and stamp them into the artifact so a bench of a
+    // broken build can never pass as a measurement.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     // stable alphabetical order so per-query timings compare across rounds
     def onePass(): Seq[(String, Double)] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case t: Throwable =>
+            if (failed.add(name))
+              System.err.println(s"BENCH_WARN query_failed $name: " +
+                t.toString.linesIterator.next())
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // untimed: release per-query caches (shingle/band indexes) so later
         // queries aren't measured under accumulated executor storage pressure.
@@ -100,7 +111,8 @@ object Bench {
     // SPARK_GRAFT_BENCH_OUT points, e.g. BENCH_LOCAL_r9.json in the repo.
     val load1m = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val detail = s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","load1m_start":${fmt(load1mStart)},"load1m":${fmt(load1m)},"runs":$runs,"c2_suspects":${suspects.size},"queries":$qsFull,"sf":"$sfDir"}"""
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val detail = s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","load1m_start":${fmt(load1mStart)},"load1m":${fmt(load1m)},"runs":$runs,"c2_suspects":${suspects.size},"failed":$failedJson,"queries":$qsFull,"sf":"$sfDir"}"""
     println(detail)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
