@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -56,15 +56,33 @@ import graft.sources.Tables
 object PrefixAgg {
 
   /** Per left row (id, ts): count and exact-cents sum of right rows with
-    * rightTs in [ts - windowUs, ts]. Returns (id, n, cents). */
+    * rightTs in [ts - windowUs, ts]. Returns (id, n, cents).
+    *
+    * PRECONDITION: leftTs, rightTs and rightCents must be non-null — this
+    * fixed-shape twin packs the union into a primitive-tuple encoder, which
+    * cannot carry the join's NULL semantics (a NULL-cents right row should
+    * count but not sum; a NULL ts should match nothing). Violations fail
+    * FAST at action time with a message naming the column, instead of the
+    * encoder NPE they would otherwise raise. NULL-bearing inputs belong on
+    * the [[graft.plans.RewriteRangeAggToPrefix]] rule path, which implements
+    * the full SQL NULL semantics via signed-probe cancellation. */
   def trailingCountSum(spark: SparkSession, left: DataFrame, leftId: String,
       leftTs: String, right: DataFrame, rightTs: String, rightCents: String,
       windowUs: Long): DataFrame = {
     import spark.implicits._
+    def nonNull(c: Column, what: String): Column =
+      when(c.isNull, raise_error(lit(
+        s"PrefixAgg.trailingCountSum: NULL $what — this fixed-shape twin " +
+          "requires non-null timestamps/cents; use the " +
+          "RewriteRangeAggToPrefix rule path for NULL-bearing inputs")))
+        .otherwise(c)
     // kind 0 = right row (counts), kind 1 = probe (reads the running F).
-    val rrows = right.select(col(rightTs).as("t"), lit(0).as("kind"),
-      lit(0L).as("id"), lit(0L).as("sign"), col(rightCents).as("cents"))
-    val lpts = left.select(col(leftId).as("id"), col(leftTs).as("t"))
+    val rrows = right.select(
+      nonNull(col(rightTs), s"right ts '$rightTs'").as("t"), lit(0).as("kind"),
+      lit(0L).as("id"), lit(0L).as("sign"),
+      nonNull(col(rightCents), s"right cents '$rightCents'").as("cents"))
+    val lpts = left.select(col(leftId).as("id"),
+      nonNull(col(leftTs), s"left ts '$leftTs'").as("t"))
     val probes = lpts.select(col("t"), lit(1).as("kind"), col("id"),
         lit(1L).as("sign"), lit(0L).as("cents"))
       .unionAll(lpts.select((col("t") - windowUs - 1L).as("t"),
@@ -178,5 +196,41 @@ object PrefixAgg {
                GROUP BY 1""")
     })
 
-  val defs: Seq[QueryDef] = Seq(rangeAggPrefixQ, rangeAggAutoQ)
+  /** The avg leg of the rule: naive SQL `avg(integral)` over the trailing
+    * window, auto-collapsed to exact-Long-window-sum / non-null-count with
+    * ONE final IEEE division (order-free — Spark's native Average carries a
+    * summation-order-dependent double buffer; the collapsed form is the Num
+    * discipline applied to avg). The rounding wrapper here deliberately
+    * sits in the SAME query: CollapseProject folds it into the Aggregate's
+    * output list before the rule runs, so this entry also pins the rule's
+    * expression-TREE matcher (wrapped aggregates collapse, not just bare
+    * leaves). Oracle spells the identical exact-sum/count/round ops. */
+  val rangeAggAvgQ = QueryDef(
+    "range_agg_avg",
+    "naive-SQL trailing-window avg(integral), auto-collapsed: exact prefix sum / count, one division",
+    Some("""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, event_type, value FROM events)
+            SELECT a.event_id, count(*) AS n_signups_1h,
+                   floor((CAST(sum(CAST(floor(b.value * 1e2 + 0.5) AS BIGINT)) AS DOUBLE)
+                          / count(CAST(floor(b.value * 1e2 + 0.5) AS BIGINT))) * 1e4 + 0.5) / 1e4
+                     AS avg_cents_1h
+            FROM (SELECT * FROM e WHERE event_type = 'purchase') a
+            JOIN (SELECT * FROM e WHERE event_type = 'signup') b
+              ON b.ts_us >= a.ts_us - 3600000000 AND b.ts_us <= a.ts_us
+            GROUP BY 1"""),
+    (s, dir) => {
+      graft.plans.RangeAgg.register(s)
+      Tables.events(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"), col("value"))
+        .createOrReplaceTempView("rav_events")
+      s.sql("""SELECT a.event_id, count(*) AS n_signups_1h,
+                      floor(avg(CAST(floor(b.value * 1e2 + 0.5) AS BIGINT)) * 1e4 + 0.5) / 1e4
+                        AS avg_cents_1h
+               FROM (SELECT * FROM rav_events WHERE event_type = 'purchase') a
+               JOIN (SELECT * FROM rav_events WHERE event_type = 'signup') b
+                 ON b.ts_us >= a.ts_us - 3600000000 AND b.ts_us <= a.ts_us
+               GROUP BY 1""")
+    })
+
+  val defs: Seq[QueryDef] = Seq(rangeAggPrefixQ, rangeAggAutoQ, rangeAggAvgQ)
 }

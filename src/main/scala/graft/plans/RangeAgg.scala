@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame, GraftExpressionBridge, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -32,19 +32,25 @@ import org.apache.spark.sql.types._
   *
   * Eligibility (all checked, else the node is left for [[BlockRangeJoins]]):
   *   - Inner join whose condition is EXACTLY the two window conjuncts
-  *     (`b >= a - C` and `b <= a`, either spelling, strictness subsets
-  *     covered by the closed window the probes implement) on LongType
-  *     endpoints, one side each — an extra cross-side predicate or equi-key
-  *     disqualifies (a keyed window is the as-of shape);
+  *     (`b >= a - C` and `b <= a`, either spelling; strict `>`/`<` are
+  *     eligible too and are handled by SHIFTING the probe points — exact on
+  *     the integral LongType endpoints: `b > a-C` means window [a-C+1, a] so
+  *     the lower probe moves to F(a-C), `b < a` moves the upper probe to
+  *     F(a-1) — never by widening to the closed window, which would
+  *     silently include the boundary rows the strict predicate excludes)
+  *     on LongType endpoints, one side each — an extra cross-side predicate
+  *     or equi-key disqualifies (a keyed window is the as-of shape);
   *   - grouping keys are attributes of the PROBE side (the side owning the
   *     window end `a`);
-  *   - every aggregate is `count(<non-null literal>)` (count(*) included)
-  *     or `sum(<expr over the scanned side>)` of integral type — sums run
-  *     as exact Long prefix sums (order-free; overflow raises via
-  *     Math.addExact where the hash aggregate would silently wrap), so
-  *     DOUBLE sums are deliberately NOT eligible: a prefix difference of
-  *     IEEE partial sums is summation-order-dependent in exactly the way
-  *     this repo's Num discipline exists to forbid;
+  *   - every aggregate is `count(<non-null literal>)` (count(*) included),
+  *     `sum(<expr over the scanned side>)` of integral type, or
+  *     `avg(<same>)` — sums run as exact Long prefix sums (order-free;
+  *     overflow raises via Math.addExact where the hash aggregate would
+  *     silently wrap) and avg is the sum/non-null-count composition with
+  *     ONE final IEEE division, so DOUBLE sums are deliberately NOT
+  *     eligible: a prefix difference of IEEE partial sums is
+  *     summation-order-dependent in exactly the way this repo's Num
+  *     discipline exists to forbid;
   *   - no DISTINCT, no FILTER clauses, non-empty grouping (a global
   *     aggregate over an inner join emits a count=0 row on empty input,
   *     which the prefix form's "groups with matches" shape can't mirror).
@@ -72,11 +78,20 @@ object RewriteRangeAggToPrefix extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private case class WindowJoin(aPlan: LogicalPlan, bPlan: LogicalPlan,
-      aTs: Expression, bTs: Expression, c: Long)
+      aTs: Expression, bTs: Expression, c: Long,
+      lowerStrict: Boolean, upperStrict: Boolean)
 
-  /** One aggregate output column: Left(i) = grouping attr i; Right(None) =
-    * a count; Right(Some(j)) = sum column j. */
-  private type OutCol = scala.Either[Int, Option[Int]]
+  /** [[BlockRangeJoins.Lower]]/[[Upper]] deliberately also match the strict
+    * `>` / `<` spellings (the binning rule keeps the original predicate as a
+    * residual filter, so candidates at the boundary are re-checked). This
+    * rewrite REPLACES the predicate with probe arithmetic, so strictness
+    * must be carried, not assumed away: it is simply the comparison node's
+    * class, read before the extractor normalizes the shape. */
+  private def isStrict(e: Expression): Boolean = e match {
+    case _: GreaterThan | _: LessThan => true
+    case _ => false
+  }
+
 
   private def matchJoin(j: Join): Option[WindowJoin] = j match {
     case Join(l, r, Inner, Some(cond), _) =>
@@ -89,16 +104,18 @@ object RewriteRangeAggToPrefix extends Rule[LogicalPlan] with PredicateHelper {
         else if (refs.subsetOf(r.outputSet)) Some(false)
         else None
       }
-      val lowers = conj.collect { case Lower(b, a, c) => (b, a, c) }
-      val uppers = conj.collect { case Upper(b, a) => (b, a) }
+      val lowers = conj.collect { case e @ Lower(b, a, c) => (b, a, c, isStrict(e)) }
+      val uppers = conj.collect { case e @ Upper(b, a) => (b, a, isStrict(e)) }
       lowers.collectFirst {
-        case (b, a, c)
+        case (b, a, c, lowStrict)
             if b.dataType == LongType && a.dataType == LongType &&
               side(b).isDefined && side(a).isDefined && side(b) != side(a) &&
               uppers.exists(u =>
                 u._1.semanticEquals(b) && u._2.semanticEquals(a)) =>
+          val upStrict = uppers.find(u =>
+            u._1.semanticEquals(b) && u._2.semanticEquals(a)).get._3
           val (aPlan, bPlan) = if (side(a).get) (l, r) else (r, l)
-          WindowJoin(aPlan, bPlan, a, b, c)
+          WindowJoin(aPlan, bPlan, a, b, c, lowStrict, upStrict)
       }
     case _ => None
   }
@@ -116,40 +133,67 @@ object RewriteRangeAggToPrefix extends Rule[LogicalPlan] with PredicateHelper {
       case a: AttributeReference if wj.aPlan.outputSet.contains(a) => a
       case _ => return None
     }
-    // classify every output column; collect distinct sum expressions
+    // Rewrite every output column as an expression over the prefix plan's
+    // columns (__g<i> keys, __n row-count, __s<j>/__z<j> per-sum exact sum +
+    // non-null count). Arbitrary deterministic scalar trees over grouping
+    // attrs and eligible aggregates are allowed — CollapseProject folds
+    // user projections like `floor(avg(x)*1e4+0.5)/1e4` INTO the Aggregate
+    // before this rule runs, so a leaf-only matcher would silently miss
+    // wrapped shapes that are perfectly collapsible.
     val sumExprs = scala.collection.mutable.ArrayBuffer.empty[Expression]
-    val outCols: Seq[OutCol] = agg.aggregateExpressions.map { ne =>
-      def strip(e: Expression): Expression = e match {
-        case Alias(c, _) => strip(c)
-        case other => other
-      }
-      strip(ne) match {
-        case a: AttributeReference
-            if groupAttrs.exists(_.semanticEquals(a)) =>
-          scala.Left(groupAttrs.indexWhere(_.semanticEquals(a)))
-        case AggregateExpression(Count(Seq(l: Literal)), _, false, None, _)
-            if l.value != null =>
-          scala.Right(None)
-        case AggregateExpression(s: Sum, _, false, None, _)
-            if (s.child.dataType == LongType ||
-              s.child.dataType == IntegerType) && s.child.deterministic &&
-              s.child.references.subsetOf(wj.bPlan.outputSet) =>
-          val idx = sumExprs.indexWhere(_.semanticEquals(s.child))
-          if (idx >= 0) scala.Right(Some(idx))
-          else { sumExprs += s.child; scala.Right(Some(sumExprs.length - 1)) }
-        case _ => return None
-      }
+    def sumIdx(child: Expression): Int = {
+      val idx = sumExprs.indexWhere(_.semanticEquals(child))
+      if (idx >= 0) idx else { sumExprs += child; sumExprs.length - 1 }
+    }
+    def integralOnScan(child: Expression): Boolean =
+      (child.dataType == LongType || child.dataType == IntegerType) &&
+        child.deterministic && child.references.subsetOf(wj.bPlan.outputSet)
+    def u(name: String): Expression =
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(name))
+    def rw(e: Expression): Option[Expression] = e match {
+      case AggregateExpression(Count(Seq(l: Literal)), _, false, None, _)
+          if l.value != null =>
+        Some(Coalesce(Seq(u("__n"), Literal(0L))))
+      case AggregateExpression(s: Sum, _, false, None, _)
+          if integralOnScan(s.child) =>
+        val j = sumIdx(s.child)
+        Some(If(EqualTo(u(s"__z$j"), Literal(0L)),
+          Literal(null, LongType), u(s"__s$j")))
+      case AggregateExpression(av: Average, _, false, None, _)
+          if integralOnScan(av.child) =>
+        // avg(integral) = exact Long window-sum / non-null count with ONE
+        // IEEE division (order-free, unlike the native double-buffer
+        // Average); NULL for an all-NULL window, same as SQL avg
+        val j = sumIdx(av.child)
+        Some(If(EqualTo(u(s"__z$j"), Literal(0L)),
+          Literal(null, DoubleType),
+          Divide(Cast(u(s"__s$j"), DoubleType), Cast(u(s"__z$j"), DoubleType))))
+      case _: AggregateExpression => None // DISTINCT/FILTER/other functions
+      case _: SubqueryExpression => None // carries its own plan; don't move it
+      case a: AttributeReference =>
+        val i = groupAttrs.indexWhere(_.semanticEquals(a))
+        if (i >= 0) Some(u(s"__g$i")) else None
+      case other if !other.deterministic => None
+      case other if other.children.isEmpty => Some(other)
+      case other =>
+        val kids = other.children.map(rw)
+        if (kids.exists(_.isEmpty)) None
+        else Some(other.withNewChildren(kids.map(_.get)))
+    }
+    val outExprs: Seq[Expression] = agg.aggregateExpressions.map { ne =>
+      val stripped = ne match { case Alias(c, _) => c; case other => other }
+      rw(stripped).getOrElse(return None)
     }
     val spark = SparkSession.active
     Some(DeferredResultPlan(agg.output, () =>
-      build(spark, wj, groupAttrs, sumExprs.toSeq, outCols)))
+      build(spark, wj, groupAttrs, sumExprs.toSeq, outExprs)))
   }
 
   /** The executed prefix plan — see [[graft.operators.PrefixAgg]] for the
     * fixed-shape (count, cents-sum) twin this generalizes. */
   private def build(spark: SparkSession, wj: WindowJoin,
       groupAttrs: Seq[AttributeReference], sumExprs: Seq[Expression],
-      outCols: Seq[OutCol]): DataFrame = {
+      outExprs: Seq[Expression]): DataFrame = {
     val aDf = GraftExpressionBridge.ofRows(spark, wj.aPlan)
     val bDf = GraftExpressionBridge.ofRows(spark, wj.bPlan)
     val m = groupAttrs.length; val k = sumExprs.length
@@ -166,9 +210,14 @@ object RewriteRangeAggToPrefix extends Rule[LogicalPlan] with PredicateHelper {
       t.as("__t") +: lit(1).as("__kind") +: lit(sign).as("__sign") +:
         ((0 until m).map(i => col(s"__g$i")) ++
           (0 until k).map(j => lit(null).cast(LongType).as(s"__v$j"))): _*)
+    // Probe points for the window [lo, hi]: +F(hi) - F(lo - 1). Closed
+    // bounds give [a-C, a]; a strict bound shrinks its end by exactly one
+    // integral tick (b > a-C  <=>  b >= a-C+1;  b < a  <=>  b <= a-1).
+    val hiOff = if (wj.upperStrict) 1L else 0L
+    val loProbe = wj.c + 1L - (if (wj.lowerStrict) 1L else 0L)
     val union = bRows
-      .unionAll(probe(col("__ta"), 1L))
-      .unionAll(probe(col("__ta") - wj.c - 1L, -1L))
+      .unionAll(probe(col("__ta") - hiOff, 1L))
+      .unionAll(probe(col("__ta") - loProbe, -1L))
     val np = spark.sessionState.conf.numShufflePartitions
     val ranged = union.repartitionByRange(np, col("__t"), col("__kind"))
       .sortWithinPartitions(col("__t"), col("__kind"))
@@ -246,13 +295,10 @@ object RewriteRangeAggToPrefix extends Rule[LogicalPlan] with PredicateHelper {
         (0 until k).flatMap(j => Seq(sum(col(s"__ds$j")).as(s"__s$j"),
           sum(col(s"__dz$j")).as(s"__z$j"))): _*)
       .filter(col("__n") > 0)
-    grouped.select(outCols.map {
-      case scala.Left(i) => col(s"__g$i")
-      case scala.Right(None) => coalesce(col("__n"), lit(0L))
-      case scala.Right(Some(j)) =>
-        when(col(s"__z$j") === 0L, lit(null).cast(LongType))
-          .otherwise(col(s"__s$j"))
-    }: _*)
+    // outExprs reference __g<i>/__n/__s<j>/__z<j> as unresolved attributes;
+    // this select resolves them against `grouped` (DeferredResultPlan maps
+    // the result positionally onto the original Aggregate's output)
+    grouped.select(outExprs.map(e => GraftExpressionBridge.column(e)): _*)
   }
 }
 

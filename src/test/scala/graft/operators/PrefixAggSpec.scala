@@ -40,6 +40,35 @@ class PrefixAggSpec extends SparkSpec {
     assert(run(17) === expected)
   }
 
+  test("NULL ts or cents fails fast with a message naming the column, not " +
+      "an encoder NPE (NULL-bearing inputs belong on the rule path)") {
+    val left = Seq((1L, 100L)).toDF("id", "t")
+    val rightNullTs = Seq((Some(100L), Some(5L)), (None: Option[Long], Some(7L)))
+      .toDF("rt", "cents")
+    val rightNullCents = Seq((Some(100L), None: Option[Long]))
+      .toDF("rt", "cents")
+    def chainMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .flatMap(x => Option(x.getMessage)).mkString(" | ")
+    for ((bad, col) <- Seq((rightNullTs, "rt"), (rightNullCents, "cents"))) {
+      val e = intercept[Exception] {
+        PrefixAgg.trailingCountSum(spark, left, "id", "t",
+          bad, "rt", "cents", 10L).collect()
+      }
+      val msg = chainMsg(e)
+      assert(msg.contains("PrefixAgg.trailingCountSum") && msg.contains(col),
+        s"got: ${e.getClass.getName}: $msg")
+    }
+    val leftNullTs = Seq((Some(1L), None: Option[Long])).toDF("id", "t")
+    val right = Seq((100L, 5L)).toDF("rt", "cents")
+    val e = intercept[Exception] {
+      PrefixAgg.trailingCountSum(spark, leftNullTs, "id", "t",
+        right, "rt", "cents", 10L).collect()
+    }
+    assert(chainMsg(e).contains("left ts"),
+      s"got: ${e.getClass.getName}: ${chainMsg(e)}")
+  }
+
   test("prefix path agrees with the pair-materializing binned join at sf0.001") {
     val dir = sf("sf0.001")
     val e = graft.sources.Tables.events(spark, dir)

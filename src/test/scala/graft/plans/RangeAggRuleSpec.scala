@@ -100,6 +100,138 @@ class RangeAggRuleSpec extends SparkSpec {
     assert(rows == Set((1L, 1L, 5L)), rows.toString)
   }
 
+  test("strict bounds shift the probes instead of widening to the closed " +
+      "window: boundary rows at b = a-C and b = a are excluded exactly when " +
+      "the predicate says so") {
+    setup()
+    import spark.implicits._
+    // left row at t=100, window constant C=10; right rows sit EXACTLY on
+    // both boundaries (90, 100) plus one interior (95) — each strictness
+    // combination keeps a different subset, so a probe off-by-one at either
+    // end flips a count.
+    Seq((1L, 100L)).toDF("id", "t").createOrReplaceTempView("ra_sa")
+    Seq((90L, 1L), (95L, 2L), (100L, 4L))
+      .toDF("t", "v").createOrReplaceTempView("ra_sb")
+    val shapes = Seq(
+      ("b.t >= a.t - 10 AND b.t <= a.t", 3L, 7L),  // closed: {90,95,100}
+      ("b.t >  a.t - 10 AND b.t <= a.t", 2L, 6L),  // strict lower: {95,100}
+      ("b.t >= a.t - 10 AND b.t <  a.t", 2L, 3L),  // strict upper: {90,95}
+      ("b.t >  a.t - 10 AND b.t <  a.t", 1L, 2L))  // both strict: {95}
+    for ((cond, expN, expS) <- shapes) {
+      val df = spark.sql(
+        s"""SELECT a.id, count(*) AS n, sum(b.v) AS s
+            FROM ra_sa a JOIN ra_sb b ON $cond
+            GROUP BY 1""")
+      assert(isCollapsed(df), s"$cond: ${optimized(df)}")
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq == Seq((1L, expN, expS)), s"$cond -> ${rows.mkString(",")}")
+    }
+  }
+
+  test("avg(integral) collapses as the sum/count composition: exact window " +
+      "sum, one division, NULL for all-NULL windows, NULLs skipped") {
+    setup()
+    import spark.implicits._
+    Seq((1L, 100L), (2L, 200L)).toDF("id", "t").createOrReplaceTempView("ra_aa")
+    Seq((95L, None: Option[Long]), (96L, None: Option[Long]),
+      (198L, Some(7L)), (199L, Some(4L)))
+      .toDF("t", "v").createOrReplaceTempView("ra_ab")
+    val df = spark.sql(
+      """SELECT a.id, count(*) AS n, avg(b.v) AS m, sum(b.v) AS s
+         FROM ra_aa a JOIN ra_ab b
+           ON b.t >= a.t - 10 AND b.t <= a.t
+         GROUP BY 1""")
+    assert(isCollapsed(df), optimized(df).toString)
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    // id=1: both rows NULL-valued -> count 2, avg NULL, sum NULL
+    // id=2: values {7, 4} -> avg (7+4)/2 = 5.5 exactly (one division)
+    assert(rows == Set((1L, 2L, None, None), (2L, 2L, Some(5.5), Some(11L))),
+      rows.toString)
+  }
+
+  test("avg over the catalog events table matches the rule-off join plan") {
+    setup()
+    val avgSql =
+      """SELECT a.event_id, count(*) AS n, avg(b.cents) AS m
+         FROM (SELECT * FROM ra_e WHERE event_type = 'purchase') a
+         JOIN (SELECT * FROM ra_e WHERE event_type = 'signup') b
+           ON b.ts_us >= a.ts_us - 3600000000 AND b.ts_us <= a.ts_us
+         GROUP BY 1"""
+    val df = spark.sql(avgSql)
+    assert(isCollapsed(df), optimized(df).toString)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = saved.filterNot(o =>
+      o == RewriteRangeAggToPrefix || o == BlockRangeJoins)
+    try {
+      // sums at this SF stay far under 2^53, so Spark's double-buffer
+      // Average is exact here and the comparison is equality, not tolerance
+      val naive = spark.sql(avgSql).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == naive, s"rule=${got.size} naive=${naive.size}")
+      assert(got.nonEmpty)
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
+  test("multi-window (1h + 24h) written as two joins collapses BOTH: two " +
+      "Deferred leaves, only the reassembling equi-join remains") {
+    setup()
+    val df = spark.sql(
+      """WITH h AS (
+           SELECT a.event_id, count(*) AS n_1h
+           FROM (SELECT * FROM ra_e WHERE event_type = 'purchase') a
+           JOIN (SELECT * FROM ra_e WHERE event_type = 'signup') b
+             ON b.ts_us >= a.ts_us - 3600000000 AND b.ts_us <= a.ts_us
+           GROUP BY 1),
+         d AS (
+           SELECT a.event_id, count(*) AS n_24h
+           FROM (SELECT * FROM ra_e WHERE event_type = 'purchase') a
+           JOIN (SELECT * FROM ra_e WHERE event_type = 'signup') b
+             ON b.ts_us >= a.ts_us - 86400000000 AND b.ts_us <= a.ts_us
+           GROUP BY 1)
+         SELECT h.event_id, h.n_1h, d.n_24h
+         FROM h JOIN d ON h.event_id = d.event_id""")
+    val p = optimized(df)
+    val deferred = p.collect { case dd: DeferredResultPlan => dd }
+    val joins = p.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(deferred.size == 2, p.toString)
+    assert(joins.size == 1, p.toString)
+    // the surviving join is the equi-join on event_id, not a range join
+    assert(joins.head.condition.get.references.forall(_.name == "event_id"), p)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // 24h window is a superset of the 1h window
+    assert(rows.forall(r => r.getLong(2) >= r.getLong(1)))
+  }
+
+  test("strict bounds on the catalog events table match the join plan " +
+      "row-for-row (rule-off reference)") {
+    setup()
+    val strictSql =
+      """SELECT a.event_id, count(*) AS n, sum(b.cents) AS c
+         FROM (SELECT * FROM ra_e WHERE event_type = 'purchase') a
+         JOIN (SELECT * FROM ra_e WHERE event_type = 'signup') b
+           ON b.ts_us > a.ts_us - 3600000000 AND b.ts_us < a.ts_us
+         GROUP BY 1"""
+    val df = spark.sql(strictSql)
+    assert(isCollapsed(df), optimized(df).toString)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = saved.filterNot(o =>
+      o == RewriteRangeAggToPrefix || o == BlockRangeJoins)
+    try {
+      val naive = spark.sql(strictSql).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == naive, s"rule=${got.size} naive=${naive.size}")
+      assert(got.nonEmpty)
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
   test("ineligible shapes fall through to the binning rule: max(), " +
       "sum(DOUBLE), an extra equi-key, and a global aggregate") {
     setup()
