@@ -46,15 +46,19 @@ object Bench {
     // warn on stderr, and stamp them into the artifact so a bench of a
     // broken build can never pass as a measurement.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    // stable alphabetical order so per-query timings compare across rounds
-    def onePass(): Seq[(String, Double)] =
+    // stable alphabetical order so per-query timings compare across rounds.
+    // A failed query yields None, NOT its time-to-exception: an exception
+    // time is not a measurement, and letting it into the per-query map or
+    // the total is exactly how the r13 add-opens artifact read as plausible.
+    def onePass(): Seq[(String, Option[Double])] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        val ok = try { fn(spark, sfDir).count(); true } catch {
           case t: Throwable =>
             if (failed.add(name))
               System.err.println(s"BENCH_WARN query_failed $name: " +
                 t.toString.linesIterator.next())
+            false
         }
         val dt = (System.nanoTime() - t0) / 1e9
         // untimed: release per-query caches (shingle/band indexes) so later
@@ -66,7 +70,7 @@ object Bench {
         // leftovers (observed 9x inflation on queries run late in the pass).
         spark.catalog.clearCache()
         System.gc()
-        name -> dt
+        name -> (if (ok) Some(dt) else None)
       }
     // best-of-N per query, min-of-2 UNCONDITIONALLY by default (r12 verdict
     // item 8): pass 2 is the post-C2-JIT steady state, and the C2-JIT
@@ -81,29 +85,34 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val pass1 = onePass()
     val later = if (runs <= 1) Seq.empty else Seq.fill(runs - 1)(onePass())
-    val results =
-      if (later.isEmpty) pass1
-      else pass1.map { case (name, t1) =>
-        name -> (t1 +: later.flatMap(_.collect { case (`name`, t) => t })).min
-      }
+    // min over the SUCCESSFUL passes only; a query that failed on any pass
+    // is contaminated and stays None (its row serializes as null, never
+    // enters total, and downstream tools/bench_check.py refuses the artifact)
+    val results: Seq[(String, Option[Double])] = pass1.map { case (name, t1) =>
+      val all = (t1 +: later.flatMap(_.collect { case (`name`, t) => t })).flatten
+      name -> (if (failed(name) || all.isEmpty) None else Some(all.min))
+    }
     // loud lottery row: any query whose first pass exceeded its best later
     // pass by >2x is a C2-promotion suspect — single-pass artifacts of such
     // queries are NOT comparable numbers and must not be read as plans
     val suspects = if (later.isEmpty) Seq.empty
-      else pass1.flatMap { case (name, t1) =>
-        val best = later.flatMap(_.collect { case (`name`, t) => t }).min
-        if (best > 0.5 && t1 > 2 * best)
-          Some(s"$name pass1=${"%.1f".format(t1)}s best=${"%.1f".format(best)}s")
-        else None
+      else pass1.flatMap { case (name, t1o) =>
+        val laterTs = later.flatMap(_.collect { case (`name`, Some(t)) => t })
+        (t1o, laterTs) match {
+          case (Some(t1), ts) if ts.nonEmpty && ts.min > 0.5 && t1 > 2 * ts.min =>
+            Some(s"$name pass1=${"%.1f".format(t1)}s best=${"%.1f".format(ts.min)}s")
+          case _ => None
+        }
       }
     if (suspects.nonEmpty)
       System.err.println(
         s"BENCH_WARN c2_lottery (first-run JIT churn, ${suspects.size} queries): " +
           suspects.mkString("; "))
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    def fmtOpt(v: Option[Double]): String = v.map(fmt).getOrElse("null")
+    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + fmtOpt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.flatMap(_._2).sum
     // Full per-query map for humans / diffing (NOT the driver's line). The
     // driver keeps only a short stdout tail, which is how round-over-round
     // regressions in the alphabetical head went unseen — so ALSO persist the
@@ -128,9 +137,9 @@ object Bench {
       "text_quality", "window_running_sum", "latest_per_key",
       "ann_pq_adc", "doc_features", "geo_radius_join")
     val byName = results.toMap
-    val qsHead = headline.flatMap(n => byName.get(n).map(v => s"\"" + n + "\":" + fmt(v)))
+    val qsHead = headline.flatMap(n => byName.get(n).flatten.map(v => s"\"" + n + "\":" + fmt(v)))
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsHead,"n_queries":${results.size},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsHead,"n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
     require(line.length < 1500, s"bench line too long for driver tail: ${line.length}")
     println(line)
     spark.stop()

@@ -77,6 +77,9 @@ object Graft {
     * (the runtime path; the equivalent build-time path is
     * `spark.sql.extensions=graft.plans.GraftExtensions`). */
   def init(spark: SparkSession): Unit = {
+    // fail fast (with the fix named) if this JVM lacks the JDK17 module
+    // opens the engine's one Kryo wire path needs at shuffle
+    functions.KryoProbe.ensure()
     plans.AsOf.register(spark)
     plans.Deferred.register(spark)
     plans.SpatialJoin.register(spark)

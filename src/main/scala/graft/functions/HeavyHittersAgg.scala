@@ -172,7 +172,12 @@ case class SpaceSavingAggregator(capacity: Int)
 }
 
 object HeavyHittersAgg {
-  /** Column form: a map<key, estimated count> of at most `capacity` keys. */
-  def heavy_hitters(c: Column, capacity: Int): Column =
+  /** Column form: a map<key, estimated count> of at most `capacity` keys.
+    * Probes the Kryo/JDK17 add-opens dependency at construction — the ONLY
+    * Encoders.kryo path in the engine — so a mis-launched JVM fails here
+    * with the fix named, not at shuffle (see [[KryoProbe]]). */
+  def heavy_hitters(c: Column, capacity: Int): Column = {
+    KryoProbe.ensure()
     udaf(SpaceSavingAggregator(capacity), Encoders.scalaLong)(c)
+  }
 }
