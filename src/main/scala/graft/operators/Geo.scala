@@ -258,36 +258,147 @@ object Geo {
              SELECT ship_a, ship_b, count(*) AS n_close,
                     min(d) AS min_km
              FROM j GROUP BY 1, 2"""),
+    (s, dir) => closePairs(positions(s, dir))
+      .groupBy(col("ship_a"), col("ship_b"))
+      .agg(count(lit(1)).as("n_close"), min(col("d")).as("min_km")))
+
+  /** The blocked close-pair core shared by [[encountersQ]] and
+    * [[encounterEpisodesQ]]: emits each qualifying (ship_a < ship_b)
+    * position pair EXACTLY once as (ship_a, ship_b, ts_a, ts_b, d) — see
+    * the bin-cover proof on [[encountersQ]]. Input needs ship/ts_us/lat/lon. */
+  private def closePairs(p0: DataFrame): DataFrame = {
+    val r = encounterKm
+    val p = p0.filter(abs(col("lat")) <= 70)
+      .withColumn("hb", floor(col("ts_us") / encounterUs).cast("long"))
+      .withColumn("cy", floor(col("lat")).cast("long"))
+      .withColumn("cx", floor(col("lon")).cast("long"))
+    val a = p.select(col("ship").as("ship_a"), col("ts_us").as("ts_a"),
+      col("lat").as("lat_a"), col("lon").as("lon_a"),
+      col("hb"), col("cy"), col("cx"))
+    val dlon = degrees(asin(sin(lit(r / EarthR)) / cos(radians(col("lat")))))
+    val b = p
+      .withColumn("hbc", explode(sequence(col("hb") - 1, col("hb") + 1)))
+      .withColumn("cyc", explode(sequence(col("cy") - 1, col("cy") + 1)))
+      .withColumn("cxc", explode(sequence(
+        floor(col("lon") - dlon).cast("long"),
+        floor(col("lon") + dlon).cast("long"))))
+      .select(col("ship").as("ship_b"), col("ts_us").as("ts_b"),
+        col("lat").as("lat_b"), col("lon").as("lon_b"),
+        col("hbc").as("hb"), col("cyc").as("cy"),
+        (pmod(col("cxc") + 180, lit(360)) - 180).as("cx"))
+    a.join(b, Seq("hb", "cy", "cx"))
+      .filter(col("ship_a") < col("ship_b") &&
+        abs(col("ts_a") - col("ts_b")) <= encounterUs)
+      .withColumn("d", Num.pround(haversineKm(
+        col("lat_a"), col("lon_a"), col("lat_b"), col("lon_b")), 4))
+      .filter(col("d") <= r)
+      .select(col("ship_a"), col("ship_b"), col("ts_a"), col("ts_b"), col("d"))
+  }
+
+  /** The ANSWER-SHRINKING twin of [[encountersQ]] — the next-decade lever
+    * the 0.5-degree-cell experiment adjudicated for this family (SCALE.md
+    * geo row): `geo_encounters` is output-bound — its cost tracks the
+    * detection count, which for co-traveling ships grows with
+    * (pings per hour)² per pair-hour, and no candidate-set trick beats an
+    * answer that size (measured: the 2.2×-fewer-candidates cell experiment
+    * LOST wall-clock at sf30). This query shrinks the ANSWER itself, two
+    * rungs at once:
+    *
+    *   1. one REPRESENTATIVE position per (ship, hour) — the earliest ping
+    *      (ties by event_id) among |lat| <= 70 — caps detections at ~3 per
+    *      co-located pair-hour (each ship has <= 1 rep/hour; the 1 h window
+    *      reaches hour-bins h-1/h/h+1) where the exact query pays
+    *      (pings/hour)²;
+    *   2. contiguous active hours collapse into EPISODES (gap > 1 empty
+    *      hour-bin splits), so a convoy steaming together for a week is ONE
+    *      row, not 168 pair-hours of repeated co-location.
+    *
+    * This is deliberately a COARSER query than `geo_encounters` (hourly
+    * proximity of representatives, not every ping pair) — that is the
+    * documented trade: the answer a fleet-scale dashboard needs ("which
+    * pairs, when, how close") at linear-in-ship-hours cost. Exact per-ping
+    * counts remain available from the exact twin. At 100 TB: rep selection
+    * is one window shuffle on (ship, hour); the blocked join's candidate
+    * volume is bounded by co-located ship-pair-hours, never pings²; the
+    * episode window shuffles one row per active pair-hour. */
+  val encounterEpisodesQ = QueryDef(
+    "geo_encounter_episodes",
+    "encounter episodes: hourly representative positions, close pairs sessionized into gap-split episodes",
+    Some(s"""WITH p AS (SELECT * FROM ($positionsSql) WHERE abs(lat) <= 70),
+             reps AS (SELECT ship, ts_us, lat, lon
+                      FROM (SELECT ship, ts_us, lat, lon,
+                                   row_number() OVER (
+                                     PARTITION BY ship, CAST(floor(ts_us / $encounterUs) AS BIGINT)
+                                     ORDER BY ts_us, event_id) AS rn
+                            FROM p)
+                      WHERE rn = 1),
+             pa AS (SELECT ship, ts_us, lat, lon,
+                           CAST(floor(ts_us / $encounterUs) AS BIGINT) AS hb,
+                           CAST(floor(lat) AS BIGINT) AS cy,
+                           CAST(floor(lon) AS BIGINT) AS cx
+                    FROM reps),
+             pb AS (SELECT ship, ts_us, lat, lon,
+                           hb + dh.d AS hb, cy + dy.d AS cy,
+                           ((cx + dx.d + 180) % 360 + 360) % 360 - 180 AS cx
+                    FROM pa
+                    CROSS JOIN unnest(generate_series(-1, 1)) AS dh(d)
+                    CROSS JOIN unnest(generate_series(-1, 1)) AS dy(d)
+                    CROSS JOIN unnest(generate_series(-2, 2)) AS dx(d)),
+             j AS (SELECT a.ship AS ship_a, b.ship AS ship_b,
+                          CAST(floor(least(a.ts_us, b.ts_us) / $encounterUs) AS BIGINT) AS dhb,
+                          ${Num.sql(haversineSql("a.lat", "a.lon", "b.lat", "b.lon"), 4)} AS d
+                   FROM pa a JOIN pb b USING (hb, cy, cx)
+                   WHERE a.ship < b.ship
+                     AND abs(a.ts_us - b.ts_us) <= $encounterUs
+                     AND abs(a.lat - b.lat) <= $encounterKm / 110.5
+                     AND ${Num.sql(haversineSql("a.lat", "a.lon", "b.lat", "b.lon"), 4)}
+                           <= $encounterKm),
+             bins AS (SELECT ship_a, ship_b, dhb, count(*) AS nc, min(d) AS mk
+                      FROM j GROUP BY 1, 2, 3),
+             flagged AS (SELECT *, CASE WHEN lag(dhb) OVER w IS NULL
+                                          OR dhb - lag(dhb) OVER w > 1
+                                        THEN 1 ELSE 0 END AS newep
+                         FROM bins
+                         WINDOW w AS (PARTITION BY ship_a, ship_b ORDER BY dhb)),
+             eps AS (SELECT *, CAST(sum(newep) OVER (
+                                 PARTITION BY ship_a, ship_b ORDER BY dhb
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                               AS BIGINT) AS ep
+                     FROM flagged)
+             SELECT ship_a, ship_b, ep,
+                    min(dhb) AS hb_start, max(dhb) AS hb_end,
+                    count(*) AS n_hours,
+                    CAST(sum(nc) AS BIGINT) AS n_close, min(mk) AS min_km
+             FROM eps GROUP BY 1, 2, 3"""),
     (s, dir) => {
-      val r = encounterKm
-      val p = positions(s, dir).filter(abs(col("lat")) <= 70)
-        .withColumn("hb", floor(col("ts_us") / encounterUs).cast("long"))
-        .withColumn("cy", floor(col("lat")).cast("long"))
-        .withColumn("cx", floor(col("lon")).cast("long"))
-      val a = p.select(col("ship").as("ship_a"), col("ts_us").as("ts_a"),
-        col("lat").as("lat_a"), col("lon").as("lon_a"),
-        col("hb"), col("cy"), col("cx"))
-      val dlon = degrees(asin(sin(lit(r / EarthR)) / cos(radians(col("lat")))))
-      val b = p
-        .withColumn("hbc", explode(sequence(col("hb") - 1, col("hb") + 1)))
-        .withColumn("cyc", explode(sequence(col("cy") - 1, col("cy") + 1)))
-        .withColumn("cxc", explode(sequence(
-          floor(col("lon") - dlon).cast("long"),
-          floor(col("lon") + dlon).cast("long"))))
-        .select(col("ship").as("ship_b"), col("ts_us").as("ts_b"),
-          col("lat").as("lat_b"), col("lon").as("lon_b"),
-          col("hbc").as("hb"), col("cyc").as("cy"),
-          (pmod(col("cxc") + 180, lit(360)) - 180).as("cx"))
-      a.join(b, Seq("hb", "cy", "cx"))
-        .filter(col("ship_a") < col("ship_b") &&
-          abs(col("ts_a") - col("ts_b")) <= encounterUs)
-        .withColumn("d", Num.pround(haversineKm(
-          col("lat_a"), col("lon_a"), col("lat_b"), col("lon_b")), 4))
-        .filter(col("d") <= r)
-        .groupBy(col("ship_a"), col("ship_b"))
-        .agg(count(lit(1)).as("n_close"), min(col("d")).as("min_km"))
+      val repW = Window.partitionBy(col("ship"),
+          floor(col("ts_us") / encounterUs).cast("long"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val reps = positions(s, dir).filter(abs(col("lat")) <= 70)
+        .withColumn("rn", row_number().over(repW))
+        .filter(col("rn") === 1)
+        .select(col("ship"), col("ts_us"), col("lat"), col("lon"))
+      val det = closePairs(reps)
+        .select(col("ship_a"), col("ship_b"),
+          floor(least(col("ts_a"), col("ts_b")) / encounterUs).cast("long").as("dhb"),
+          col("d"))
+      val bins = det.groupBy(col("ship_a"), col("ship_b"), col("dhb"))
+        .agg(count(lit(1)).as("nc"), min(col("d")).as("mk"))
+      val pw = Window.partitionBy(col("ship_a"), col("ship_b")).orderBy(col("dhb"))
+      val eps = bins
+        .withColumn("prev", lag(col("dhb"), 1).over(pw))
+        .withColumn("newep",
+          when(col("prev").isNull || col("dhb") - col("prev") > 1, 1L)
+            .otherwise(0L))
+        .withColumn("ep", sum(col("newep")).over(
+          pw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      eps.groupBy(col("ship_a"), col("ship_b"), col("ep"))
+        .agg(min(col("dhb")).as("hb_start"), max(col("dhb")).as("hb_end"),
+          count(lit(1)).as("n_hours"), sum(col("nc")).as("n_close"),
+          min(col("mk")).as("min_km"))
     })
 
   val defs: Seq[QueryDef] =
-    Seq(cellDensityQ, trackDistanceQ, radiusJoinQ, encountersQ)
+    Seq(cellDensityQ, trackDistanceQ, radiusJoinQ, encountersQ,
+      encounterEpisodesQ)
 }
