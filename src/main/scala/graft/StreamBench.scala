@@ -315,6 +315,126 @@ object StreamBench {
     }
   }
 
+  /** `--ttlrecall`: the MEASURED cost curve of [[CorpusDedup.incrementalDedupTtl]]'s
+    * state/recall trade (r13 verdict item 7). The TTL contract trades state
+    * for duplicate LEAKAGE: a re-arrival of known content past the horizon
+    * is re-kept as a fresh keeper. This run quantifies it on a synthetic
+    * stream with PLANTED re-arrival gaps, so the SCALE.md contract row
+    * carries a curve, not a qualitative trade.
+    *
+    * Corpus: `rows` docs per batch, all stamped the same event time
+    * t0 + b*batchMs. Per batch, 25 docs each are exact copies of content
+    * ORIGINATED `g` batches earlier for g in {1, 5, 20, 50} (each original
+    * is copied exactly once, so no refresh chains confound the gap), 5 docs
+    * are copies of one batch-0 "hot" content (re-arriving EVERY batch — the
+    * LRU-refresh path: each match refreshes the keeper's last-seen, so hot
+    * content stays deduped under any horizon wider than one batch), and the
+    * rest are unique filler. Content uniqueness rides on docText ids that
+    * are multiples of 20 (docText only plants dups at ids 19/99 mod 20/100).
+    *
+    * The mechanism under test (predictable, then verified by measurement):
+    * a gap-g copy finds its keeper iff the keeper entry survived BOTH
+    * eviction mechanisms at probe time. The entry filter drops it when
+    * last_ms + horizon <= watermark, and the watermark itself lags max
+    * event time by the SAME horizon (withWatermark(ts, horizon)), so the
+    * EFFECTIVE retention is ~2x horizon: dedup iff (g-1)*batchMs <
+    * 2*horizonMs. The run emits per-(horizon, gap) dedup rates + final
+    * state rows, which should show exactly that step curve — and the
+    * state-rows column falling with the horizon is the other side of the
+    * trade. */
+  private def ttlRecallRun(spark: SparkSession): Unit = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val batchMs = 60000L
+    val t0 = 1704067200000L
+    val rows = 500
+    val batches = sys.env.getOrElse("SPARK_GRAFT_TTLRECALL_BATCHES", "120").toInt
+    val gaps = Seq(1, 5, 20, 50)
+    val perGap = 25
+    val hotN = 5
+    // slots [0, 100): gap copies; [100, 200): originals later copied;
+    // [200, 205): hot copies; rest unique filler. Content key k -> docText(20k).
+    def contentKey(b: Int, slot: Int): Long = b.toLong * rows + slot
+    def text(b: Int, slot: Int): String = {
+      val gi = slot / perGap
+      if (slot < 100 && b - gaps(gi) >= 0)
+        ScaleRehearsal.docText(20L * contentKey(b - gaps(gi), 100 + slot))
+      else if (slot >= 200 && slot < 200 + hotN && b > 0)
+        ScaleRehearsal.docText(20L * contentKey(0, 200))
+      else ScaleRehearsal.docText(20L * contentKey(b, slot))
+    }
+    def docId(b: Int, slot: Int): Long = b.toLong * 1000 + slot
+    def isGapCopy(b: Int, slot: Int): Boolean =
+      slot < 100 && b - gaps(slot / perGap) >= 0
+    def isHotCopy(b: Int, slot: Int): Boolean =
+      slot >= 200 && slot < 200 + hotN && b > 0
+    val horizonsMin = sys.env.getOrElse("SPARK_GRAFT_TTLRECALL_HORIZONS", "2,12,60")
+      .split(',').map(_.trim.toInt).toSeq
+    val perHorizon = horizonsMin.map { hMin =>
+      val horizonMs = hMin * 60000L
+      val in = MemoryStream[CorpusDedup.TimedDoc]
+      val name = s"ttlrecall_$hMin"
+      val q = CorpusDedup.incrementalDedupTtl(in.toDS(), horizonMs)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      val stateRows = try {
+        (0 until batches).foreach { b =>
+          val ts = new java.sql.Timestamp(t0 + b * batchMs)
+          in.addData((0 until rows).map(slot =>
+            CorpusDedup.TimedDoc(docId(b, slot), text(b, slot), ts)))
+          q.processAllAvailable()
+        }
+        q.lastProgress.stateOperators.headOption
+          .map(_.numRowsTotal).getOrElse(-1L)
+      } finally q.stop()
+      val verdicts = CorpusDedup.reducePerDoc(spark.table(name))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // per-gap and hot dedup rates + keeper-identity sanity
+      val gapStats = gaps.zipWithIndex.map { case (g, gi) =>
+        val copies = for {
+          b <- 0 until batches; slot <- gi * perGap until (gi + 1) * perGap
+          if isGapCopy(b, slot)
+        } yield (b, slot)
+        val n = copies.size
+        val dedup = copies.count { case (b, slot) =>
+          verdicts.getOrElse(docId(b, slot), -1L) >= 0 }
+        val wrongKeeper = copies.count { case (b, slot) =>
+          val v = verdicts.getOrElse(docId(b, slot), -1L)
+          v >= 0 && v != docId(b - gaps(gi), 100 + slot) }
+        (g, n, dedup, wrongKeeper)
+      }
+      val hotCopies = for {
+        b <- 1 until batches; slot <- 200 until 200 + hotN
+      } yield (b, slot)
+      val hotDedup = hotCopies.count { case (b, slot) =>
+        verdicts.getOrElse(docId(b, slot), -1L) >= 0 }
+      (hMin, stateRows, gapStats, hotCopies.size, hotDedup)
+    }
+    def fmt(v: Double): String =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val load1m = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val hJson = perHorizon.map { case (hMin, st, gapStats, hotN2, hotD) =>
+      val gapsJson = gapStats.map { case (g, n, d, wrong) =>
+        s""""$g":{"n":$n,"dedup":$d,"rate":${fmt(d.toDouble / math.max(1, n))},"wrong_keeper":$wrong}"""
+      }.mkString("{", ",", "}")
+      s"""{"horizon_min":$hMin,"state_rows_final":$st,"gap_dedup":$gapsJson,""" +
+        s""""hot_n":$hotN2,"hot_dedup":$hotD,""" +
+        s""""hot_rate":${fmt(hotD.toDouble / math.max(1, hotN2))}}"""
+    }.mkString("[", ",", "]")
+    val line = s"""{"metric":"stream_ttlrecall","batches":$batches,""" +
+      s""""batch_ms":$batchMs,"rows_per_batch":$rows,""" +
+      s""""load1m_start":${fmt(load1mStart)},"load1m":${fmt(load1m)},""" +
+      s""""horizons":$hJson}"""
+    println(line)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+  }
+
   /** Ambient host load BEFORE this JVM contributes its own — captured at
     * main() entry, exactly the batch Bench's r11 discipline: the end-of-run
     * load1m mostly measures the bench itself on local[32], so the START
@@ -349,6 +469,11 @@ object StreamBench {
     }
     if (args.contains("--statescale")) {
       stateScaleRun(spark)
+      spark.stop()
+      return
+    }
+    if (args.contains("--ttlrecall")) {
+      ttlRecallRun(spark)
       spark.stop()
       return
     }
