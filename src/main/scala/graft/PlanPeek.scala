@@ -10,11 +10,11 @@ object PlanPeek {
   /** Default peek set (newest catalog queries) — a constant so CatalogSpec
     * can assert every name still exists in the catalog (ADVICE r9: inline
     * names drifted unchecked when a query was renamed/removed). */
-  val defaultNames: Seq[String] = Seq("dp_release_class_sizes",
-    "t_closeness_report", "graph_clustering_coeff",
-    "ts_stl_decompose", "ts_holt_linear", "l_diversity_report",
-    "ann_truncated_rerank", "dedup_keep_best", "graph_kcore_backbone",
-    "ts_cross_corr", "hybrid_search_rrf", "dedup_recall_report")
+  val defaultNames: Seq[String] = Seq("range_agg_avg",
+    "geo_encounter_episodes", "range_agg_prefix", "range_agg_auto",
+    "dp_release_class_sizes", "t_closeness_report",
+    "ts_stl_decompose", "ann_truncated_rerank", "dedup_keep_best",
+    "hybrid_search_rrf", "dedup_recall_report")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
