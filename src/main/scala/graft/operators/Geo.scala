@@ -258,15 +258,13 @@ object Geo {
              SELECT ship_a, ship_b, count(*) AS n_close,
                     min(d) AS min_km
              FROM j GROUP BY 1, 2"""),
-    (s, dir) => closePairs(positions(s, dir))
-      .groupBy(col("ship_a"), col("ship_b"))
-      .agg(count(lit(1)).as("n_close"), min(col("d")).as("min_km")))
+    (s, dir) => encounterPairs(positions(s, dir)))
 
   /** The blocked close-pair core shared by [[encountersQ]] and
     * [[encounterEpisodesQ]]: emits each qualifying (ship_a < ship_b)
     * position pair EXACTLY once as (ship_a, ship_b, ts_a, ts_b, d) — see
     * the bin-cover proof on [[encountersQ]]. Input needs ship/ts_us/lat/lon. */
-  private def closePairs(p0: DataFrame): DataFrame = {
+  private[graft] def closePairs(p0: DataFrame): DataFrame = {
     val r = encounterKm
     val p = p0.filter(abs(col("lat")) <= 70)
       .withColumn("hb", floor(col("ts_us") / encounterUs).cast("long"))
@@ -370,33 +368,45 @@ object Geo {
                     count(*) AS n_hours,
                     CAST(sum(nc) AS BIGINT) AS n_close, min(mk) AS min_km
              FROM eps GROUP BY 1, 2, 3"""),
-    (s, dir) => {
-      val repW = Window.partitionBy(col("ship"),
-          floor(col("ts_us") / encounterUs).cast("long"))
-        .orderBy(col("ts_us"), col("event_id"))
-      val reps = positions(s, dir).filter(abs(col("lat")) <= 70)
-        .withColumn("rn", row_number().over(repW))
-        .filter(col("rn") === 1)
-        .select(col("ship"), col("ts_us"), col("lat"), col("lon"))
-      val det = closePairs(reps)
-        .select(col("ship_a"), col("ship_b"),
-          floor(least(col("ts_a"), col("ts_b")) / encounterUs).cast("long").as("dhb"),
-          col("d"))
-      val bins = det.groupBy(col("ship_a"), col("ship_b"), col("dhb"))
-        .agg(count(lit(1)).as("nc"), min(col("d")).as("mk"))
-      val pw = Window.partitionBy(col("ship_a"), col("ship_b")).orderBy(col("dhb"))
-      val eps = bins
-        .withColumn("prev", lag(col("dhb"), 1).over(pw))
-        .withColumn("newep",
-          when(col("prev").isNull || col("dhb") - col("prev") > 1, 1L)
-            .otherwise(0L))
-        .withColumn("ep", sum(col("newep")).over(
-          pw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      eps.groupBy(col("ship_a"), col("ship_b"), col("ep"))
-        .agg(min(col("dhb")).as("hb_start"), max(col("dhb")).as("hb_end"),
-          count(lit(1)).as("n_hours"), sum(col("nc")).as("n_close"),
-          min(col("mk")).as("min_km"))
-    })
+    (s, dir) => encounterEpisodes(positions(s, dir)))
+
+  /** The episode pipeline on an arbitrary positions frame
+    * (ship/event_id/ts_us/lat/lon) — shared by the catalog entry and the
+    * density-crossover probe ([[graft.DensityProbe]]). */
+  private[graft] def encounterEpisodes(p: DataFrame): DataFrame = {
+    val repW = Window.partitionBy(col("ship"),
+        floor(col("ts_us") / encounterUs).cast("long"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val reps = p.filter(abs(col("lat")) <= 70)
+      .withColumn("rn", row_number().over(repW))
+      .filter(col("rn") === 1)
+      .select(col("ship"), col("ts_us"), col("lat"), col("lon"))
+    val det = closePairs(reps)
+      .select(col("ship_a"), col("ship_b"),
+        floor(least(col("ts_a"), col("ts_b")) / encounterUs).cast("long").as("dhb"),
+        col("d"))
+    val bins = det.groupBy(col("ship_a"), col("ship_b"), col("dhb"))
+      .agg(count(lit(1)).as("nc"), min(col("d")).as("mk"))
+    val pw = Window.partitionBy(col("ship_a"), col("ship_b")).orderBy(col("dhb"))
+    val eps = bins
+      .withColumn("prev", lag(col("dhb"), 1).over(pw))
+      .withColumn("newep",
+        when(col("prev").isNull || col("dhb") - col("prev") > 1, 1L)
+          .otherwise(0L))
+      .withColumn("ep", sum(col("newep")).over(
+        pw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    eps.groupBy(col("ship_a"), col("ship_b"), col("ep"))
+      .agg(min(col("dhb")).as("hb_start"), max(col("dhb")).as("hb_end"),
+        count(lit(1)).as("n_hours"), sum(col("nc")).as("n_close"),
+        min(col("mk")).as("min_km"))
+  }
+
+  /** The exact-twin aggregation on an arbitrary positions frame — the
+    * probe's other arm. */
+  private[graft] def encounterPairs(p: DataFrame): DataFrame =
+    closePairs(p)
+      .groupBy(col("ship_a"), col("ship_b"))
+      .agg(count(lit(1)).as("n_close"), min(col("d")).as("min_km"))
 
   val defs: Seq[QueryDef] =
     Seq(cellDensityQ, trackDistanceQ, radiusJoinQ, encountersQ,
