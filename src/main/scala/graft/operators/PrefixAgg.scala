@@ -232,5 +232,42 @@ object PrefixAgg {
                GROUP BY 1""")
     })
 
-  val defs: Seq[QueryDef] = Seq(rangeAggPrefixQ, rangeAggAutoQ, rangeAggAvgQ)
+  /** The TIMESTAMP spelling of the auto-collapse: the window is written the
+    * way a SQL user writes it — `b.ts BETWEEN a.ts - INTERVAL '1' HOUR AND
+    * a.ts` on the TIMESTAMP column, no manual unix_micros anywhere — and
+    * the rule supplies the same flat prefix plan via the monotone
+    * `unix_micros` view (r14; RangeAggRuleSpec pins plan + rows, and
+    * RangeRuleSpec pins that pair-EMITTING timestamp SQL still bins).
+    * Oracle compares on epoch_us deliberately: DuckDB reads the parquet
+    * column at NANOsecond resolution while the engine's documented view is
+    * µs-truncated (TESTDATA.md), so an INTERVAL comparison in DuckDB would
+    * test the oracle's timestamp width, not the rewrite — epoch_us is the
+    * shared µs grid both engines agree on, and unix_micros is a monotone
+    * bijection on it. */
+  val rangeAggTsAutoQ = QueryDef(
+    "range_agg_ts_auto",
+    "naive TIMESTAMP-INTERVAL trailing-window count+sum, auto-collapsed to the prefix plan",
+    Some("""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, event_type, value FROM events)
+            SELECT a.event_id, count(*) AS n_signups_1h,
+                   CAST(sum(CAST(floor(b.value * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS sum_cents_1h
+            FROM (SELECT * FROM e WHERE event_type = 'purchase') a
+            JOIN (SELECT * FROM e WHERE event_type = 'signup') b
+              ON b.ts_us >= a.ts_us - 3600000000 AND b.ts_us <= a.ts_us
+            GROUP BY 1"""),
+    (s, dir) => {
+      graft.plans.RangeAgg.register(s)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .createOrReplaceTempView("rat_events")
+      s.sql("""SELECT a.event_id, count(*) AS n_signups_1h,
+                      sum(CAST(floor(b.value * 1e2 + 0.5) AS BIGINT)) AS sum_cents_1h
+               FROM (SELECT * FROM rat_events WHERE event_type = 'purchase') a
+               JOIN (SELECT * FROM rat_events WHERE event_type = 'signup') b
+                 ON b.ts BETWEEN a.ts - INTERVAL '1' HOUR AND a.ts
+               GROUP BY 1""")
+    })
+
+  val defs: Seq[QueryDef] =
+    Seq(rangeAggPrefixQ, rangeAggAutoQ, rangeAggAvgQ, rangeAggTsAutoQ)
 }

@@ -38,7 +38,10 @@ import org.apache.spark.sql.types._
   *     the lower probe moves to F(a-C), `b < a` moves the upper probe to
   *     F(a-1) — never by widening to the closed window, which would
   *     silently include the boundary rows the strict predicate excludes)
-  *     on LongType endpoints, one side each — an extra cross-side predicate
+  *     on BIGINT-micros or TIMESTAMP endpoints (timestamps run the same
+  *     Long plan through the monotone `unix_micros` view — one µs is one
+  *     integral tick, so strictness shifts transfer; the INTERVAL constant
+  *     is already micros), one side each — an extra cross-side predicate
   *     or equi-key disqualifies (a keyed window is the as-of shape);
   *   - grouping keys are attributes of the PROBE side (the side owning the
   *     window end `a`);
@@ -108,7 +111,7 @@ object RewriteRangeAggToPrefix extends Rule[LogicalPlan] with PredicateHelper {
       val uppers = conj.collect { case e @ Upper(b, a) => (b, a, isStrict(e)) }
       lowers.collectFirst {
         case (b, a, c, lowStrict)
-            if b.dataType == LongType && a.dataType == LongType &&
+            if BlockRangeJoins.windowableTypes(b, a) &&
               side(b).isDefined && side(a).isDefined && side(b) != side(a) &&
               uppers.exists(u =>
                 u._1.semanticEquals(b) && u._2.semanticEquals(a)) =>
@@ -198,13 +201,18 @@ object RewriteRangeAggToPrefix extends Rule[LogicalPlan] with PredicateHelper {
     val bDf = GraftExpressionBridge.ofRows(spark, wj.bPlan)
     val m = groupAttrs.length; val k = sumExprs.length
     def colOf(e: Expression): Column = GraftExpressionBridge.column(e)
+    // Timestamp endpoints ride the SAME Long plan: unix_micros is a
+    // monotone bijection on the µs-resolution TimestampType, so the range
+    // partitioning, probe arithmetic, and strictness shifts (1 µs = one
+    // integral tick) all transfer unchanged; NULL maps to NULL.
     val bRows = bDf.select(
-      colOf(wj.bTs).as("__t") +: lit(0).as("__kind") +: lit(0L).as("__sign") +:
+      colOf(BlockRangeJoins.micros(wj.bTs)).as("__t") +:
+        lit(0).as("__kind") +: lit(0L).as("__sign") +:
         (groupAttrs.zipWithIndex.map { case (g, i) =>
           lit(null).cast(g.dataType).as(s"__g$i") } ++
           sumExprs.zipWithIndex.map { case (e, j) =>
             colOf(e).cast(LongType).as(s"__v$j") }): _*)
-    val aBase = aDf.select(colOf(wj.aTs).as("__ta") +:
+    val aBase = aDf.select(colOf(BlockRangeJoins.micros(wj.aTs)).as("__ta") +:
       groupAttrs.zipWithIndex.map { case (g, i) => colOf(g).as(s"__g$i") }: _*)
     def probe(t: Column, sign: Long) = aBase.select(
       t.as("__t") +: lit(1).as("__kind") +: lit(sign).as("__sign") +:

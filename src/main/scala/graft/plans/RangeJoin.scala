@@ -5,11 +5,13 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DayTimeIntervalType, LongType, TimestampType}
 
 /** Optimizer rule that turns a naive trailing-window range join — plain SQL
   * `a JOIN b ON b.ts >= a.ts - C AND b.ts <= a.ts` (BETWEEN desugars to the
-  * same pair) — into the binned equi-join
+  * same pair; both BIGINT-micros `- C` and TIMESTAMP `- INTERVAL ...`
+  * spellings match, the latter binned on `unix_micros`) — into the binned
+  * equi-join
   * [[graft.operators.Advanced.rangeJoinBinned]] builds by hand: without an
   * equi-key Catalyst plans the full nested-loop product (quadratic;
   * unrunnable at 100 TB). The rule manufactures the key the optimizer can't
@@ -42,12 +44,23 @@ object BlockRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
     case _ => e
   }
 
-  /** b >= a - C in either spelling; also strict `>`. Yields (b, a, C). */
+  /** b >= a - C in either spelling; also strict `>`. Yields (b, a, C).
+    * Two shapes: BIGINT micros (`a - <long literal>`) and TIMESTAMP
+    * (`a - INTERVAL ...`, which the analyzer+folding turn into
+    * `TimestampAddInterval(a, <negative DayTimeIntervalType literal>)` —
+    * day-time intervals are stored as Long MICROS, so C comes out in the
+    * same unit either way). */
   private[plans] object Lower {
     def unapply(e: Expression): Option[(Expression, Expression, Long)] = {
       def sub(y: Expression): Option[(Expression, Long)] = stripCast(y) match {
         case Subtract(a, Literal(c: Long, LongType), _) if c > 0 =>
           Some((stripCast(a), c))
+        case ta: TimestampAddInterval =>
+          (ta.children(0), ta.children(1)) match {
+            case (a, Literal(c: Long, _: DayTimeIntervalType)) if c < 0 =>
+              Some((stripCast(a), -c))
+            case _ => None
+          }
         case _ => None
       }
       e match {
@@ -79,6 +92,19 @@ object BlockRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
   private[plans] def floorDiv(x: Expression, c: Long): Expression =
     IntegralDivide(Subtract(x, Pmod(x, Literal(c))), Literal(c))
 
+  /** The Long-micros view of a window endpoint: identity for BIGINT
+    * columns, `unix_micros` for TIMESTAMP ones (NOT `cast(ts as bigint)`,
+    * which is SECONDS and would silently coarsen the bins and — in the
+    * prefix rewrite — the probe points themselves). */
+  private[plans] def micros(x: Expression): Expression =
+    if (x.dataType == TimestampType) UnixMicros(x) else x
+
+  /** Both endpoints carry a type the rules can window over, same on both
+    * sides: BIGINT micros or TIMESTAMP. */
+  private[plans] def windowableTypes(b: Expression, a: Expression): Boolean =
+    (b.dataType == LongType && a.dataType == LongType) ||
+      (b.dataType == TimestampType && a.dataType == TimestampType)
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(l, r, jt @ (Inner | LeftSemi | LeftAnti), Some(cond), hint)
         if !(l.output ++ r.output).exists(_.name.startsWith(Marker)) =>
@@ -98,8 +124,7 @@ object BlockRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
         val uppers = conj.collect { case Upper(b, a) => (b, a) }
         lowers.collectFirst {
           case (b, a, c)
-              if b.dataType == LongType && a.dataType == LongType &&
-                crossSide(b, a) &&
+              if windowableTypes(b, a) && crossSide(b, a) &&
                 uppers.exists(u =>
                   u._1.semanticEquals(b) && u._2.semanticEquals(a)) =>
             (b, a, c)
@@ -111,7 +136,7 @@ object BlockRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
           // the right child explodes to its two candidates
           val bOnLeft = b.references.subsetOf(l.outputSet)
           val (leftVar, rightVar) = if (bOnLeft) (b, a) else (a, b)
-          val rightBin = floorDiv(rightVar, c)
+          val rightBin = floorDiv(micros(rightVar), c)
           // left owns b (window point): right 'a' spans [bin-1, bin];
           // left owns a (window end):   right 'b' spans [bin, bin+1]
           val candidates =
@@ -121,7 +146,7 @@ object BlockRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
             nullable = true)()
           val rightExp = Generate(Explode(CreateArray(candidates)),
             Nil, outer = false, None, Seq(binAttr), r)
-          val lbAlias = Alias(floorDiv(leftVar, c), s"${Marker}_l")()
+          val lbAlias = Alias(floorDiv(micros(leftVar), c), s"${Marker}_l")()
           val leftKeyed = Project(l.output :+ lbAlias, l)
           Project(j.output,
             Join(leftKeyed, rightExp, jt,

@@ -232,6 +232,38 @@ class RangeAggRuleSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("TIMESTAMP - INTERVAL aggregate SQL collapses to the prefix plan " +
+      "through the unix_micros view and matches the rule-off join") {
+    setup()
+    val tsAggSql =
+      """SELECT a.event_id, count(*) AS n, sum(b.cents) AS c
+         FROM (SELECT event_id, ts, event_type,
+                      CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents
+               FROM events WHERE event_type = 'purchase') a
+         JOIN (SELECT event_id, ts, event_type,
+                      CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents
+               FROM events WHERE event_type = 'signup') b
+           ON b.ts BETWEEN a.ts - INTERVAL '1' HOUR AND a.ts
+         GROUP BY 1"""
+    val df = spark.sql(tsAggSql)
+    assert(isCollapsed(df), optimized(df).toString)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // must equal the BIGINT-micros spelling's result (same window by the
+    // unix_micros monotone-bijection argument)
+    val viaUs = spark.sql(aggSql).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == viaUs, s"ts=${got.size} us=${viaUs.size}")
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = saved.filterNot(o =>
+      o == RewriteRangeAggToPrefix || o == BlockRangeJoins)
+    try {
+      val naive = spark.sql(tsAggSql).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == naive, s"rule=${got.size} naive=${naive.size}")
+      assert(got.nonEmpty)
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
   test("ineligible shapes fall through to the binning rule: max(), " +
       "sum(DOUBLE), an extra equi-key, and a global aggregate") {
     setup()

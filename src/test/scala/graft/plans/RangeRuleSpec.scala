@@ -82,6 +82,26 @@ class RangeRuleSpec extends SparkSpec {
     assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
+  test("TIMESTAMP - INTERVAL spelling bins on unix_micros: hash-join plan, " +
+      "rows identical to the BIGINT-micros window") {
+    setup()
+    // pair-EMITTING timestamp SQL (no aggregate, so the prefix rule leaves
+    // it and the binning rule must catch the TimestampAddInterval shape)
+    val tsSql =
+      """SELECT a.event_id AS purchase_id, b.event_id AS signup_id
+         FROM (SELECT event_id, ts, event_type FROM events WHERE event_type = 'purchase') a
+         JOIN (SELECT event_id, ts, event_type FROM events WHERE event_type = 'signup') b
+           ON b.ts BETWEEN a.ts - INTERVAL '1' HOUR AND a.ts"""
+    val df = spark.sql(tsSql)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("__graft_rbin"), p)
+    // unix_micros is a monotone bijection on the µs-resolution ts, so the
+    // timestamp window selects exactly the ts_us window's pairs
+    assert(collectPairs(tsSql) == collectPairs(windowSql))
+  }
+
   test("keyed range joins (as-of shape) are left alone") {
     setup()
     // an equi key already gives Catalyst a hash join; the rule must not
