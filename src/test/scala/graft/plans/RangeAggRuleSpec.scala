@@ -264,6 +264,34 @@ class RangeAggRuleSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("strict TIMESTAMP bounds shift probes by one microsecond tick: " +
+      "boundary rows at exactly a-INTERVAL and a are excluded per spelling") {
+    setup()
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    // left at t=100s; right rows exactly ON both window boundaries of a
+    // 10-second window, plus one interior (whole-second values — the probe
+    // shift itself is 1 µs, pinned numerically by the BIGINT strict test;
+    // here the point is the TIMESTAMP spelling threads strictness through)
+    Seq((1L, ts(100000000L))).toDF("id", "t").createOrReplaceTempView("ra_ta")
+    Seq((ts(90000000L), 1L), (ts(95000000L), 2L), (ts(100000000L), 4L))
+      .toDF("t", "v").createOrReplaceTempView("ra_tb")
+    val shapes = Seq(
+      ("b.t >= a.t - INTERVAL '10' SECOND AND b.t <= a.t", 3L, 7L),
+      ("b.t >  a.t - INTERVAL '10' SECOND AND b.t <= a.t", 2L, 6L),
+      ("b.t >= a.t - INTERVAL '10' SECOND AND b.t <  a.t", 2L, 3L),
+      ("b.t >  a.t - INTERVAL '10' SECOND AND b.t <  a.t", 1L, 2L))
+    for ((cond, expN, expS) <- shapes) {
+      val df = spark.sql(
+        s"""SELECT a.id, count(*) AS n, sum(b.v) AS s
+            FROM ra_ta a JOIN ra_tb b ON $cond
+            GROUP BY 1""")
+      assert(isCollapsed(df), s"$cond: ${optimized(df)}")
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq == Seq((1L, expN, expS)), s"$cond -> ${rows.mkString(",")}")
+    }
+  }
+
   test("ineligible shapes fall through to the binning rule: max(), " +
       "sum(DOUBLE), an extra equi-key, and a global aggregate") {
     setup()
