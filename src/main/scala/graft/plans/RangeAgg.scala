@@ -46,6 +46,8 @@ import org.apache.spark.sql.types._
   *   - grouping keys are attributes of the PROBE side (the side owning the
   *     window end `a`);
   *   - every aggregate is `count(<non-null literal>)` (count(*) included),
+  *     `count(<integral expr over the scanned side>)` (the non-null count —
+  *     the `__z` prefix the sum/avg legs already carry),
   *     `sum(<expr over the scanned side>)` of integral type, or
   *     `avg(<same>)` — sums run as exact Long prefix sums (order-free;
   *     overflow raises via Math.addExact where the hash aggregate would
@@ -144,9 +146,14 @@ object RewriteRangeAggToPrefix extends Rule[LogicalPlan] with PredicateHelper {
     // before this rule runs, so a leaf-only matcher would silently miss
     // wrapped shapes that are perfectly collapsible.
     val sumExprs = scala.collection.mutable.ArrayBuffer.empty[Expression]
-    def sumIdx(child: Expression): Int = {
+    // per sumExpr: does any output leg need its VALUE sum? count-only legs
+    // need just the non-null count __z — skipping their Math.addExact keeps
+    // `count(b.ts_us)` from spuriously overflowing on values no one sums
+    val needsSum = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    def sumIdx(child: Expression, needSum: Boolean): Int = {
       val idx = sumExprs.indexWhere(_.semanticEquals(child))
-      if (idx >= 0) idx else { sumExprs += child; sumExprs.length - 1 }
+      if (idx >= 0) { needsSum(idx) = needsSum(idx) || needSum; idx }
+      else { sumExprs += child; needsSum += needSum; sumExprs.length - 1 }
     }
     def integralOnScan(child: Expression): Boolean =
       (child.dataType == LongType || child.dataType == IntegerType) &&
@@ -157,9 +164,15 @@ object RewriteRangeAggToPrefix extends Rule[LogicalPlan] with PredicateHelper {
       case AggregateExpression(Count(Seq(l: Literal)), _, false, None, _)
           if l.value != null =>
         Some(Coalesce(Seq(u("__n"), Literal(0L))))
+      case AggregateExpression(Count(Seq(child)), _, false, None, _)
+          if integralOnScan(child) =>
+        // count(<scanned-side col>) counts NON-NULL values — exactly the
+        // __z prefix the sum/avg legs already carry (0 for an all-NULL
+        // window, while the group still exists because the join matched)
+        Some(Coalesce(Seq(u(s"__z${sumIdx(child, needSum = false)}"), Literal(0L))))
       case AggregateExpression(s: Sum, _, false, None, _)
           if integralOnScan(s.child) =>
-        val j = sumIdx(s.child)
+        val j = sumIdx(s.child, needSum = true)
         Some(If(EqualTo(u(s"__z$j"), Literal(0L)),
           Literal(null, LongType), u(s"__s$j")))
       case AggregateExpression(av: Average, _, false, None, _)
@@ -167,7 +180,7 @@ object RewriteRangeAggToPrefix extends Rule[LogicalPlan] with PredicateHelper {
         // avg(integral) = exact Long window-sum / non-null count with ONE
         // IEEE division (order-free, unlike the native double-buffer
         // Average); NULL for an all-NULL window, same as SQL avg
-        val j = sumIdx(av.child)
+        val j = sumIdx(av.child, needSum = true)
         Some(If(EqualTo(u(s"__z$j"), Literal(0L)),
           Literal(null, DoubleType),
           Divide(Cast(u(s"__s$j"), DoubleType), Cast(u(s"__z$j"), DoubleType))))
@@ -189,17 +202,18 @@ object RewriteRangeAggToPrefix extends Rule[LogicalPlan] with PredicateHelper {
     }
     val spark = SparkSession.active
     Some(DeferredResultPlan(agg.output, () =>
-      build(spark, wj, groupAttrs, sumExprs.toSeq, outExprs)))
+      build(spark, wj, groupAttrs, sumExprs.toSeq, needsSum.toSeq, outExprs)))
   }
 
   /** The executed prefix plan — see [[graft.operators.PrefixAgg]] for the
     * fixed-shape (count, cents-sum) twin this generalizes. */
   private def build(spark: SparkSession, wj: WindowJoin,
       groupAttrs: Seq[AttributeReference], sumExprs: Seq[Expression],
-      outExprs: Seq[Expression]): DataFrame = {
+      needsSum: Seq[Boolean], outExprs: Seq[Expression]): DataFrame = {
     val aDf = GraftExpressionBridge.ofRows(spark, wj.aPlan)
     val bDf = GraftExpressionBridge.ofRows(spark, wj.bPlan)
     val m = groupAttrs.length; val k = sumExprs.length
+    val sumFlags: Array[Boolean] = needsSum.toArray
     def colOf(e: Expression): Column = GraftExpressionBridge.column(e)
     // Timestamp endpoints ride the SAME Long plan: unix_micros is a
     // monotone bijection on the µs-resolution TimestampType, so the range
@@ -239,7 +253,8 @@ object RewriteRangeAggToPrefix extends Rule[LogicalPlan] with PredicateHelper {
           var j = 0
           while (j < k) {
             if (!r.isNullAt(3 + m + j)) {
-              s(j) = Math.addExact(s(j), r.getLong(3 + m + j)); z(j) += 1L
+              if (sumFlags(j)) s(j) = Math.addExact(s(j), r.getLong(3 + m + j))
+              z(j) += 1L
             }
             j += 1
           }
@@ -269,7 +284,8 @@ object RewriteRangeAggToPrefix extends Rule[LogicalPlan] with PredicateHelper {
           var j = 0
           while (j < k) {
             if (!r.isNullAt(3 + m + j)) {
-              s(j) = Math.addExact(s(j), r.getLong(3 + m + j)); z(j) += 1L
+              if (sumFlags(j)) s(j) = Math.addExact(s(j), r.getLong(3 + m + j))
+              z(j) += 1L
             }
             j += 1
           }

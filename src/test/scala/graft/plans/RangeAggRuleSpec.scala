@@ -264,6 +264,39 @@ class RangeAggRuleSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("count(<scanned col>) collapses as the non-null count __z — and a " +
+      "count-only leg over huge values must NOT run the exact-sum overflow " +
+      "guard it never asked for") {
+    setup()
+    import spark.implicits._
+    Seq((1L, 100L)).toDF("id", "t").createOrReplaceTempView("ra_ca")
+    // two non-null HUGE values (each > Long.Max/2: summing raises addExact)
+    // plus a NULL: count(v)=2, count(*)=3
+    Seq((95L, Some(Long.MaxValue - 1L)), (96L, Some(Long.MaxValue - 2L)),
+      (97L, None: Option[Long]))
+      .toDF("t", "v").createOrReplaceTempView("ra_cb")
+    val df = spark.sql(
+      """SELECT a.id, count(*) AS n, count(b.v) AS nv
+         FROM ra_ca a JOIN ra_cb b
+           ON b.t >= a.t - 10 AND b.t <= a.t
+         GROUP BY 1""")
+    assert(isCollapsed(df), optimized(df).toString)
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq((1L, 3L, 2L)))
+    // the same frame WITH a sum leg must still raise loudly on overflow
+    val overflow = intercept[Exception] {
+      spark.sql(
+        """SELECT a.id, sum(b.v) AS s
+           FROM ra_ca a JOIN ra_cb b
+             ON b.t >= a.t - 10 AND b.t <= a.t
+           GROUP BY 1""").collect()
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .flatMap(x => Option(x.getMessage)).mkString(" | ")
+    assert(chain(overflow).toLowerCase.contains("overflow"), chain(overflow))
+  }
+
   test("strict TIMESTAMP bounds shift probes by one microsecond tick: " +
       "boundary rows at exactly a-INTERVAL and a are excluded per spelling") {
     setup()
