@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Num
+import graft.operators.Geo
+
+/** Transfer of the bin-salting lever to `geo_encounters`' (hb, cy, cx) key
+  * (r14 verdict item 2: BENCH_NOTES asserted the lever "transfers
+  * unchanged" — this probe makes that a measurement, same protocol as the
+  * range-join experiment in [[SaltProbe]]).
+  *
+  * The regime: real AIS traffic concentrates in ports, so one
+  * (hour-bin, lat-cell, lon-cell) composite can hold a large share of the
+  * candidate mass and the blocked self-join's hot cell-hour serializes in
+  * one task. The generator scatters positions uniformly (measured profile
+  * printed first), so the skew is PLANTED: a deterministic-by-event-id
+  * fraction of positions is remapped into one fixed cell-hour (timestamp
+  * into one hour, lat/lon jittered inside one 1-degree cell at lat 30).
+  *
+  * The salted twin of [[Geo.closePairs]]: side `a` (unexpanded) explodes
+  * all S salts; side `b` (the 45-key expanding side) carries ONE
+  * deterministic per-row salt — `pmod(xxhash64(<all columns>), S)`, hashed
+  * over the row and never the position alone, so a pier's worth of pings
+  * sharing one literal cell-hour still splits. A qualifying pair meets on
+  * exactly one (bin-key, salt) expansion row, so pair identity holds (the
+  * spec pins it); the cost is the flat S-fold duplication of side `a`.
+  *
+  * Emits one JSON line per measurement (wall clock + max/p50 task duration
+  * of the heaviest stage, min-of-2); adjudication lives in BENCH_NOTES.
+  */
+object GeoSaltProbe {
+
+  /** Salted twin of [[Geo.closePairs]]: identical pair set by the same
+    * exactly-one-expansion-row argument, join key extended with the salt. */
+  private[graft] def saltedClosePairs(p0: DataFrame, s: Int): DataFrame = {
+    val r = Geo.encounterKm
+    val p = p0.filter(abs(col("lat")) <= 70)
+      .withColumn("hb", floor(col("ts_us") / Geo.encounterUs).cast("long"))
+      .withColumn("cy", floor(col("lat")).cast("long"))
+      .withColumn("cx", floor(col("lon")).cast("long"))
+    val a = p.select(col("ship").as("ship_a"), col("ts_us").as("ts_a"),
+      col("lat").as("lat_a"), col("lon").as("lon_a"),
+      col("hb"), col("cy"), col("cx"))
+      .withColumn("__salt", explode(sequence(lit(0L), lit(s - 1L))))
+    val dlon = degrees(asin(sin(lit(r / Geo.EarthR)) / cos(radians(col("lat")))))
+    val bCols = p.columns.map(col).toIndexedSeq
+    val b = p
+      .withColumn("__salt", pmod(xxhash64(bCols: _*), lit(s.toLong)))
+      .withColumn("hbc", explode(sequence(col("hb") - 1, col("hb") + 1)))
+      .withColumn("cyc", explode(sequence(col("cy") - 1, col("cy") + 1)))
+      .withColumn("cxc", explode(sequence(
+        floor(col("lon") - dlon).cast("long"),
+        floor(col("lon") + dlon).cast("long"))))
+      .select(col("ship").as("ship_b"), col("ts_us").as("ts_b"),
+        col("lat").as("lat_b"), col("lon").as("lon_b"), col("__salt"),
+        col("hbc").as("hb"), col("cyc").as("cy"),
+        (pmod(col("cxc") + 180, lit(360)) - 180).as("cx"))
+    a.join(b, Seq("hb", "cy", "cx", "__salt"))
+      .filter(col("ship_a") < col("ship_b") &&
+        abs(col("ts_a") - col("ts_b")) <= Geo.encounterUs)
+      .withColumn("d", Num.pround(Geo.haversineKm(
+        col("lat_a"), col("lon_a"), col("lat_b"), col("lon_b")), 4))
+      .filter(col("d") <= r)
+      .select(col("ship_a"), col("ship_b"), col("ts_a"), col("ts_b"), col("d"))
+  }
+
+  /** Positions with `frac` of rows remapped (deterministic by event_id)
+    * into ONE cell-hour: ts into a fixed hour, lat/lon jittered inside the
+    * 1-degree cell at (30, 30) — the port-concentration regime. */
+  private[graft] def planted(p: DataFrame, frac: Double): DataFrame = {
+    val hot = pmod(xxhash64(col("event_id"), lit("geohot")), lit(10000)) <
+      lit((frac * 10000).toLong)
+    def jitter(seed: Int): org.apache.spark.sql.Column =
+      pmod(xxhash64(col("event_id"), lit(seed)), lit(1000000L)) / 1000000.0
+    p.withColumn("ts_us",
+        when(hot, lit(1704067200000000L) +
+          (jitter(1) * Geo.encounterUs).cast("long"))
+          .otherwise(col("ts_us")))
+      .withColumn("lat", when(hot, lit(30.0) + jitter(2) * 0.96 + 0.02)
+        .otherwise(col("lat")))
+      .withColumn("lon", when(hot, lit(30.0) + jitter(3) * 0.96 + 0.02)
+        .otherwise(col("lon")))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft-sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val saltS = sys.env.getOrElse("SPARK_GRAFT_SALT", "8").toInt
+    val frac = sys.env.getOrElse("SPARK_GRAFT_SKEW_FRAC", "0.01").toDouble
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val stats = new SaltProbe.TaskStats
+    spark.sparkContext.addSparkListener(stats)
+
+    // the same positions frame the catalog query reads
+    def positions(plantSkew: Boolean): DataFrame = {
+      val p = sources.Tables.events(spark, dir).select(
+        col("user_id").as("ship"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        ((col("event_id") % 1780) / 10.0 - 89.0).as("lat"),
+        ((col("event_id") % 3580) / 10.0 - 179.0).as("lon"))
+      if (plantSkew) planted(p, frac) else p
+    }
+
+    // candidate-mass profile on the (hb, cy, cx) key: share of the hottest
+    // cell-hour (product of side counts; b's 45-key expansion is a flat
+    // factor that does not move the SHARE)
+    def profile(plantSkew: Boolean): Unit = {
+      val p = positions(plantSkew).filter(abs(col("lat")) <= 70)
+        .groupBy(floor(col("ts_us") / Geo.encounterUs).cast("long").as("hb"),
+          floor(col("lat")).cast("long").as("cy"),
+          floor(col("lon")).cast("long").as("cx"))
+        .agg(count(lit(1)).as("n"))
+      val agg = p.select((col("n") * col("n")).as("m"))
+        .agg(sum(col("m")), max(col("m")), count(lit(1))).head()
+      val total = agg.getLong(0); val mx = agg.getLong(1)
+      println(f"""{"geo_salt_probe":"profile","planted":$plantSkew,"frac":$frac,"cells":${agg.getLong(2)},"max_cell_share":${mx.toDouble / total}%.6f}""")
+    }
+
+    def time(label: String, df: => DataFrame): Unit = {
+      val best = (1 to 2).map { _ =>
+        stats.clear()
+        val t0 = System.nanoTime()
+        val n = df.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val (mx, p50) = stats.heaviest()
+        (dt, n, mx, p50)
+      }.minBy(_._1)
+      println(f"""{"geo_salt_probe":"$label","sec":${best._1}%.1f,"rows":${best._2},"task_max_ms":${best._3},"task_p50_ms":${best._4}}""")
+    }
+
+    profile(plantSkew = false)
+    time("natural_blocked", Geo.closePairs(positions(false)))
+    time(s"natural_salted_$saltS", saltedClosePairs(positions(false), saltS))
+    profile(plantSkew = true)
+    time("planted_blocked", Geo.closePairs(positions(true)))
+    time(s"planted_salted_$saltS", saltedClosePairs(positions(true), saltS))
+    spark.stop()
+  }
+}

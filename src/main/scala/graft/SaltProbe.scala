@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * session_overlap-style width-shrink lever does not apply; if traffic
   * concentrates in one bin, that bin's candidate product lands in ONE task
   * and the stage time becomes the hot task. The salting lever: the probe
-  * side keeps one deterministic salt per row (pmod(xxhash64(id), S) — the
-  * Skew.saltedCountSum discipline, retry-stable), the build side explodes
+  * side keeps one deterministic salt per row (pmod(xxhash64(<all row
+  * columns>), S) — the Skew.saltedCountSum discipline, retry-stable and
+  * row-unique up to exact duplicates), the build side explodes
   * ALL S salts, and the join adds the salt to the bin key — the hot bin's
   * work splits S ways at the cost of an S× build-side shuffle duplication.
   *
@@ -37,10 +38,15 @@ object SaltProbe {
   def saltedRangeJoinBinned(left: DataFrame, right: DataFrame,
       lTimeUs: String, rTimeUs: String, windowUs: Long, s: Int): DataFrame = {
     val lBin = expr(s"$lTimeUs div ${windowUs}L")
+    // salt on the WHOLE row (all probe-side columns), not the time column:
+    // a bin that is hot because many rows share one literal timestamp (port
+    // arrivals stamped on the hour) would map to ONE salt under a
+    // time-derived hash and never split — the exact regime the lever is for
     val l = left
       .withColumn("probe_bin", explode(array(lBin, lBin - 1)))
       .withColumn("__lsalt",
-        pmod(xxhash64(col(lTimeUs)), lit(s.toLong)).cast("int"))
+        pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(s.toLong))
+          .cast("int"))
     val r = right
       .withColumn("r_bin", expr(s"$rTimeUs div ${windowUs}L"))
       .withColumn("__rsalt", explode(sequence(lit(0), lit(s - 1))))
@@ -51,7 +57,8 @@ object SaltProbe {
       .drop("probe_bin", "r_bin", "__lsalt", "__rsalt")
   }
 
-  private final class TaskStats extends SparkListener {
+  /** Shared with [[GeoSaltProbe]]: per-stage task-duration capture. */
+  private[graft] final class TaskStats extends SparkListener {
     val byStage = scala.collection.mutable.Map.empty[Int,
       scala.collection.mutable.ArrayBuffer[Long]]
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = synchronized {

@@ -143,7 +143,7 @@ object Geo {
     * position is the ports sharing its cell, not |ports|. The oracle runs
     * the quadratic join, so the gate IS the proof that blocking misses
     * nothing. */
-  private val EarthR = 6371.0088
+  private[graft] val EarthR = 6371.0088
   val radiusKm = 800.0
 
   /** Expand ports (port_id, plat, plon) into their disks' candidate

@@ -1,11 +1,16 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, GraftExpressionBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DayTimeIntervalType, LongType, TimestampType}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, sum}
+import org.apache.spark.sql.types._
 
 /** Optimizer rule that turns a naive trailing-window range join — plain SQL
   * `a JOIN b ON b.ts >= a.ts - C AND b.ts <= a.ts` (BETWEEN desugars to the
@@ -34,6 +39,43 @@ import org.apache.spark.sql.types.{DayTimeIntervalType, LongType, TimestampType}
   * Skipped when the join already carries a cross-side equality — a keyed
   * range join (the as-of shape) hash-joins on that key already, and the
   * 2x expansion would only add work.
+  *
+  * ==Automatic hot-bin salting==
+  *
+  * The bins are SEMANTIC (width = the query's window constant), so when
+  * traffic concentrates in one bin — the port-arrival regime real AIS
+  * feeds exhibit; the events generator's uniform timestamps do not — that
+  * bin's whole candidate product lands in ONE shuffle task and the stage
+  * time degenerates to the hot task (measured on a planted 15%-hot-bin
+  * corpus: 262.3 s unsalted vs 89.2 s salted at S=8 — 2.9x, hot task cut
+  * 3.0x, identical output; see SaltProbe + BENCH_NOTES r14). Since r15 the
+  * rule fires that lever ITSELF: at rewrite time it runs one cheap per-bin
+  * candidate-mass aggregate over the two children (a 1-column scan each,
+  * memoized per child-plan pair) and, when one bin holds
+  * `>= spark.graft.rangeJoin.autoSalt.hotShareMin` (default 0.05) of the
+  * candidate mass AND `>= skewRatioMin` (default 8) times the uniform
+  * share, emits the salted twin of the binned plan:
+  *
+  *   - one side carries a deterministic per-row salt
+  *     `pmod(xxhash64(<all atomic columns>), S)` — hashed over the ROW,
+  *     never the time column alone, so rows sharing one hot literal
+  *     timestamp still split across salts (they collapse only for exact
+  *     full-row duplicates, whose work is identical anyway);
+  *   - the other side explodes all S salts (the retry-stable
+  *     Skew.saltedCountSum discipline: the salt is deterministic, so task
+  *     retries re-derive the same value);
+  *   - the join key gains the salt equality, splitting the hot bin's work
+  *     S ways (S = `spark.graft.rangeJoin.autoSalt.factor`, default 8, the
+  *     measured knee).
+  *
+  * Pair identity: a qualifying pair still meets on exactly one expansion
+  * row (unique bin match x unique salt match). For Semi/Anti the per-row
+  * salt ALWAYS sits on the left so the left side stays physically unique;
+  * for Inner the S-fold duplication goes to whichever side the probed row
+  * counts say is cheaper (`S*|L| + 2|R|` vs `|L| + 2S*|R|`). The probe is
+  * skipped (never failing the query) for plans whose children can't run
+  * standalone (e.g. streaming), and `autoSalt.enabled=false` turns the
+  * whole lever off.
   */
 object BlockRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -105,6 +147,133 @@ object BlockRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
     (b.dataType == LongType && a.dataType == LongType) ||
       (b.dataType == TimestampType && a.dataType == TimestampType)
 
+  // ---------------------------------------------------------------- salting
+
+  /** S and which side carries the per-row salt (the other explodes S). */
+  private[plans] final case class SaltChoice(s: Int, saltOnLeft: Boolean)
+
+  /** Re-entrancy guard: the stats probe executes the join's children, whose
+    * own optimization could reach this rule again on a nested range join —
+    * the inner match must not probe recursively. */
+  private val probing = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
+  /** What the probe measured, conf-independent (thresholds/factor apply at
+    * decision time, so a session changing `autoSalt.*` confs is honored on
+    * a cache hit). */
+  private[plans] final case class ProbeStats(
+      share: Double, nbins: Long, lRows: Long, rRows: Long)
+
+  /** Memoized probe results keyed by the children's semantic hashes: one
+    * query is optimized several times (explain, execute, min-of-2 bench
+    * passes) and the probe, while a single cheap aggregate, is not free. A
+    * hash collision can only mis-pick between two CORRECT plans. */
+  private val probes =
+    new ConcurrentHashMap[(Int, Int, Long, Boolean), Option[ProbeStats]]()
+
+  private def binCounts(spark: SparkSession, child: LogicalPlan,
+      v: Expression, c: Long, name: String): DataFrame = {
+    val bin = Alias(floorDiv(micros(v), c), "bin")()
+    GraftExpressionBridge.ofRows(spark, Project(Seq(bin), child))
+      .groupBy(col("bin")).agg(count(lit(1)).as(name))
+  }
+
+  /** One per-bin candidate-mass aggregate over both children; fires the
+    * salted plan only past the measured hot-share trigger. Any failure to
+    * probe (no active session, unexecutable child) means "don't salt". */
+  private[plans] def decideSalt(l: LogicalPlan, r: LogicalPlan,
+      leftVar: Expression, rightVar: Expression, c: Long, bOnLeft: Boolean,
+      jt: JoinType): Option[SaltChoice] = {
+    if (!conf.getConfString(
+        "spark.graft.rangeJoin.autoSalt.enabled", "true").toBoolean ||
+        probing.get()) {
+      return None
+    }
+    val sparkOpt = SparkSession.getActiveSession
+    if (sparkOpt.isEmpty) return None
+    val spark = sparkOpt.get
+    val key = (l.semanticHash(), r.semanticHash(), c, bOnLeft)
+    var stats = probes.get(key)
+    if (stats == null) {
+      stats =
+        try probe(spark, l, r, leftVar, rightVar, c, bOnLeft)
+        catch { case NonFatal(_) => None }
+      if (probes.size > 64) probes.clear()
+      probes.put(key, stats)
+    }
+    stats.flatMap { st =>
+      val hotMin = conf.getConfString(
+        "spark.graft.rangeJoin.autoSalt.hotShareMin", "0.05").toDouble
+      val ratioMin = conf.getConfString(
+        "spark.graft.rangeJoin.autoSalt.skewRatioMin", "8.0").toDouble
+      val s = conf.getConfString(
+        "spark.graft.rangeJoin.autoSalt.factor", "8").toInt
+      if (st.share < hotMin || st.share * st.nbins < ratioMin || s <= 1) None
+      else {
+        // Semi/Anti need the left physically unique -> per-row salt on
+        // left; Inner sends the S-fold duplication to the cheaper side
+        val saltOnLeft = jt != Inner ||
+          (st.lRows + 2L * s * st.rRows) <=
+            (s.toLong * st.lRows + 2L * st.rRows)
+        logInfo(s"graft autoSalt: hot bin share=${st.share} over " +
+          s"${st.nbins} bins (|L|=${st.lRows} |R|=${st.rRows}) -> " +
+          s"salting S=$s saltOnLeft=$saltOnLeft")
+        Some(SaltChoice(s, saltOnLeft))
+      }
+    }
+  }
+
+  private def probe(spark: SparkSession, l: LogicalPlan,
+      r: LogicalPlan, leftVar: Expression, rightVar: Expression, c: Long,
+      bOnLeft: Boolean): Option[ProbeStats] = {
+    probing.set(true)
+    val lb = binCounts(spark, l, leftVar, c, "nl").cache()
+    val rb = binCounts(spark, r, rightVar, c, "nr").cache()
+    try {
+      // a right row in rbin k reaches left-bin keys {k-1,k} (bOnLeft) or
+      // {k,k+1}; fold the adjacent contribution back onto the key's row
+      val shift = if (bOnLeft) 1L else -1L
+      val adj = rb.select((col("bin") - shift).as("bin"), col("nr").as("nr2"))
+      val massRow = lb.join(rb, Seq("bin"), "left")
+        .join(adj, Seq("bin"), "left")
+        .select((col("nl") * (coalesce(col("nr"), lit(0L)) +
+          coalesce(col("nr2"), lit(0L)))).as("mass"))
+        .agg(sum(col("mass")).as("t"), max(col("mass")).as("m"),
+          count(lit(1)).as("n")).head()
+      if (massRow.isNullAt(0) || massRow.getLong(0) <= 0L) return None
+      val share = massRow.getLong(1).toDouble / massRow.getLong(0)
+      val nbins = massRow.getLong(2)
+      def rows(df: DataFrame, n: String): Long = {
+        val v = df.agg(sum(col(n))).head()
+        if (v.isNullAt(0)) 0L else v.getLong(0)
+      }
+      Some(ProbeStats(share, nbins, rows(lb, "nl"), rows(rb, "nr")))
+    } finally {
+      lb.unpersist()
+      rb.unpersist()
+      probing.set(false)
+    }
+  }
+
+  /** Per-row salt input: every atomic output column (xxhash64 over the row,
+    * row-unique up to exact duplicates). Falls back to the window endpoint
+    * if a pathological projection leaves no atomic columns. */
+  private def saltHashInput(out: Seq[Attribute], fallback: Expression)
+      : Seq[Expression] = {
+    val atomic = out.filter(a => a.dataType match {
+      case _: NumericType | StringType | BinaryType | BooleanType |
+           DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    })
+    if (atomic.nonEmpty) atomic else Seq(micros(fallback))
+  }
+
+  private def saltLiterals(s: Int): Seq[Expression] =
+    (0 until s).map(i => Literal(i.toLong))
+
+  // ------------------------------------------------------------------ rule
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(l, r, jt @ (Inner | LeftSemi | LeftAnti), Some(cond), hint)
         if !(l.output ++ r.output).exists(_.name.startsWith(Marker)) =>
@@ -147,10 +316,48 @@ object BlockRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
           val rightExp = Generate(Explode(CreateArray(candidates)),
             Nil, outer = false, None, Seq(binAttr), r)
           val lbAlias = Alias(floorDiv(micros(leftVar), c), s"${Marker}_l")()
-          val leftKeyed = Project(l.output :+ lbAlias, l)
-          Project(j.output,
-            Join(leftKeyed, rightExp, jt,
-              Some(And(cond, EqualTo(lbAlias.toAttribute, binAttr))), hint))
+          val binEq = (la: Alias) => EqualTo(la.toAttribute, binAttr)
+          decideSalt(l, r, leftVar, rightVar, c, bOnLeft, jt) match {
+            case None =>
+              val leftKeyed = Project(l.output :+ lbAlias, l)
+              Project(j.output,
+                Join(leftKeyed, rightExp, jt,
+                  Some(And(cond, binEq(lbAlias))), hint))
+            case Some(SaltChoice(s, true)) =>
+              // per-row salt left (left stays physically unique: Semi/Anti
+              // safe), all-S explode on the already-exploding right
+              val ps = Alias(Pmod(
+                new XxHash64(saltHashInput(l.output, leftVar), 42L),
+                Literal(s.toLong)), s"${Marker}_ps")()
+              val leftKeyed = Project(l.output :+ lbAlias :+ ps, l)
+              val saltAttr = AttributeReference(s"${Marker}_s", LongType,
+                nullable = false)()
+              val rightSalted = Generate(
+                Explode(CreateArray(saltLiterals(s))),
+                Nil, outer = false, None, Seq(saltAttr), rightExp)
+              Project(j.output,
+                Join(leftKeyed, rightSalted, jt,
+                  Some(And(And(cond, binEq(lbAlias)),
+                    EqualTo(ps.toAttribute, saltAttr))), hint))
+            case Some(SaltChoice(s, false)) =>
+              // Inner only: per-row salt on the exploding right (2x total),
+              // all-S explode on the single-bin left (S x) — the SaltProbe
+              // arrangement, cheaper when the right side is the bigger one
+              val ps = Alias(Pmod(
+                new XxHash64(saltHashInput(r.output, rightVar), 42L),
+                Literal(s.toLong)), s"${Marker}_ps")()
+              val rightSalted = Project(r.output :+ binAttr :+ ps, rightExp)
+              val saltAttr = AttributeReference(s"${Marker}_s", LongType,
+                nullable = false)()
+              val leftKeyed = Generate(
+                Explode(CreateArray(saltLiterals(s))),
+                Nil, outer = false, None, Seq(saltAttr),
+                Project(l.output :+ lbAlias, l))
+              Project(j.output,
+                Join(leftKeyed, rightSalted, jt,
+                  Some(And(And(cond, binEq(lbAlias)),
+                    EqualTo(saltAttr, ps.toAttribute))), hint))
+          }
         case None => j
       }
   }

@@ -30,4 +30,25 @@ class SaltProbeSpec extends SparkSpec {
       assert(salted == base, s"salt=$s: ${salted.size} vs ${base.size}")
     }
   }
+
+  test("salted closePairs (geo (hb,cy,cx) key) is pair-identical to the " +
+      "blocked join, natural and planted-skew, several salt factors") {
+    val dir = sf("sf0.001")
+    def positions = sources.Tables.events(spark, dir).select(
+      col("user_id").as("ship"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      ((col("event_id") % 1780) / 10.0 - 89.0).as("lat"),
+      ((col("event_id") % 3580) / 10.0 - 179.0).as("lon"))
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("ship_a"), col("ship_b"), col("ts_a"), col("ts_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    for (p <- Seq(positions, GeoSaltProbe.planted(positions, 0.05))) {
+      val base = keyset(operators.Geo.closePairs(p))
+      for (s <- Seq(1, 4, 8)) {
+        val salted = keyset(GeoSaltProbe.saltedClosePairs(p, s))
+        assert(salted == base, s"salt=$s: ${salted.size} vs ${base.size}")
+      }
+    }
+  }
 }

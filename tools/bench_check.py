@@ -8,11 +8,19 @@ An artifact is refused when:
   - any per-query timing is null (failed-on-some-pass sentinel);
   - `load1m_start` exceeds the idle bar (default 1.0; override with
     --max-load for deliberately-loaded adjudication runs, which must then
-    say so wherever the number is used).
+    say so wherever the number is used);
+  - (since r15) a HEAVY row — in-catalog timing >= the artifact's
+    `isolate_min`, default 10 s — lacks its `isolated` min-of-N companion:
+    heavy in-catalog rows carry ~2.5x pass variance, so without the
+    companion the row misleads (the r14 session_overlap 161.8 s vs 95.5 s
+    isolated case). Pre-r15 artifacts with heavy rows are refused too —
+    read them only WITH their BENCH_NOTES adjudication, or re-admit
+    explicitly with --isolate-min inf.
 
 Usage:
   python3 tools/bench_check.py BENCH_LOCAL_sf30.json [more.json ...]
   python3 tools/bench_check.py --max-load 4.0 loaded_run.json
+  python3 tools/bench_check.py --isolate-min inf old_artifact.json
   python3 tools/bench_check.py --selftest    # negative tests of this gate
 
 Exit 0 = every artifact is clean; exit 1 = at least one refusal (reasons on
@@ -23,7 +31,7 @@ import json
 import sys
 
 
-def check(doc, max_load):
+def check(doc, max_load, isolate_min=None):
     """Return a list of refusal reasons (empty = clean)."""
     reasons = []
     failed = doc.get("failed", [])
@@ -38,6 +46,17 @@ def check(doc, max_load):
     elif load > max_load:
         reasons.append(
             f"host not idle at start: load1m_start={load} > {max_load}")
+    # heavy rows must be self-adjudicating: >= isolate_min needs an
+    # `isolated` min-of-N companion in the SAME artifact
+    bar = isolate_min if isolate_min is not None \
+        else doc.get("isolate_min", 10.0)
+    iso = doc.get("isolated", {})
+    orphans = [k for k, v in doc.get("queries", {}).items()
+               if v is not None and v >= bar and k not in iso]
+    if orphans:
+        reasons.append(
+            f"heavy rows (>= {bar}s) without isolated companion: "
+            f"{sorted(orphans)}")
     return reasons
 
 
@@ -58,13 +77,28 @@ def selftest():
     no_stamp = {"failed": [], "queries": {"q1": 1.0}}
     assert any("load1m_start" in r for r in check(no_stamp, 1.0)), \
         "missing load stamp must refuse"
-    print("bench_check selftest: 5/5 refusal paths OK")
+    heavy_orphan = dict(clean, queries={"q1": 1.0, "qh": 42.0})
+    assert any("isolated companion" in r for r in check(heavy_orphan, 1.0)), \
+        "heavy row without isolated companion must refuse"
+    heavy_ok = dict(heavy_orphan, isolated={"qh": 30.5})
+    assert check(heavy_ok, 1.0) == [], \
+        "heavy row WITH companion must pass"
+    heavy_waived = dict(heavy_orphan)
+    assert check(heavy_waived, 1.0, isolate_min=float("inf")) == [], \
+        "--isolate-min inf must re-admit pre-r15 artifacts"
+    custom_bar = dict(clean, isolate_min=0.5)
+    assert any("isolated companion" in r for r in check(custom_bar, 1.0)), \
+        "artifact's own isolate_min bar must apply"
+    print("bench_check selftest: 9/9 refusal paths OK")
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("artifacts", nargs="*")
     ap.add_argument("--max-load", type=float, default=1.0)
+    ap.add_argument("--isolate-min", type=float, default=None,
+                    help="override the heavy-row bar (inf = waive; default: "
+                         "the artifact's own isolate_min, else 10.0)")
     ap.add_argument("--selftest", action="store_true")
     args = ap.parse_args()
     if args.selftest:
@@ -80,7 +114,7 @@ def main():
             docs = [json.loads(line) for line in f if line.strip()]
         doc = next((d for d in docs if d.get("metric") == "total_detail"),
                    docs[-1])
-        reasons = check(doc, args.max_load)
+        reasons = check(doc, args.max_load, args.isolate_min)
         if reasons:
             bad += 1
             for r in reasons:
