@@ -142,6 +142,33 @@ object SaltProbe {
       best
     }
 
+    // MODE=auto (r15): the item-1 closing measurement — the SAME planted
+    // skew, but through PLAIN SQL with the optimizer rule deciding: the
+    // auto-salted plan (default confs; the trigger must fire by itself)
+    // vs the rule with autoSalt disabled (the old unsalted binned plan).
+    // This is the user-visible endpoint: no probe object, no hand-built
+    // bins — just the naive trailing-window join spelling.
+    if (sys.env.get("SPARK_GRAFT_SALT_MODE").contains("auto")) {
+      val (tot3, maxShare3, uniform3) = binShare(skewDir, plantSkew = true)
+      println(f"""{"salt_probe":"auto_skew_profile","dir":"$skewDir","frac":$skewFrac,"cand_total":$tot3,"max_bin_share":$maxShare3%.6f,"uniform_share":$uniform3%.6f}""")
+      val (pa, pb) = sides(skewDir, plantSkew = true)
+      pa.createOrReplaceTempView("sp_purch")
+      pb.createOrReplaceTempView("sp_sign")
+      graft.plans.RangeJoin.register(spark)
+      val sql =
+        """SELECT p.event_id, s.s_id FROM sp_purch p JOIN sp_sign s
+             ON s.s_ts_us >= p.ts_us - 3600000000 AND s.s_ts_us <= p.ts_us"""
+      spark.conf.set("spark.graft.rangeJoin.autoSalt.factor", saltS)
+      val planAuto = spark.sql(sql).queryExecution.executedPlan.toString
+      println(s"""{"salt_probe":"auto_plan","salted":${planAuto.contains("__graft_rbin_ps")}}""")
+      time("auto_sql_salted", spark.sql(sql))
+      spark.conf.set("spark.graft.rangeJoin.autoSalt.enabled", "false")
+      time("auto_sql_unsalted", spark.sql(sql))
+      spark.conf.unset("spark.graft.rangeJoin.autoSalt.enabled")
+      spark.stop()
+      return
+    }
+
     // 1. natural sf30: hot-bin profile + binned vs salted wall-clock
     val (tot, maxShare, uniform) = binShare(natDir, plantSkew = false)
     println(f"""{"salt_probe":"natural_profile","dir":"$natDir","cand_total":$tot,"max_bin_share":$maxShare%.6f,"uniform_share":$uniform%.6f}""")

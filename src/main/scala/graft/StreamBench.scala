@@ -435,6 +435,79 @@ object StreamBench {
     }
   }
 
+  /** `--ttlstate`: the TTL horizon's STATE CEILING vs arrival rate (r14
+    * verdict item 8). The recall curve fixed leakage; the remaining open
+    * number was state ROWS at corpus-scale arrival rates — the 394k-row
+    * 60-min ttlrecall cell was measured at a synthetic 500 docs/batch.
+    * This soak ladders the per-batch row rate 10x and 50x (all-UNIQUE
+    * content — every doc is kept, the worst case for state) at a fixed
+    * horizon and measures the plateau: state rows and bytes at mid-run and
+    * end, plus throughput. The expected (then verified) law: retention is
+    * ~2x horizon (entry filter at last_ms + horizon <= watermark, and the
+    * watermark itself lags by horizon), so
+    *   state_rows_plateau ~= rows_per_minute * 2 * horizon_min * bands
+    * with bands = the LSH band count (state lives per band bucket). The
+    * measured rows-per-(doc/min·horizon-min) slope is the GB-per-horizon
+    * sizing rule for SCALE.md. */
+  private def ttlStateRun(spark: SparkSession): Unit = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val batchMs = 60000L
+    val t0 = 1704067200000L
+    val horizonMin = sys.env.getOrElse("SPARK_GRAFT_TTLSTATE_HORIZON", "12").toInt
+    val rates = sys.env.getOrElse("SPARK_GRAFT_TTLSTATE_RATES", "500,5000,25000")
+      .split(',').map(_.trim.toInt).toSeq
+    val batches = sys.env.getOrElse("SPARK_GRAFT_TTLSTATE_BATCHES", "40").toInt
+    val cells = rates.zipWithIndex.map { case (rate, ci) =>
+      val in = MemoryStream[CorpusDedup.TimedDoc]
+      val name = s"ttlstate_$rate"
+      val q = CorpusDedup.incrementalDedupTtl(in.toDS(), horizonMin * 60000L)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        val cellBase = (ci + 1).toLong * 1000000000L
+        var midRows = -1L
+        val tStart = System.nanoTime()
+        (0 until batches).foreach { b =>
+          val ts = new java.sql.Timestamp(t0 + b * batchMs)
+          in.addData((0 until rate).map { i =>
+            val k = cellBase + b.toLong * rate + i
+            CorpusDedup.TimedDoc(k, ScaleRehearsal.docText(20L * k), ts)
+          })
+          q.processAllAvailable()
+          if (b == batches / 2)
+            midRows = q.lastProgress.stateOperators.headOption
+              .map(_.numRowsTotal).getOrElse(-1L)
+        }
+        val wall = (System.nanoTime() - tStart) / 1e9
+        val so = q.lastProgress.stateOperators.headOption
+        (rate, midRows, so.map(_.numRowsTotal).getOrElse(-1L),
+          so.map(_.memoryUsedBytes).getOrElse(-1L), wall)
+      } finally q.stop()
+    }
+    def fmt(v: Double): String =
+      BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+    val load1m = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val cellsJson = cells.map { case (rate, mid, fin, mem, wall) =>
+      s"""{"rows_per_batch":$rate,"state_rows_mid":$mid,""" +
+        s""""state_rows_final":$fin,"state_bytes":$mem,""" +
+        s""""wall_sec":${fmt(wall)},""" +
+        s""""rows_per_sec":${fmt(batches.toLong * rate / wall)}}"""
+    }.mkString("[", ",", "]")
+    val line = s"""{"metric":"stream_ttlstate","horizon_min":$horizonMin,""" +
+      s""""batches":$batches,"batch_ms":$batchMs,""" +
+      s""""load1m_start":${fmt(load1mStart)},"load1m":${fmt(load1m)},""" +
+      s""""cells":$cellsJson}"""
+    println(line)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+  }
+
   /** Ambient host load BEFORE this JVM contributes its own — captured at
     * main() entry, exactly the batch Bench's r11 discipline: the end-of-run
     * load1m mostly measures the bench itself on local[32], so the START
@@ -474,6 +547,11 @@ object StreamBench {
     }
     if (args.contains("--ttlrecall")) {
       ttlRecallRun(spark)
+      spark.stop()
+      return
+    }
+    if (args.contains("--ttlstate")) {
+      ttlStateRun(spark)
       spark.stop()
       return
     }
@@ -605,6 +683,22 @@ object StreamBench {
       results += run("encounter_alerts",
         AisPipeline.encounterAlerts(in.toDS()), "append",
         posBatch(in, nShips = 200, boxDeg = 20))
+    }
+    {
+      // episode sessionization over a detection stream: 500 live pairs,
+      // every third batch-hour silent so gaps close episodes in-band
+      val in = MemoryStream[streaming.EncounterEpisodes.Detection]
+      results += run("encounter_episodes",
+        streaming.EncounterEpisodes.episodes(in.toDS()).toDF(), "append", b => {
+          in.addData((0 until posRows).map { i =>
+            val pair = (i % 500).toLong
+            val hour = b * 3L + (i % 3) // skips hour b*3+2 for pair%3==2 mix
+            val t = new java.sql.Timestamp(
+              hour * streaming.EncounterEpisodes.binMs + (i / 500) * 60000L)
+            streaming.EncounterEpisodes.Detection(pair, pair + 100000L, t,
+              1.0 + (i % 50))
+          }); ()
+        })
     }
 
     val load1m = java.lang.management.ManagementFactory
