@@ -1,11 +1,16 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{GraftExpressionBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, sum}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DateType, DoubleType, LongType, NumericType, StringType, TimestampNTZType, TimestampType}
 
 /** Optimizer rule that turns a naive radius join — plain SQL
   * `a JOIN b ON haversine_km(b.lat, b.lon, a.lat, a.lon) <= r` — into the
@@ -38,6 +43,26 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * pins the identical blocked-vs-brute-force guarantee for the hand-built
   * form; SpatialRuleSpec pins rule-on == rule-off results and the absence
   * of nested loops.
+  *
+  * ==Automatic hot-cell salting (r15)==
+  *
+  * Like the range rule's bins, the cells are SEMANTIC (1-degree grid), so
+  * a port city's cell can hold most of the candidate mass and serialize
+  * the stage in one task. GeoSaltProbe measured the lever on this exact
+  * key shape: a planted 92-93% hot cell cut 2.4x wall / 2.7-3.3x hot task
+  * at sf1/sf10, while on the natural corpus salting LOSES 43% at sf10 —
+  * so, as with the range rule, the lever must be trigger-gated, never a
+  * default. The rule probes per-cell SAME-CELL candidate mass
+  * (L(cell) x R(cell) — a lower bound of true mass, which also counts
+  * neighbor cells; a port-hot cell is hot on both sides in the same cell,
+  * so the bound detects exactly the regime the lever exists for) and
+  * salts past `spark.graft.spatialJoin.autoSalt.{hotShareMin,skewRatioMin}`
+  * (defaults 0.05 / 8, factor 8 — the measured knee). Arrangements mirror
+  * the measured probe: Inner uses GeoSaltProbe's (left explodes all S
+  * salts, the cell-exploding right carries one deterministic per-row
+  * `pmod(xxhash64(<atomic cols>), S)`); Semi/Anti flip it so the left
+  * stays physically unique. A qualifying pair still meets exactly once
+  * (one cell row x one salt row).
   */
 object BlockHaversineJoins extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -92,6 +117,109 @@ object BlockHaversineJoins extends Rule[LogicalPlan] with PredicateHelper {
   /** floor'd lon cell wrapped into [-180, 179]. */
   private def wrap(cell: Expression): Expression =
     Subtract(Pmod(Add(cell, Literal(180L)), Literal(360L)), Literal(180L))
+
+  // ------------------------------------------------------- hot-cell salting
+
+  /** Re-entrancy guard: the stats probe executes the join's children, whose
+    * own optimization could reach this rule again. */
+  private val probing = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
+  private[plans] final case class CellStats(
+      share: Double, ncells: Long, lRows: Long, rRows: Long)
+
+  /** Memoized per child-plan pair (conf thresholds apply at decision time,
+    * so conf changes are honored on a cache hit); a semantic-hash collision
+    * can only mis-pick between two CORRECT plans. */
+  private val probes =
+    new ConcurrentHashMap[(Int, Int), Option[CellStats]]()
+
+  private def cellCounts(spark: SparkSession, child: LogicalPlan,
+      latE: Expression, lonE: Expression, name: String) = {
+    val cy = Alias(Floor(latE), "cy")()
+    val cx = Alias(wrap(Floor(lonE)), "cx")()
+    GraftExpressionBridge.ofRows(spark, Project(Seq(cy, cx), child))
+      .groupBy(col("cy"), col("cx")).agg(count(lit(1)).as(name))
+  }
+
+  private def probeCells(spark: SparkSession, l: LogicalPlan,
+      r: LogicalPlan, lLat: Expression, lLon: Expression,
+      rLat: Expression, rLon: Expression): Option[CellStats] = {
+    probing.set(true)
+    val lc = cellCounts(spark, l, lLat, lLon, "nl").cache()
+    val rc = cellCounts(spark, r, rLat, rLon, "nr").cache()
+    try {
+      val m = lc.join(rc, Seq("cy", "cx"), "left")
+        .select((col("nl") * coalesce(col("nr"), lit(0L))).as("mass"))
+        .agg(sum(col("mass")).as("t"), max(col("mass")).as("m"),
+          count(lit(1)).as("n")).head()
+      if (m.isNullAt(0) || m.getLong(0) <= 0L) return None
+      def rows(df: org.apache.spark.sql.DataFrame, n: String): Long = {
+        val v = df.agg(sum(col(n))).head()
+        if (v.isNullAt(0)) 0L else v.getLong(0)
+      }
+      Some(CellStats(m.getLong(1).toDouble / m.getLong(0), m.getLong(2),
+        rows(lc, "nl"), rows(rc, "nr")))
+    } finally {
+      lc.unpersist()
+      rc.unpersist()
+      probing.set(false)
+    }
+  }
+
+  /** Returns the salt factor when the hot-cell trigger fires; never fails
+    * the query (unprobeable children — e.g. streaming — mean no salt). */
+  private[plans] def decideSalt(l: LogicalPlan, r: LogicalPlan,
+      lLat: Expression, lLon: Expression, rLat: Expression,
+      rLon: Expression): Option[Int] = {
+    if (!conf.getConfString(
+        "spark.graft.spatialJoin.autoSalt.enabled", "true").toBoolean ||
+        probing.get()) {
+      return None
+    }
+    val sparkOpt = SparkSession.getActiveSession
+    if (sparkOpt.isEmpty) return None
+    val key = (l.semanticHash(), r.semanticHash())
+    var st = probes.get(key)
+    if (st == null) {
+      st = try probeCells(sparkOpt.get, l, r, lLat, lLon, rLat, rLon)
+      catch { case NonFatal(_) => None }
+      if (probes.size > 64) probes.clear()
+      probes.put(key, st)
+    }
+    st.flatMap { s =>
+      val hotMin = conf.getConfString(
+        "spark.graft.spatialJoin.autoSalt.hotShareMin", "0.05").toDouble
+      val ratioMin = conf.getConfString(
+        "spark.graft.spatialJoin.autoSalt.skewRatioMin", "8.0").toDouble
+      val factor = conf.getConfString(
+        "spark.graft.spatialJoin.autoSalt.factor", "8").toInt
+      if (s.share < hotMin || s.share * s.ncells < ratioMin || factor <= 1)
+        None
+      else {
+        logInfo(s"graft spatial autoSalt: hot cell share=${s.share} over " +
+          s"${s.ncells} cells (|L|=${s.lRows} |R|=${s.rRows}) -> S=$factor")
+        Some(factor)
+      }
+    }
+  }
+
+  /** Per-row salt input: all atomic columns (row-unique up to exact
+    * duplicates — never the position alone, so one pier's worth of
+    * identical coordinates still splits). */
+  private def saltHashInput(out: Seq[Attribute], fbLat: Expression,
+      fbLon: Expression): Seq[Expression] = {
+    val atomic = out.filter(a => a.dataType match {
+      case _: NumericType | StringType | BinaryType | BooleanType |
+           DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    })
+    if (atomic.nonEmpty) atomic else Seq(fbLat, fbLon)
+  }
+
+  private def saltLiterals(s: Int): Seq[Expression] =
+    (0 until s).map(i => Literal(i.toLong))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(l, r, jt @ (Inner | LeftSemi | LeftAnti), Some(cond), hint)
@@ -167,8 +295,46 @@ object BlockHaversineJoins extends Rule[LogicalPlan] with PredicateHelper {
               val eqs = And(
                 EqualTo(pyAlias.toAttribute, cyAttr),
                 EqualTo(pxAlias.toAttribute, cxAlias.toAttribute))
-              Project(j.output,
-                Join(leftKeyed, rightExp, jt, Some(And(cond, eqs)), hint))
+              decideSalt(l, r, lLat, lLon, cLat, cLon) match {
+                case None =>
+                  Project(j.output,
+                    Join(leftKeyed, rightExp, jt, Some(And(cond, eqs)), hint))
+                case Some(s) if jt == Inner =>
+                  // the measured GeoSaltProbe arrangement: single-cell left
+                  // explodes all S salts, the cell-exploding right carries
+                  // one deterministic per-row salt
+                  val ps = Alias(Pmod(
+                    new XxHash64(saltHashInput(r.output, cLat, cLon), 42L),
+                    Literal(s.toLong)), s"${Marker}_ps")()
+                  val rightSalted = Project(
+                    rightExp.output :+ ps, rightExp)
+                  val saltAttr = AttributeReference(s"${Marker}_s", LongType,
+                    nullable = false)()
+                  val leftSalted = Generate(
+                    Explode(CreateArray(saltLiterals(s))),
+                    Nil, outer = false, None, Seq(saltAttr), leftKeyed)
+                  Project(j.output,
+                    Join(leftSalted, rightSalted, jt,
+                      Some(And(And(cond, eqs),
+                        EqualTo(saltAttr, ps.toAttribute))), hint))
+                case Some(s) =>
+                  // Semi/Anti: left must stay physically unique -> per-row
+                  // salt on the left, S-explode on the exploding right
+                  val ps = Alias(Pmod(
+                    new XxHash64(saltHashInput(l.output, lLat, lLon), 42L),
+                    Literal(s.toLong)), s"${Marker}_ps")()
+                  val leftSalted = Project(
+                    leftKeyed.output :+ ps, leftKeyed)
+                  val saltAttr = AttributeReference(s"${Marker}_s", LongType,
+                    nullable = false)()
+                  val rightSalted = Generate(
+                    Explode(CreateArray(saltLiterals(s))),
+                    Nil, outer = false, None, Seq(saltAttr), rightExp)
+                  Project(j.output,
+                    Join(leftSalted, rightSalted, jt,
+                      Some(And(And(cond, eqs),
+                        EqualTo(ps.toAttribute, saltAttr))), hint))
+              }
             case None => j
           }
         case _ => j
