@@ -135,6 +135,34 @@ object GeoSaltProbe {
       println(f"""{"geo_salt_probe":"$label","sec":${best._1}%.1f,"rows":${best._2},"task_max_ms":${best._3},"task_p50_ms":${best._4}}""")
     }
 
+    // MODE=auto (r15): the rule-path closing measurement — the SAME planted
+    // hot cell, but through PLAIN SQL with BlockHaversineJoins deciding:
+    // default confs (the trigger must fire itself) vs autoSalt disabled.
+    if (sys.env.get("SPARK_GRAFT_SALT_MODE").contains("auto")) {
+      positions(true).createOrReplaceTempView("gsp_pos")
+      graft.Graft.init(spark)
+      val sql =
+        """SELECT a.ship AS ship_a, b.ship AS ship_b
+           FROM gsp_pos a JOIN gsp_pos b
+             ON haversine_km(a.lat, a.lon, b.lat, b.lon) <= 50.0
+            AND a.ship < b.ship"""
+      spark.conf.set("spark.graft.spatialJoin.autoSalt.factor", saltS)
+      val plan = spark.sql(sql).queryExecution.executedPlan.toString
+      println(s"""{"geo_salt_probe":"auto_plan","salted":${plan.contains("__graft_cell_ps")}}""")
+      time("auto_sql_salted", spark.sql(sql))
+      spark.conf.set("spark.graft.spatialJoin.autoSalt.enabled", "false")
+      time("auto_sql_unsalted", spark.sql(sql))
+      if (sys.env.contains("SPARK_GRAFT_SALT_PLANDUMP")) {
+        val d = spark.sql(sql)
+        d.count()
+        System.err.println("UNSALTED FINAL PLAN:\n" +
+          d.queryExecution.executedPlan.toString.take(4000))
+      }
+      spark.conf.unset("spark.graft.spatialJoin.autoSalt.enabled")
+      spark.stop()
+      return
+    }
+
     profile(plantSkew = false)
     time("natural_blocked", Geo.closePairs(positions(false)))
     time(s"natural_salted_$saltS", saltedClosePairs(positions(false), saltS))

@@ -190,6 +190,17 @@ object BlockRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
         probing.get()) {
       return None
     }
+    // a broadcastable side means a broadcast hash join, and BHJ has no
+    // stream-side key skew (hot rows probe the broadcast table wherever
+    // they sit in the input splits) — salting there is pure S-fold
+    // overhead (measured on the spatial twin: the sf1 planted A/B planned
+    // BHJ and salting lost 23%, BENCH_NOTES r15). Same size estimate
+    // JoinSelection uses, so the guard mirrors the actual plan choice.
+    val bcast = conf.autoBroadcastJoinThreshold
+    if (bcast > 0 && (l.stats.sizeInBytes <= bcast ||
+        r.stats.sizeInBytes <= bcast)) {
+      return None
+    }
     val sparkOpt = SparkSession.getActiveSession
     if (sparkOpt.isEmpty) return None
     val spark = sparkOpt.get

@@ -178,6 +178,17 @@ object BlockHaversineJoins extends Rule[LogicalPlan] with PredicateHelper {
         probing.get()) {
       return None
     }
+    // a broadcastable side means a broadcast hash join, and BHJ has no
+    // stream-side key skew (hot rows probe the broadcast table wherever
+    // they sit in the input splits) — salting there is pure S-fold
+    // overhead, MEASURED: the sf1 planted-hot-cell A/B planned BHJ and
+    // salting lost 23% (BENCH_NOTES r15). Same size estimate JoinSelection
+    // uses, so the guard mirrors the actual plan choice.
+    val bcast = conf.autoBroadcastJoinThreshold
+    if (bcast > 0 && (l.stats.sizeInBytes <= bcast ||
+        r.stats.sizeInBytes <= bcast)) {
+      return None
+    }
     val sparkOpt = SparkSession.getActiveSession
     if (sparkOpt.isEmpty) return None
     val key = (l.semanticHash(), r.semanticHash())

@@ -67,8 +67,11 @@ class AutoSaltSpec extends SparkSpec {
     val sql = joinSql.format("as_skew", "as_skew")
     val want = naivePairs(sql)
     assert(want.nonEmpty)
+    // broadcast disabled: salting targets the SHUFFLE-join regime (a
+    // broadcastable side has no stream skew and the rule declines there)
     for (s <- Seq(4, 8)) {
-      withConf("spark.graft.rangeJoin.autoSalt.factor" -> s.toString) {
+      withConf("spark.graft.rangeJoin.autoSalt.factor" -> s.toString,
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
         val df = spark.sql(sql)
         val p = df.queryExecution.executedPlan.toString
         assert(p.contains("__graft_rbin_ps"), s"factor=$s should salt:\n$p")
@@ -140,10 +143,14 @@ class AutoSaltSpec extends SparkSpec {
     def rowsOf(run: => DataFrame): Seq[(Long, Long)] =
       run.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     val salted = {
-      val df = spark.sql(semiSql)
-      val p = df.queryExecution.executedPlan.toString
-      assert(p.contains("__graft_rbin_ps"), s"semi should salt:\n$p")
-      rowsOf(df)
+      var out: Seq[(Long, Long)] = null
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val df = spark.sql(semiSql)
+        val p = df.queryExecution.executedPlan.toString
+        assert(p.contains("__graft_rbin_ps"), s"semi should salt:\n$p")
+        out = rowsOf(df)
+      }
+      out
     }
     val saved = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations =

@@ -57,8 +57,10 @@ class SpatialAutoSaltSpec extends SparkSpec {
     val sql = joinSql.format("gs_skew", "gs_skew")
     val want = naive(sql)
     assert(want.size > 100000, s"hot cluster should self-match: ${want.size}")
+    // broadcast disabled: salting targets the shuffle-join regime
     for (s <- Seq(4, 8)) {
-      withConf("spark.graft.spatialJoin.autoSalt.factor" -> s.toString) {
+      withConf("spark.graft.spatialJoin.autoSalt.factor" -> s.toString,
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
         val df = spark.sql(sql)
         val p = df.queryExecution.executedPlan.toString
         assert(p.contains("__graft_cell_ps"), s"factor=$s should salt:\n$p")
@@ -96,10 +98,13 @@ class SpatialAutoSaltSpec extends SparkSpec {
            SELECT 1 FROM gs_skew b
            WHERE haversine_km(a.lat, a.lon, b.lat, b.lon) <= 30.0
              AND b.id <> a.id)"""
-    val df = spark.sql(semiSql)
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("__graft_cell_ps"), s"semi should salt:\n$p")
-    val got = df.collect().map(_.getLong(0)).toSeq
+    var got: Seq[Long] = null
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(semiSql)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("__graft_cell_ps"), s"semi should salt:\n$p")
+      got = df.collect().map(_.getLong(0)).toSeq
+    }
     assert(got.size == got.distinct.size,
       s"semi emitted duplicate left rows: ${got.size} vs ${got.distinct.size}")
     val saved = spark.experimental.extraOptimizations
