@@ -8,11 +8,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 import graft.operators.Geo
 
-/** Streaming twin of the batch `geo_encounter_episodes` sessionization
-  * (r14 verdict item 7): the episode state machine over a close-pair
-  * DETECTION stream, keyed by (ship_a, ship_b), gap-closed exactly like
-  * the batch window (an episode is a run of hour-bins with no full empty
-  * bin between; a detection in bin `hbEnd + 2` or later starts a new one).
+/** Streaming twin of the batch `geo_encounter_episodes` sessionization:
+  * the episode state machine over a close-pair DETECTION stream, keyed by
+  * (ship_a, ship_b), gap-closed exactly like the batch window (an episode
+  * is a run of hour-bins with no full empty bin between; a detection in
+  * bin `hbEnd + 2` or later starts a new one).
   *
   * Where the detections come from is the upstream's business — the batch
   * blocked join replayed from a topic, or `encounterAlerts`-style live
@@ -20,20 +20,44 @@ import graft.operators.Geo
   * genuinely streaming-native piece (a convoy's episode closes `gap` after
   * its last co-location, not at job end).
   *
-  * Two closing paths, both required (the CorpusDedup TTL lesson):
-  *   - in-band: a detection with `dhb > hbEnd + 1` closes the previous
-  *     episode and opens the next — hot pairs close their own history;
-  *   - event-time timeout at the start of bin `hbEnd + 2`: once the
-  *     watermark passes the first instant that could NOT extend the
-  *     episode, it is final and is emitted — pairs that go silent don't
-  *     hold state forever. State per live pair is ONE fixed-size record
-  *     (no per-bin history), so state size is O(live pairs).
+  * ==Disorder-safe by construction (r16)==
   *
-  * Ordering contract (same as any watermark-disciplined feed): detections
-  * for one pair arrive in event-time order ACROSS micro-batches (within a
-  * batch the processor sorts). Under that contract the emitted episodes
-  * are EXACTLY the batch query's rows — EncounterEpisodesSpec pins the
-  * differential on a bounded replay. Append output mode.
+  * The r15 version folded detections into the open episode as they
+  * arrived, which silently assumed per-pair EVENT-TIME ORDER ACROSS
+  * micro-batches — a contract the watermark does not give (it only bounds
+  * lateness; an in-watermark detection for an EARLIER bin can arrive a
+  * batch late, and `min(hbStart, dhb)` would bridge a real gap the batch
+  * query splits, undercounting `n_hours` for interior bins). This version
+  * assumes nothing beyond the watermark itself:
+  *
+  *   - arriving detections are only BUFFERED, merged per hour-bin
+  *     (`n`, `min_km` — both order-free);
+  *   - a buffered bin is folded into the episode run only once the
+  *     watermark seals it (`(bin+1)·binMs <= watermark` — nothing can
+  *     arrive in it any more, because the event-time-timeout path of
+  *     flatMapGroupsWithState drops rows older than the watermark);
+  *     sealed bins fold in ascending bin order, so the run machine sees
+  *     exactly the batch query's ordered bin sequence;
+  *   - the open episode is emitted once the watermark passes the start of
+  *     bin `hbEnd + 2`: bin `hbEnd + 1` is then sealed and known empty
+  *     (it would have folded), so the gap is REAL.
+  *
+  * A row that arrives is never immediately sealable (its event time is >=
+  * the watermark, its bin >= the watermark's bin), so fold order and
+  * arrival order can never race. Progress for quiet pairs comes from an
+  * event-time timeout armed at the earliest instant anything new becomes
+  * final (next seal, or the open episode's close); hot pairs fold in-band
+  * on every batch that brings them data.
+  *
+  * State per live pair is the open episode plus the buffered bins that the
+  * watermark has not sealed yet — at most `watermarkDelay/binMs + 2` bins
+  * (the span between the watermark and the pair's max event time), so
+  * state is O(live pairs x watermark horizon in bins), independent of
+  * stream length. Append output mode; emitted rows are exactly the batch
+  * query's rows (minus the per-pair episode index) for ANY arrival order
+  * the watermark admits — EncounterEpisodesSpec pins in-order, shuffled,
+  * and adversarial late-bin replays differentially against the batch
+  * operator.
   */
 object EncounterEpisodes {
 
@@ -41,8 +65,15 @@ object EncounterEpisodes {
     * ping — matching the batch `least(ts_a, ts_b)` bin assignment). */
   case class Detection(ship_a: Long, ship_b: Long, ts: Timestamp, d: Double)
 
+  /** The folded (all-bins-sealed) prefix of the pair's current episode. */
   case class EpisodeState(hbStart: Long, hbEnd: Long, nHours: Long,
       nClose: Long, minKm: Double)
+
+  /** One buffered hour-bin the watermark has not sealed yet. */
+  case class BinStat(bin: Long, n: Long, minKm: Double)
+
+  /** Per-pair state: folded open episode + unsealed bin buffer. */
+  case class PairState(open: Option[EpisodeState], buf: Seq[BinStat])
 
   /** Mirrors the batch output row minus the per-pair episode index. */
   case class Episode(ship_a: Long, ship_b: Long, hb_start: Long,
@@ -59,41 +90,57 @@ object EncounterEpisodes {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout) {
         (key: (Long, Long), rows: Iterator[Detection],
-            state: GroupState[EpisodeState]) =>
+            state: GroupState[PairState]) =>
           def emit(s: EpisodeState) = Episode(key._1, key._2,
             s.hbStart, s.hbEnd, s.nHours, s.nClose, s.minKm)
-          if (state.hasTimedOut) {
-            val e = state.get
-            state.remove()
-            Iterator.single(emit(e))
-          } else {
-            val out = List.newBuilder[Episode]
-            var cur = state.getOption
-            rows.toSeq.sortBy(r => (r.ts.getTime, r.d)).foreach { r =>
-              val dhb = Math.floorDiv(r.ts.getTime, binMs)
-              cur match {
-                case None =>
-                  cur = Some(EpisodeState(dhb, dhb, 1L, 1L, r.d))
-                case Some(s) if dhb > s.hbEnd + 1 =>
-                  out += emit(s)
-                  cur = Some(EpisodeState(dhb, dhb, 1L, 1L, r.d))
-                case Some(s) =>
-                  cur = Some(EpisodeState(math.min(s.hbStart, dhb),
-                    math.max(s.hbEnd, dhb),
-                    s.nHours + (if (dhb > s.hbEnd) 1L else 0L),
-                    s.nClose + 1L, math.min(s.minKm, r.d)))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              // final once nothing can land in bin <= hbEnd + 1; the max
-              // guards the (late-data) case where the watermark already
-              // passed that instant — close at the next possible moment
-              state.setTimeoutTimestamp(math.max((s.hbEnd + 2) * binMs,
-                state.getCurrentWatermarkMs() + 1))
-            }
-            out.result().iterator
+          val out = List.newBuilder[Episode]
+          val prev = state.getOption.getOrElse(PairState(None, Nil))
+          // merge arrivals into the bin buffer (order-free per bin)
+          val bins = collection.mutable.HashMap.empty[Long, (Long, Double)]
+          prev.buf.foreach(b => bins(b.bin) = (b.n, b.minKm))
+          rows.foreach { r =>
+            val dhb = Math.floorDiv(r.ts.getTime, binMs)
+            val (n0, k0) = bins.getOrElse(dhb, (0L, Double.MaxValue))
+            bins(dhb) = (n0 + 1L, math.min(k0, r.d))
           }
+          val wm = state.getCurrentWatermarkMs()
+          // fold the bins the watermark sealed, in ascending order; each
+          // folded bin is strictly beyond the open episode's hbEnd (it
+          // arrived after the bins already folded were sealed)
+          val (ripe, pending) =
+            bins.toSeq.partition { case (b, _) => (b + 1) * binMs <= wm }
+          var cur = prev.open
+          ripe.sortBy(_._1).foreach { case (b, (n, km)) =>
+            cur match {
+              case None =>
+                cur = Some(EpisodeState(b, b, 1L, n, km))
+              case Some(s) if b > s.hbEnd + 1 =>
+                out += emit(s)
+                cur = Some(EpisodeState(b, b, 1L, n, km))
+              case Some(s) =>
+                cur = Some(EpisodeState(s.hbStart, b, s.nHours + 1L,
+                  s.nClose + n, math.min(s.minKm, km)))
+            }
+          }
+          // the open episode is final once bin hbEnd+1 is sealed-empty
+          cur match {
+            case Some(s) if (s.hbEnd + 2) * binMs <= wm =>
+              out += emit(s)
+              cur = None
+            case _ =>
+          }
+          if (cur.isEmpty && pending.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(PairState(cur,
+              pending.map { case (b, (n, k)) => BinStat(b, n, k) }
+                .sortBy(_.bin)))
+            // wake at the earliest instant something new becomes final
+            val next = (cur.map(s => (s.hbEnd + 2) * binMs).toSeq ++
+              pending.map { case (b, _) => (b + 1) * binMs }).min
+            state.setTimeoutTimestamp(math.max(next, wm + 1))
+          }
+          out.result().iterator
       }
   }
 
