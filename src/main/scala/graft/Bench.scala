@@ -126,14 +126,27 @@ object Bench {
         .flatMap { name =>
           val ts = (1 to isolateRuns).flatMap { _ =>
             val t0 = System.nanoTime()
+            // a failed rerun must be LOUD: bench_check refuses heavy rows
+            // without an isolated companion, and a silent drop here makes
+            // that refusal undiagnosable (ADVICE r15)
             val ok = try { byNameFn(name)(spark, sfDir).count(); true }
-            catch { case _: Throwable => false }
+            catch {
+              case e: Throwable =>
+                System.err.println(s"BENCH_WARN isolated rerun of $name " +
+                  s"failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+                false
+            }
             val dt = (System.nanoTime() - t0) / 1e9
             spark.catalog.clearCache()
             System.gc()
             if (ok) Some(dt) else None
           }
-          if (ts.isEmpty) None else Some(name -> ts.min)
+          if (ts.isEmpty) {
+            System.err.println(s"BENCH_WARN heavy row $name has NO " +
+              "isolated companion (all reruns failed) — bench_check will " +
+              "refuse this artifact")
+            None
+          } else Some(name -> ts.min)
         }
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def fmtOpt(v: Option[Double]): String = v.map(fmt).getOrElse("null")

@@ -1,7 +1,5 @@
 package graft.plans
 
-import java.util.concurrent.ConcurrentHashMap
-
 import scala.util.control.NonFatal
 
 import org.apache.spark.sql.{DataFrame, GraftExpressionBridge, SparkSession}
@@ -51,7 +49,8 @@ import org.apache.spark.sql.types._
   * 3.0x, identical output; see SaltProbe + BENCH_NOTES r14). Since r15 the
   * rule fires that lever ITSELF: at rewrite time it runs one cheap per-bin
   * candidate-mass aggregate over the two children (a 1-column scan each,
-  * memoized per child-plan pair) and, when one bin holds
+  * Bernoulli-sampled past `spark.graft.autoSalt.probe.targetRows` rows and
+  * memoized per child-plan pair + size fingerprint) and, when one bin holds
   * `>= spark.graft.rangeJoin.autoSalt.hotShareMin` (default 0.05) of the
   * candidate mass AND `>= skewRatioMin` (default 8) times the uniform
   * share, emits the salted twin of the binned plan:
@@ -165,12 +164,14 @@ object BlockRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
   private[plans] final case class ProbeStats(
       share: Double, nbins: Long, lRows: Long, rRows: Long)
 
-  /** Memoized probe results keyed by the children's semantic hashes: one
-    * query is optimized several times (explain, execute, min-of-2 bench
-    * passes) and the probe, while a single cheap aggregate, is not free. A
-    * hash collision can only mis-pick between two CORRECT plans. */
+  /** Memoized probe results keyed by the children's semantic hashes PLUS
+    * the planner's size fingerprint (data appended behind an identical
+    * plan re-probes; ADVICE r15): one query is optimized several times
+    * (explain, execute, min-of-2 bench passes) and the probe, while a
+    * single bounded aggregate, is not free. LRU-evicted past 64 entries.
+    * A hash collision can only mis-pick between two CORRECT plans. */
   private val probes =
-    new ConcurrentHashMap[(Int, Int, Long, Boolean), Option[ProbeStats]]()
+    new ProbeUtil.Memo[(Int, Int, Long, Boolean, Long), Option[ProbeStats]](64)
 
   private def binCounts(spark: SparkSession, child: LogicalPlan,
       v: Expression, c: Long, name: String): DataFrame = {
@@ -195,31 +196,54 @@ object BlockRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
     // they sit in the input splits) — salting there is pure S-fold
     // overhead (measured on the spatial twin: the sf1 planted A/B planned
     // BHJ and salting lost 23%, BENCH_NOTES r15). Same size estimate
-    // JoinSelection uses, so the guard mirrors the actual plan choice.
+    // JoinSelection uses, so the guard mirrors the actual plan choice —
+    // including the join-type asymmetry: Semi/Anti can only BUILD on the
+    // right, so a small LEFT must not suppress the lever there (ADVICE
+    // r15).
     val bcast = conf.autoBroadcastJoinThreshold
-    if (bcast > 0 && (l.stats.sizeInBytes <= bcast ||
-        r.stats.sizeInBytes <= bcast)) {
-      return None
-    }
+    val bhj = bcast > 0 && (r.stats.sizeInBytes <= bcast ||
+      (jt == Inner && l.stats.sizeInBytes <= bcast))
+    if (bhj) return None
     val sparkOpt = SparkSession.getActiveSession
     if (sparkOpt.isEmpty) return None
     val spark = sparkOpt.get
-    val key = (l.semanticHash(), r.semanticHash(), c, bOnLeft)
-    var stats = probes.get(key)
-    if (stats == null) {
-      stats =
-        try probe(spark, l, r, leftVar, rightVar, c, bOnLeft)
-        catch { case NonFatal(_) => None }
-      if (probes.size > 64) probes.clear()
-      probes.put(key, stats)
+    // inside micro-batch planning the streaming side has been substituted
+    // with THIS batch's relation, so the probe would technically run — but
+    // it would run as a blocking job on EVERY trigger against fresh data
+    // (no memo hit), which no per-batch salting win amortizes. Streaming
+    // plans keep the binned rewrite, never the salt (StreamingSaltSpec).
+    if (spark.sparkContext.getLocalProperty("sql.streaming.queryId") != null) {
+      return None
+    }
+    val key = (l.semanticHash(), r.semanticHash(), c, bOnLeft,
+      ProbeUtil.fingerprint(l, r))
+    val stats = probes.get(key).getOrElse {
+      try {
+        val v = probe(spark, l, r, leftVar, rightVar, c, bOnLeft)
+        probes.put(key, v)
+        v
+      } catch {
+        case _: InterruptedException =>
+          // a cancelled planning thread must decline, not die — restore
+          // the flag, don't memoize (the NEXT plan gets a real probe)
+          Thread.currentThread().interrupt()
+          None
+        case NonFatal(_) =>
+          probes.put(key, None)
+          None
+      }
     }
     stats.flatMap { st =>
       val hotMin = conf.getConfString(
         "spark.graft.rangeJoin.autoSalt.hotShareMin", "0.05").toDouble
       val ratioMin = conf.getConfString(
         "spark.graft.rangeJoin.autoSalt.skewRatioMin", "8.0").toDouble
-      val s = conf.getConfString(
-        "spark.graft.rangeJoin.autoSalt.factor", "8").toInt
+      val s =
+        if (conf.getConfString(
+            "spark.graft.rangeJoin.autoSalt.factorAuto", "false").toBoolean)
+          ProbeUtil.adaptiveFactor(st.share)
+        else conf.getConfString(
+          "spark.graft.rangeJoin.autoSalt.factor", "8").toInt
       if (st.share < hotMin || st.share * st.nbins < ratioMin || s <= 1) None
       else {
         // Semi/Anti need the left physically unique -> per-row salt on
@@ -235,34 +259,44 @@ object BlockRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** One bounded aggregation JOB (r16; the r15 probe paid a cached
+    * two-sided scan plus three separate aggregate jobs, visible as
+    * +0.4 s on sub-second sf0.1 queries): children past
+    * `spark.graft.autoSalt.probe.targetRows` are Bernoulli-sampled (the
+    * share trigger is a ratio, so the scale cancels; see
+    * [[ProbeUtil.sampled]] for the concentration argument), and every
+    * per-bin statistic — total/max candidate mass, left-bin count, both
+    * row counts — comes out of ONE full-outer assembly and a single
+    * aggregate. */
   private def probe(spark: SparkSession, l: LogicalPlan,
       r: LogicalPlan, leftVar: Expression, rightVar: Expression, c: Long,
       bOnLeft: Boolean): Option[ProbeStats] = {
     probing.set(true)
-    val lb = binCounts(spark, l, leftVar, c, "nl").cache()
-    val rb = binCounts(spark, r, rightVar, c, "nr").cache()
     try {
+      val target = conf.getConfString(
+        "spark.graft.autoSalt.probe.targetRows", "1000000").toDouble
+      val (ls, sL) = ProbeUtil.sampled(l, target)
+      val (rs, sR) = ProbeUtil.sampled(r, target)
+      val lb = binCounts(spark, ls, leftVar, c, "nl")
+      val rb = binCounts(spark, rs, rightVar, c, "nr")
       // a right row in rbin k reaches left-bin keys {k-1,k} (bOnLeft) or
       // {k,k+1}; fold the adjacent contribution back onto the key's row
       val shift = if (bOnLeft) 1L else -1L
       val adj = rb.select((col("bin") - shift).as("bin"), col("nr").as("nr2"))
-      val massRow = lb.join(rb, Seq("bin"), "left")
-        .join(adj, Seq("bin"), "left")
-        .select((col("nl") * (coalesce(col("nr"), lit(0L)) +
-          coalesce(col("nr2"), lit(0L)))).as("mass"))
+      val row = lb.join(rb, Seq("bin"), "full_outer")
+        .join(adj, Seq("bin"), "full_outer")
+        .select(
+          (coalesce(col("nl"), lit(0L)) * (coalesce(col("nr"), lit(0L)) +
+            coalesce(col("nr2"), lit(0L)))).as("mass"),
+          col("nl"), col("nr"))
         .agg(sum(col("mass")).as("t"), max(col("mass")).as("m"),
-          count(lit(1)).as("n")).head()
-      if (massRow.isNullAt(0) || massRow.getLong(0) <= 0L) return None
-      val share = massRow.getLong(1).toDouble / massRow.getLong(0)
-      val nbins = massRow.getLong(2)
-      def rows(df: DataFrame, n: String): Long = {
-        val v = df.agg(sum(col(n))).head()
-        if (v.isNullAt(0)) 0L else v.getLong(0)
-      }
-      Some(ProbeStats(share, nbins, rows(lb, "nl"), rows(rb, "nr")))
+          count(col("nl")).as("n"), sum(col("nl")).as("lr"),
+          sum(col("nr")).as("rr")).head()
+      if (row.isNullAt(0) || row.getLong(0) <= 0L) None
+      else Some(ProbeStats(
+        row.getLong(1).toDouble / row.getLong(0), row.getLong(2),
+        (row.getLong(3) * sL).toLong, (row.getLong(4) * sR).toLong))
     } finally {
-      lb.unpersist()
-      rb.unpersist()
       probing.set(false)
     }
   }

@@ -1,7 +1,5 @@
 package graft.plans
 
-import java.util.concurrent.ConcurrentHashMap
-
 import scala.util.control.NonFatal
 
 import org.apache.spark.sql.{GraftExpressionBridge, SparkSession}
@@ -129,11 +127,16 @@ object BlockHaversineJoins extends Rule[LogicalPlan] with PredicateHelper {
   private[plans] final case class CellStats(
       share: Double, ncells: Long, lRows: Long, rRows: Long)
 
-  /** Memoized per child-plan pair (conf thresholds apply at decision time,
-    * so conf changes are honored on a cache hit); a semantic-hash collision
-    * can only mis-pick between two CORRECT plans. */
+  /** S and which side carries the per-row salt (the other explodes S). */
+  private[plans] final case class SpatialChoice(s: Int, saltOnLeft: Boolean)
+
+  /** Memoized per child-plan pair + size fingerprint (conf thresholds
+    * apply at decision time, so conf changes are honored on a cache hit;
+    * appended data re-probes — ADVICE r15); LRU-evicted past 64 entries.
+    * A semantic-hash collision can only mis-pick between two CORRECT
+    * plans. */
   private val probes =
-    new ConcurrentHashMap[(Int, Int), Option[CellStats]]()
+    new ProbeUtil.Memo[(Int, Int, Long), Option[CellStats]](64)
 
   private def cellCounts(spark: SparkSession, child: LogicalPlan,
       latE: Expression, lonE: Expression, name: String) = {
@@ -143,36 +146,43 @@ object BlockHaversineJoins extends Rule[LogicalPlan] with PredicateHelper {
       .groupBy(col("cy"), col("cx")).agg(count(lit(1)).as(name))
   }
 
+  /** One bounded aggregation JOB (r16; see the range twin's scaladoc):
+    * sampled children, every statistic out of one full-outer assembly. */
   private def probeCells(spark: SparkSession, l: LogicalPlan,
       r: LogicalPlan, lLat: Expression, lLon: Expression,
       rLat: Expression, rLon: Expression): Option[CellStats] = {
     probing.set(true)
-    val lc = cellCounts(spark, l, lLat, lLon, "nl").cache()
-    val rc = cellCounts(spark, r, rLat, rLon, "nr").cache()
     try {
-      val m = lc.join(rc, Seq("cy", "cx"), "left")
-        .select((col("nl") * coalesce(col("nr"), lit(0L))).as("mass"))
+      val target = conf.getConfString(
+        "spark.graft.autoSalt.probe.targetRows", "1000000").toDouble
+      val (ls, sL) = ProbeUtil.sampled(l, target)
+      val (rs, sR) = ProbeUtil.sampled(r, target)
+      val lc = cellCounts(spark, ls, lLat, lLon, "nl")
+      val rc = cellCounts(spark, rs, rLat, rLon, "nr")
+      val m = lc.join(rc, Seq("cy", "cx"), "full_outer")
+        .select(
+          (coalesce(col("nl"), lit(0L)) *
+            coalesce(col("nr"), lit(0L))).as("mass"),
+          col("nl"), col("nr"))
         .agg(sum(col("mass")).as("t"), max(col("mass")).as("m"),
-          count(lit(1)).as("n")).head()
-      if (m.isNullAt(0) || m.getLong(0) <= 0L) return None
-      def rows(df: org.apache.spark.sql.DataFrame, n: String): Long = {
-        val v = df.agg(sum(col(n))).head()
-        if (v.isNullAt(0)) 0L else v.getLong(0)
-      }
-      Some(CellStats(m.getLong(1).toDouble / m.getLong(0), m.getLong(2),
-        rows(lc, "nl"), rows(rc, "nr")))
+          count(col("nl")).as("n"), sum(col("nl")).as("lr"),
+          sum(col("nr")).as("rr")).head()
+      if (m.isNullAt(0) || m.getLong(0) <= 0L) None
+      else Some(CellStats(
+        m.getLong(1).toDouble / m.getLong(0), m.getLong(2),
+        (m.getLong(3) * sL).toLong, (m.getLong(4) * sR).toLong))
     } finally {
-      lc.unpersist()
-      rc.unpersist()
       probing.set(false)
     }
   }
 
-  /** Returns the salt factor when the hot-cell trigger fires; never fails
-    * the query (unprobeable children — e.g. streaming — mean no salt). */
+  /** Returns the salt factor and arrangement when the hot-cell trigger
+    * fires; never fails the query (unprobeable children — e.g. streaming —
+    * mean no salt). `rv` is the query's radius in km, used to estimate the
+    * right side's cell-expansion factor for the Inner side choice. */
   private[plans] def decideSalt(l: LogicalPlan, r: LogicalPlan,
       lLat: Expression, lLon: Expression, rLat: Expression,
-      rLon: Expression): Option[Int] = {
+      rLon: Expression, jt: JoinType, rv: Double): Option[SpatialChoice] = {
     if (!conf.getConfString(
         "spark.graft.spatialJoin.autoSalt.enabled", "true").toBoolean ||
         probing.get()) {
@@ -183,35 +193,71 @@ object BlockHaversineJoins extends Rule[LogicalPlan] with PredicateHelper {
     // they sit in the input splits) — salting there is pure S-fold
     // overhead, MEASURED: the sf1 planted-hot-cell A/B planned BHJ and
     // salting lost 23% (BENCH_NOTES r15). Same size estimate JoinSelection
-    // uses, so the guard mirrors the actual plan choice.
+    // uses, so the guard mirrors the actual plan choice — including the
+    // join-type asymmetry: Semi/Anti can only BUILD on the right, so a
+    // small LEFT must not suppress the lever there (ADVICE r15).
     val bcast = conf.autoBroadcastJoinThreshold
-    if (bcast > 0 && (l.stats.sizeInBytes <= bcast ||
-        r.stats.sizeInBytes <= bcast)) {
-      return None
-    }
+    val bhj = bcast > 0 && (r.stats.sizeInBytes <= bcast ||
+      (jt == Inner && l.stats.sizeInBytes <= bcast))
+    if (bhj) return None
     val sparkOpt = SparkSession.getActiveSession
     if (sparkOpt.isEmpty) return None
-    val key = (l.semanticHash(), r.semanticHash())
-    var st = probes.get(key)
-    if (st == null) {
-      st = try probeCells(sparkOpt.get, l, r, lLat, lLon, rLat, rLon)
-      catch { case NonFatal(_) => None }
-      if (probes.size > 64) probes.clear()
-      probes.put(key, st)
+    // see the range twin: a probe inside micro-batch planning would run
+    // as a blocking job on EVERY trigger (fresh per-batch relations defeat
+    // the memo) — streaming plans keep the blocked rewrite, never the salt
+    if (sparkOpt.get.sparkContext
+        .getLocalProperty("sql.streaming.queryId") != null) {
+      return None
+    }
+    val key = (l.semanticHash(), r.semanticHash(), ProbeUtil.fingerprint(l, r))
+    val st = probes.get(key).getOrElse {
+      try {
+        val v = probeCells(sparkOpt.get, l, r, lLat, lLon, rLat, rLon)
+        probes.put(key, v)
+        v
+      } catch {
+        case _: InterruptedException =>
+          // a cancelled planning thread must decline, not die — restore
+          // the flag, don't memoize (the NEXT plan gets a real probe)
+          Thread.currentThread().interrupt()
+          None
+        case NonFatal(_) =>
+          probes.put(key, None)
+          None
+      }
     }
     st.flatMap { s =>
       val hotMin = conf.getConfString(
         "spark.graft.spatialJoin.autoSalt.hotShareMin", "0.05").toDouble
       val ratioMin = conf.getConfString(
         "spark.graft.spatialJoin.autoSalt.skewRatioMin", "8.0").toDouble
-      val factor = conf.getConfString(
-        "spark.graft.spatialJoin.autoSalt.factor", "8").toInt
+      val factor =
+        if (conf.getConfString(
+            "spark.graft.spatialJoin.autoSalt.factorAuto", "false").toBoolean)
+          ProbeUtil.adaptiveFactor(s.share)
+        else conf.getConfString(
+          "spark.graft.spatialJoin.autoSalt.factor", "8").toInt
       if (s.share < hotMin || s.share * s.ncells < ratioMin || factor <= 1)
         None
       else {
+        // Semi/Anti need the left physically unique -> per-row salt on
+        // left. Inner picks the cheaper duplication side (ADVICE r15;
+        // mirrors the range rule): exploding S salts on the left costs
+        // S*|L| vs the alternative's S-fold on the cell-exploded right,
+        // cexp*|R| per salt — per-row-salt-on-left wins when
+        // cexp*|R| < |L|. cexp estimates the disk's candidate cells from
+        // the radius ((2*dlat+1)^2; the lon factor only grows with
+        // latitude, which errs toward keeping the duplication OFF the
+        // larger right side).
+        val cexp = {
+          val d = math.toDegrees(rv / EarthR)
+          (2 * d + 1) * (2 * d + 1)
+        }
+        val saltOnLeft = jt != Inner || cexp * s.rRows < s.lRows
         logInfo(s"graft spatial autoSalt: hot cell share=${s.share} over " +
-          s"${s.ncells} cells (|L|=${s.lRows} |R|=${s.rRows}) -> S=$factor")
-        Some(factor)
+          s"${s.ncells} cells (|L|=${s.lRows} |R|=${s.rRows}) -> " +
+          s"S=$factor saltOnLeft=$saltOnLeft")
+        Some(SpatialChoice(factor, saltOnLeft))
       }
     }
   }
@@ -306,14 +352,15 @@ object BlockHaversineJoins extends Rule[LogicalPlan] with PredicateHelper {
               val eqs = And(
                 EqualTo(pyAlias.toAttribute, cyAttr),
                 EqualTo(pxAlias.toAttribute, cxAlias.toAttribute))
-              decideSalt(l, r, lLat, lLon, cLat, cLon) match {
+              decideSalt(l, r, lLat, lLon, cLat, cLon, jt, rv) match {
                 case None =>
                   Project(j.output,
                     Join(leftKeyed, rightExp, jt, Some(And(cond, eqs)), hint))
-                case Some(s) if jt == Inner =>
-                  // the measured GeoSaltProbe arrangement: single-cell left
-                  // explodes all S salts, the cell-exploding right carries
-                  // one deterministic per-row salt
+                case Some(SpatialChoice(s, false)) =>
+                  // the measured GeoSaltProbe arrangement (Inner only):
+                  // single-cell left explodes all S salts, the
+                  // cell-exploding right carries one deterministic
+                  // per-row salt
                   val ps = Alias(Pmod(
                     new XxHash64(saltHashInput(r.output, cLat, cLon), 42L),
                     Literal(s.toLong)), s"${Marker}_ps")()
@@ -328,9 +375,10 @@ object BlockHaversineJoins extends Rule[LogicalPlan] with PredicateHelper {
                     Join(leftSalted, rightSalted, jt,
                       Some(And(And(cond, eqs),
                         EqualTo(saltAttr, ps.toAttribute))), hint))
-                case Some(s) =>
-                  // Semi/Anti: left must stay physically unique -> per-row
-                  // salt on the left, S-explode on the exploding right
+                case Some(SpatialChoice(s, true)) =>
+                  // Semi/Anti (left must stay physically unique) and
+                  // cheaper-left Inner: per-row salt on the left,
+                  // S-explode on the exploding right
                   val ps = Alias(Pmod(
                     new XxHash64(saltHashInput(l.output, lLat, lLon), 42L),
                     Literal(s.toLong)), s"${Marker}_ps")()

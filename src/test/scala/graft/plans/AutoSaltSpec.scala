@@ -130,6 +130,91 @@ class AutoSaltSpec extends SparkSpec {
     assert(!p.contains("__graft_rbin_ps"), p)
   }
 
+  test("sampled probe (tiny targetRows): trigger decisions unchanged — " +
+      "planted salts count-identically, flat stays unsalted") {
+    Graft.init(spark)
+    import spark.implicits._
+    // fresh data (fresh memo key) so the SAMPLED probe really runs
+    val uniform = (0 until 2000).map { i =>
+      (i.toLong, (i % 40).toLong * W + (i % 11) * 89L % W)
+    }
+    val hot = (0 until 2500).map { i =>
+      (20000L + i, 50L * W + (i % 5) * 200L)
+    }
+    (uniform ++ hot).toDF("id", "t").createOrReplaceTempView("as_skew_s")
+    uniform.toDF("id", "t").createOrReplaceTempView("as_flat_s")
+    val sql = joinSql.format("as_skew_s", "as_skew_s")
+    withConf("spark.graft.autoSalt.probe.targetRows" -> "800",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val salted = spark.sql(sql)
+      val p = salted.queryExecution.executedPlan.toString
+      assert(p.contains("__graft_rbin_ps"),
+        s"sampled probe must still fire the planted trigger:\n$p")
+      val saltedN = salted.count()
+      var binnedN = -1L
+      withConf("spark.graft.rangeJoin.autoSalt.enabled" -> "false") {
+        binnedN = spark.sql(sql).count()
+      }
+      assert(saltedN == binnedN, s"salted=$saltedN binned=$binnedN")
+      val flatP = spark.sql(joinSql.format("as_flat_s", "as_flat_s"))
+        .queryExecution.executedPlan.toString
+      assert(flatP.contains("__graft_rbin") &&
+        !flatP.contains("__graft_rbin_ps"),
+        s"sampled probe must not trip on the flat corpus:\n$flatP")
+    }
+  }
+
+  test("factorAuto derives S from the probed share and stays " +
+      "count-identical") {
+    Graft.init(spark)
+    plantedViews()
+    val sql = joinSql.format("as_skew", "as_skew")
+    withConf("spark.graft.rangeJoin.autoSalt.factorAuto" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(sql)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("__graft_rbin_ps"), s"factorAuto should salt:\n$p")
+      val saltedN = df.count()
+      var binnedN = -1L
+      withConf("spark.graft.rangeJoin.autoSalt.enabled" -> "false") {
+        binnedN = spark.sql(sql).count()
+      }
+      assert(saltedN == binnedN, s"salted=$saltedN binned=$binnedN")
+    }
+  }
+
+  test("streaming range join: binned but NEVER salted (no per-trigger " +
+      "probe job), and the answer is exact") {
+    Graft.init(spark)
+    plantedViews()
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val sdf = in.toDS().toDF("sid", "st")
+    // hot static right side: a BATCH plan would salt this; the streaming
+    // guard must decline (the probe would otherwise run on every trigger)
+    val joined = sdf.join(spark.table("as_skew"),
+      expr("t >= st - 1000 AND t <= st"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("as_stream").start()
+    try {
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        in.addData((1L, 50L * W + 10L))
+        q.processAllAvailable()
+      }
+      val exec = q.asInstanceOf[
+          org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(exec.contains("__graft_rbin"),
+        s"streaming plan should still get the binned rewrite:\n$exec")
+      assert(!exec.contains("__graft_rbin_ps"),
+        s"streaming plan must NOT salt:\n$exec")
+      // exactly the hot rows with (i%5)*200 <= 10 -> i%5 == 0: 300 rows
+      assert(spark.table("as_stream").count() == 300L)
+    } finally q.stop()
+  }
+
   test("LeftSemi under salt: left stays physically unique — semi answer " +
       "identical to the naive semi") {
     Graft.init(spark)
