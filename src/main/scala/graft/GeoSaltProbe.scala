@@ -163,6 +163,30 @@ object GeoSaltProbe {
       return
     }
 
+    // MODE=adaptive (r16 verdict item 8, spatial transfer): fixed S vs the
+    // share-derived factor through plain SQL on the planted hot cell.
+    if (sys.env.get("SPARK_GRAFT_SALT_MODE").contains("adaptive")) {
+      positions(true).createOrReplaceTempView("gsp_pos")
+      graft.Graft.init(spark)
+      val sql =
+        """SELECT a.ship AS ship_a, b.ship AS ship_b
+           FROM gsp_pos a JOIN gsp_pos b
+             ON haversine_km(a.lat, a.lon, b.lat, b.lon) <= 50.0
+            AND a.ship < b.ship"""
+      spark.conf.set("spark.graft.spatialJoin.autoSalt.factor", saltS)
+      val planF = spark.sql(sql).queryExecution.executedPlan.toString
+      println(s"""{"geo_salt_probe":"adaptive_fixed${saltS}_plan","salted":${planF.contains("__graft_cell_ps")}}""")
+      time(s"adaptive_fixed$saltS", spark.sql(sql))
+      spark.conf.unset("spark.graft.spatialJoin.autoSalt.factor")
+      spark.conf.set("spark.graft.spatialJoin.autoSalt.factorAuto", "true")
+      val planA = spark.sql(sql).queryExecution.executedPlan.toString
+      println(s"""{"geo_salt_probe":"adaptive_auto_plan","salted":${planA.contains("__graft_cell_ps")}}""")
+      time("adaptive_auto", spark.sql(sql))
+      spark.conf.unset("spark.graft.spatialJoin.autoSalt.factorAuto")
+      spark.stop()
+      return
+    }
+
     profile(plantSkew = false)
     time("natural_blocked", Geo.closePairs(positions(false)))
     time(s"natural_salted_$saltS", saltedClosePairs(positions(false), saltS))

@@ -169,6 +169,74 @@ object SaltProbe {
       return
     }
 
+    // MODE=aqe (r16 verdict item 6): does AQE's OptimizeSkewedJoin already
+    // cover the hot-bin regime the auto-salt rules exist for? Three arms on
+    // the SAME planted corpus, plain SQL throughout: (1) autoSalt off with
+    // AQE skew handling at stock defaults (what a vanilla Spark user gets —
+    // note r15's unsalted arm ALREADY ran with adaptive.enabled=true);
+    // (2) autoSalt off with AQE skew tuned aggressive (low threshold,
+    // force-apply); (3) the rule deciding by itself. AQE splits a skewed
+    // reducer PARTITION by map-output ranges and duplicates the other
+    // side's partition, so in principle it can split one hot KEY too —
+    // whether it does, and how it compares, is a measurement.
+    if (sys.env.get("SPARK_GRAFT_SALT_MODE").contains("aqe")) {
+      val (tot3, maxShare3, uniform3) = binShare(skewDir, plantSkew = true)
+      println(f"""{"salt_probe":"aqe_skew_profile","dir":"$skewDir","frac":$skewFrac,"cand_total":$tot3,"max_bin_share":$maxShare3%.6f,"uniform_share":$uniform3%.6f}""")
+      val (pa, pb) = sides(skewDir, plantSkew = true)
+      pa.createOrReplaceTempView("sp_purch")
+      pb.createOrReplaceTempView("sp_sign")
+      graft.plans.RangeJoin.register(spark)
+      val sql =
+        """SELECT p.event_id, s.s_id FROM sp_purch p JOIN sp_sign s
+             ON s.s_ts_us >= p.ts_us - 3600000000 AND s.s_ts_us <= p.ts_us"""
+      spark.conf.set("spark.graft.rangeJoin.autoSalt.enabled", "false")
+      time("aqe_stock_unsalted", spark.sql(sql))
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      time("aqe_aggressive_unsalted", spark.sql(sql))
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      spark.conf.unset(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      spark.conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
+      spark.conf.unset("spark.graft.rangeJoin.autoSalt.enabled")
+      val planAuto = spark.sql(sql).queryExecution.executedPlan.toString
+      println(s"""{"salt_probe":"aqe_auto_plan","salted":${planAuto.contains("__graft_rbin_ps")}}""")
+      time("aqe_autosalt", spark.sql(sql))
+      spark.stop()
+      return
+    }
+
+    // MODE=adaptive (r16 verdict item 8): fixed S=8 (the r14 knee) vs the
+    // share-derived factor (ProbeUtil.adaptiveFactor: clamp(share x
+    // parallelism x 2, 2, 64)) on the same planted corpus — run at two
+    // SPARK_GRAFT_SKEW_FRAC values to cover a moderate and a dominant hot
+    // bin. Keep 8 if the adaptive form doesn't win.
+    if (sys.env.get("SPARK_GRAFT_SALT_MODE").contains("adaptive")) {
+      val (tot3, maxShare3, uniform3) = binShare(skewDir, plantSkew = true)
+      println(f"""{"salt_probe":"adaptive_skew_profile","dir":"$skewDir","frac":$skewFrac,"cand_total":$tot3,"max_bin_share":$maxShare3%.6f,"uniform_share":$uniform3%.6f,"expected_auto_s":${graft.plans.ProbeUtil.adaptiveFactor(maxShare3)}}""")
+      val (pa, pb) = sides(skewDir, plantSkew = true)
+      pa.createOrReplaceTempView("sp_purch")
+      pb.createOrReplaceTempView("sp_sign")
+      graft.plans.RangeJoin.register(spark)
+      val sql =
+        """SELECT p.event_id, s.s_id FROM sp_purch p JOIN sp_sign s
+             ON s.s_ts_us >= p.ts_us - 3600000000 AND s.s_ts_us <= p.ts_us"""
+      spark.conf.set("spark.graft.rangeJoin.autoSalt.factor", "8")
+      val planF = spark.sql(sql).queryExecution.executedPlan.toString
+      println(s"""{"salt_probe":"adaptive_fixed8_plan","salted":${planF.contains("__graft_rbin_ps")}}""")
+      time("adaptive_fixed8", spark.sql(sql))
+      spark.conf.set("spark.graft.rangeJoin.autoSalt.factorAuto", "true")
+      val planA = spark.sql(sql).queryExecution.executedPlan.toString
+      println(s"""{"salt_probe":"adaptive_auto_plan","salted":${planA.contains("__graft_rbin_ps")}}""")
+      time("adaptive_auto", spark.sql(sql))
+      spark.conf.unset("spark.graft.rangeJoin.autoSalt.factorAuto")
+      spark.stop()
+      return
+    }
+
     // 1. natural sf30: hot-bin profile + binned vs salted wall-clock
     val (tot, maxShare, uniform) = binShare(natDir, plantSkew = false)
     println(f"""{"salt_probe":"natural_profile","dir":"$natDir","cand_total":$tot,"max_bin_share":$maxShare%.6f,"uniform_share":$uniform%.6f}""")

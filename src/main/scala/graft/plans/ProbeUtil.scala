@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Sample}
   * bounded-cost sampling, an LRU memo whose key carries a data
   * fingerprint, and the adaptive salt-factor formula.
   */
-private[plans] object ProbeUtil {
+private[graft] object ProbeUtil {
 
   /** Access-ordered LRU memo capped at `cap` entries — a hot explain/
     * execute/bench loop re-optimizes the same query many times and must

@@ -64,8 +64,18 @@ import org.apache.spark.sql.types._
   *     Skew.saltedCountSum discipline: the salt is deterministic, so task
   *     retries re-derive the same value);
   *   - the join key gains the salt equality, splitting the hot bin's work
-  *     S ways (S = `spark.graft.rangeJoin.autoSalt.factor`, default 8, the
-  *     measured knee).
+  *     S ways. S defaults to the share-ADAPTIVE factor
+  *     `clamp(share x parallelism x 2, 2, 64)` (r16 A/B: beats fixed 8 at
+  *     both planted fracs, 2.4x at an 81% hot bin); an explicit
+  *     `spark.graft.rangeJoin.autoSalt.factor` pins it.
+  *
+  * This lever is NOT redundant with AQE's OptimizeSkewedJoin: AQE splits a
+  * skewed reducer PARTITION by map-output ranges, but measured at sf30 on
+  * the planted 15%-hot-bin corpus even force-applied aggressive AQE skew
+  * settings leave the hot SEMANTIC KEY in one task (233.3 s stock /
+  * 225.1 s aggressive, task_max ~= wall in both) while the salted plan
+  * runs 98.4 s — the salt splits the KEY, which no partition-level
+  * splitter can (BENCH_NOTES r16).
   *
   * Pair identity: a qualifying pair still meets on exactly one expansion
   * row (unique bin match x unique salt match). For Semi/Anti the per-row
@@ -238,12 +248,22 @@ object BlockRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
         "spark.graft.rangeJoin.autoSalt.hotShareMin", "0.05").toDouble
       val ratioMin = conf.getConfString(
         "spark.graft.rangeJoin.autoSalt.skewRatioMin", "8.0").toDouble
+      // Factor selection (r16, A/B-measured at sf30): adaptive S =
+      // clamp(share x parallelism x 2, 2, 64) beats the fixed r14 knee at
+      // BOTH planted fracs — share 0.15: 66.7 s (S=10) vs 88.0 s (S=8);
+      // share 0.81: 431.9 s (S=53) vs 1050.9 s (S=8, task_max = the whole
+      // stage at 1049 s) — so adaptive is the DEFAULT. An explicitly set
+      // `factor` pins S (factor<=1 disables); an explicit
+      // `factorAuto=true` forces adaptive even when factor is also set.
+      val autoConf = conf.getConfString(
+        "spark.graft.rangeJoin.autoSalt.factorAuto", "")
+      val factorConf = conf.getConfString(
+        "spark.graft.rangeJoin.autoSalt.factor", "")
       val s =
-        if (conf.getConfString(
-            "spark.graft.rangeJoin.autoSalt.factorAuto", "false").toBoolean)
-          ProbeUtil.adaptiveFactor(st.share)
-        else conf.getConfString(
-          "spark.graft.rangeJoin.autoSalt.factor", "8").toInt
+        if (autoConf == "true") ProbeUtil.adaptiveFactor(st.share)
+        else if (factorConf.nonEmpty) factorConf.toInt
+        else if (autoConf == "false") 8
+        else ProbeUtil.adaptiveFactor(st.share)
       if (st.share < hotMin || st.share * st.nbins < ratioMin || s <= 1) None
       else {
         // Semi/Anti need the left physically unique -> per-row salt on

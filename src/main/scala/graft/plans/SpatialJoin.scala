@@ -55,7 +55,10 @@ import org.apache.spark.sql.types.{BinaryType, BooleanType, DateType, DoubleType
   * neighbor cells; a port-hot cell is hot on both sides in the same cell,
   * so the bound detects exactly the regime the lever exists for) and
   * salts past `spark.graft.spatialJoin.autoSalt.{hotShareMin,skewRatioMin}`
-  * (defaults 0.05 / 8, factor 8 — the measured knee). Arrangements mirror
+  * (defaults 0.05 / 8; S defaults to the share-adaptive factor, an
+  * explicit `autoSalt.factor` pins it — measured on both rules, BENCH_NOTES
+  * r16, and not covered by AQE's partition-level skew splitting, which the
+  * range twin's A/B shows never splits a hot semantic KEY). Arrangements mirror
   * the measured probe: Inner uses GeoSaltProbe's (left explodes all S
   * salts, the cell-exploding right carries one deterministic per-row
   * `pmod(xxhash64(<atomic cols>), S)`); Semi/Anti flip it so the left
@@ -231,12 +234,18 @@ object BlockHaversineJoins extends Rule[LogicalPlan] with PredicateHelper {
         "spark.graft.spatialJoin.autoSalt.hotShareMin", "0.05").toDouble
       val ratioMin = conf.getConfString(
         "spark.graft.spatialJoin.autoSalt.skewRatioMin", "8.0").toDouble
+      // Factor selection mirrors the range rule (adaptive default, explicit
+      // factor pins, factorAuto=true forces adaptive) — the range A/B plus
+      // the sf10 spatial transfer A/B are in BENCH_NOTES r16.
+      val autoConf = conf.getConfString(
+        "spark.graft.spatialJoin.autoSalt.factorAuto", "")
+      val factorConf = conf.getConfString(
+        "spark.graft.spatialJoin.autoSalt.factor", "")
       val factor =
-        if (conf.getConfString(
-            "spark.graft.spatialJoin.autoSalt.factorAuto", "false").toBoolean)
-          ProbeUtil.adaptiveFactor(s.share)
-        else conf.getConfString(
-          "spark.graft.spatialJoin.autoSalt.factor", "8").toInt
+        if (autoConf == "true") ProbeUtil.adaptiveFactor(s.share)
+        else if (factorConf.nonEmpty) factorConf.toInt
+        else if (autoConf == "false") 8
+        else ProbeUtil.adaptiveFactor(s.share)
       if (s.share < hotMin || s.share * s.ncells < ratioMin || factor <= 1)
         None
       else {
