@@ -30,7 +30,7 @@ object StreamBench {
 
   case class Res(name: String, rowsPerSec: Double, meanBatchMs: Double,
       maxBatchMs: Long, inRows: Long, stateRowsFirst: Long,
-      stateRowsLast: Long, stateMB: Double)
+      stateRowsLast: Long, stateMB: Double, droppedByWatermark: Long = -1L)
 
   /** Deterministic position stream: `nShips` ships over a `boxDeg`-degree
     * square, timestamps advancing `batchSpanSec` per batch (so watermarks
@@ -70,7 +70,13 @@ object StreamBench {
         inRows,
         st.headOption.map(_.numRowsTotal).getOrElse(-1L),
         st.lastOption.map(_.numRowsTotal).getOrElse(-1L),
-        st.lastOption.map(_.memoryUsedBytes / 1048576.0).getOrElse(0.0))
+        st.lastOption.map(_.memoryUsedBytes / 1048576.0).getOrElse(0.0),
+        // beyond-watermark arrivals are DROPPED before the state function
+        // runs (the documented batch-vs-streaming divergence for every
+        // stateful op here; EncounterEpisodesSpec pins it for episodes) —
+        // surface the count so a lossy replay is visible in the artifact,
+        // not silent (ADVICE r15)
+        if (st.isEmpty) -1L else st.map(_.numRowsDroppedByWatermark).sum)
     } finally q.stop()
   }
 
@@ -709,7 +715,8 @@ object StreamBench {
       s""""${r.name}":{"rows_per_sec":${fmt(r.rowsPerSec)},""" +
         s""""mean_batch_ms":${fmt(r.meanBatchMs)},"max_batch_ms":${r.maxBatchMs},""" +
         s""""measured_rows":${r.inRows},"state_rows_first":${r.stateRowsFirst},""" +
-        s""""state_rows_last":${r.stateRowsLast},"state_mb":${fmt(r.stateMB)}}"""
+        s""""state_rows_last":${r.stateRowsLast},"state_mb":${fmt(r.stateMB)},""" +
+        s""""dropped_by_watermark":${r.droppedByWatermark}}"""
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"stream_bench","unit":"rows_per_sec",""" +
       s""""load1m_start":${fmt(load1mStart)},"load1m":${fmt(load1m)},""" +

@@ -221,7 +221,8 @@ object BlockRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
     // with THIS batch's relation, so the probe would technically run — but
     // it would run as a blocking job on EVERY trigger against fresh data
     // (no memo hit), which no per-batch salting win amortizes. Streaming
-    // plans keep the binned rewrite, never the salt (StreamingSaltSpec).
+    // plans keep the binned rewrite, never the salt (AutoSaltSpec's
+    // streaming case pins it).
     if (spark.sparkContext.getLocalProperty("sql.streaming.queryId") != null) {
       return None
     }

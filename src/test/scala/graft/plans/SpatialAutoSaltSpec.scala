@@ -223,4 +223,38 @@ class SpatialAutoSaltSpec extends SparkSpec {
     finally spark.experimental.extraOptimizations = saved
     assert(got.toSet == want)
   }
+
+  test("streaming radius join: blocked but NEVER salted (no per-trigger " +
+      "probe job), and the answer is exact") {
+    Graft.init(spark)
+    views()
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double, Double)]
+    val sdf = in.toDS().toDF("sid", "slat", "slon")
+    // hot static right side: a BATCH plan would salt this; the streaming
+    // guard must decline (the probe would otherwise block every trigger)
+    val joined = sdf.join(spark.table("gs_skew"),
+      org.apache.spark.sql.functions.expr(
+        "haversine_km(slat, slon, lat, lon) <= 35.0"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("gs_stream").start()
+    try {
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        in.addData((1L, 50.5, 50.5))
+        q.processAllAvailable()
+      }
+      val exec = q.asInstanceOf[
+          org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(exec.contains("__graft_cell"),
+        s"streaming plan should still get the blocked rewrite:\n$exec")
+      assert(!exec.contains("__graft_cell_ps"),
+        s"streaming plan must NOT salt:\n$exec")
+      // every hot row is within ~30 km of (50.5, 50.5) (radius 35 leaves
+      // margin over the ~29.8 km far corner); no uniform row is near
+      assert(spark.table("gs_stream").count() == 400L)
+    } finally q.stop()
+  }
 }

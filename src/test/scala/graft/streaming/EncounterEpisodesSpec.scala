@@ -51,6 +51,42 @@ class EncounterEpisodesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CONTRACT VIOLATION documented: a detection BEYOND the watermark " +
+      "is dropped before the state function (batch would emit its episode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Detection]
+    val q = EncounterEpisodes.episodes(in.toDS(), watermark = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ep_drop").start()
+    try {
+      // a hot pair advances the GLOBAL watermark to ~bin 199
+      in.addData(Detection(8, 9, ts(200), 1.0))
+      q.processAllAvailable()
+      // quiet pair (1,2)'s only detection is at bin 10 — far below the
+      // watermark other pairs advanced. flatMapGroupsWithState with
+      // EventTimeTimeout filters it BEFORE the state function runs; the
+      // streaming answer legitimately diverges from batch here (batch
+      // would emit a bin-10 episode). This is the watermark contract,
+      // not a bug — the run records it in numRowsDroppedByWatermark,
+      // which StreamBench surfaces as dropped_by_watermark (ADVICE r15).
+      in.addData(Detection(1, 2, ts(10.5), 5.0))
+      q.processAllAvailable()
+      in.addData(Detection(8, 9, ts(203), 1.0))
+      q.processAllAvailable()
+      in.addData(Detection(8, 9, ts(206), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("ep_drop").as[Episode].collect().toSeq
+        .filter(_.ship_a == 1L)
+      assert(got.isEmpty,
+        s"beyond-watermark detection must be dropped, got $got")
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1L,
+        s"the drop must be visible in numRowsDroppedByWatermark: $dropped")
+    } finally q.stop()
+  }
+
   test("late earlier-bin detection within the watermark SPLITS the gap " +
       "(the r15 min(hbStart,dhb) bridge bug)") {
     import spark.implicits._
