@@ -1,0 +1,32 @@
+package graft
+
+/** CPU-steal reading from `/proc/stat` — the co-tenant axis the load1m
+  * idle gate cannot see. Found the hard way in r16: two gate-admitted
+  * sf0.1 runs (load1m_start 0.7-0.9) came in 1.35-1.55x over r15 with the
+  * inflation UNIFORM across all 227 queries and zero plan changes; a
+  * 32-way burn measured 11.8% of CPU time stolen by a VM co-tenant.
+  * Steal never appears in the load average (the thread is runnable, the
+  * cpu just isn't delivered), so Bench/StreamBench stamp the steal share
+  * measured over their own run and tools/bench_check.py gates on it.
+  */
+object HostStat {
+
+  /** (steal, total) jiffies since boot from the aggregate cpu line;
+    * (-1, -1) when /proc/stat is unreadable (non-Linux). */
+  def cpuJiffies(): (Long, Long) = try {
+    val src = scala.io.Source.fromFile("/proc/stat")
+    try {
+      val v = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+      (if (v.length > 7) v(7) else 0L, v.sum)
+    } finally src.close()
+  } catch { case _: Throwable => (-1L, -1L) }
+
+  /** Steal share (percent of all CPU time, idle included) between two
+    * snapshots; -1 when either snapshot was unreadable. Denominator is
+    * wall x ncpu in jiffies, so 5% here means the co-tenant held ~5% of
+    * the MACHINE for the whole window — under a saturating local[32]
+    * bench that converts ~1:1 into lost compute. */
+  def stealPct(start: (Long, Long), end: (Long, Long)): Double =
+    if (start._1 < 0 || end._1 < 0 || end._2 <= start._2) -1.0
+    else 100.0 * (end._1 - start._1) / (end._2 - start._2)
+}

@@ -243,7 +243,7 @@ object StreamBench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     val line = s"""{"metric":"stream_soak","batches":$batches,""" +
       s""""load1m_start":${fmt(load1mStart)},""" +
-      s""""load1m":${fmt(load1m)},"ops":$ops}"""
+      s""""load1m":${fmt(load1m)},"steal_pct":${fmt(stealPct())},"ops":$ops}"""
     println(line)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
@@ -306,6 +306,7 @@ object StreamBench {
     val line = s"""{"metric":"stream_statescale","batches":$batches,""" +
       s""""docs":${batches.toLong * rows},""" +
       s""""load1m_start":${fmt(load1mStart)},"load1m":${fmt(load1m)},""" +
+      s""""steal_pct":${fmt(stealPct())},""" +
       s""""state_rows_last":${obs.last.rowsTotal},""" +
       s""""state_mb_last":${fmt(obs.last.mb)},""" +
       s""""rows_slope_first_decile":${fmt(headSlope)},""" +
@@ -431,6 +432,7 @@ object StreamBench {
     val line = s"""{"metric":"stream_ttlrecall","batches":$batches,""" +
       s""""batch_ms":$batchMs,"rows_per_batch":$rows,""" +
       s""""load1m_start":${fmt(load1mStart)},"load1m":${fmt(load1m)},""" +
+      s""""steal_pct":${fmt(stealPct())},""" +
       s""""horizons":$hJson}"""
     println(line)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
@@ -504,6 +506,7 @@ object StreamBench {
     val line = s"""{"metric":"stream_ttlstate","horizon_min":$horizonMin,""" +
       s""""batches":$batches,"batch_ms":$batchMs,""" +
       s""""load1m_start":${fmt(load1mStart)},"load1m":${fmt(load1m)},""" +
+      s""""steal_pct":${fmt(stealPct())},""" +
       s""""cells":$cellsJson}"""
     println(line)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
@@ -521,10 +524,17 @@ object StreamBench {
     * "What's wrong" #1: BENCH_STREAMING carried load1m 27.7 with no way to
     * tell contention discount from self-load). */
   private var load1mStart: Double = -1.0
+  private var cpuStart: (Long, Long) = (-1L, -1L)
+
+  /** Steal share since main() started — stamped into every emitted line
+    * so a co-tenant discount is visible (r16; HostStat scaladoc). */
+  private def stealPct(): Double =
+    HostStat.stealPct(cpuStart, HostStat.cpuJiffies())
 
   def main(args: Array[String]): Unit = {
     load1mStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    cpuStart = HostStat.cpuJiffies()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark: SparkSession = SparkSession.builder()
@@ -720,6 +730,7 @@ object StreamBench {
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"stream_bench","unit":"rows_per_sec",""" +
       s""""load1m_start":${fmt(load1mStart)},"load1m":${fmt(load1m)},""" +
+      s""""steal_pct":${fmt(stealPct())},""" +
       s""""batches":$Batches,"warm":$Warm,"ops":$ops}"""
     println(line)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>

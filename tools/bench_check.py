@@ -9,6 +9,13 @@ An artifact is refused when:
   - `load1m_start` exceeds the idle bar (default 1.0; override with
     --max-load for deliberately-loaded adjudication runs, which must then
     say so wherever the number is used);
+  - (since r16) `steal_pct` — the CPU share a VM co-tenant took DURING the
+    run, stamped by Bench/StreamBench from /proc/stat — exceeds --max-steal
+    (default 3.0). Steal never shows in the load average (the r16 find: two
+    load-admitted sf0.1 runs 1.35-1.55x slow, uniformly across 227 queries,
+    with 11.8%% measured steal), so the load gate alone is not enough.
+    Artifacts older than r16 have no stamp; they pass this check with a
+    stderr note — read them WITH their round's adjudication;
   - (since r15) a HEAVY row — in-catalog timing >= the artifact's
     `isolate_min`, default 10 s — lacks its `isolated` min-of-N companion:
     heavy in-catalog rows carry ~2.5x pass variance, so without the
@@ -31,9 +38,17 @@ import json
 import sys
 
 
-def check(doc, max_load, isolate_min=None):
+def check(doc, max_load, isolate_min=None, max_steal=3.0, notes=None):
     """Return a list of refusal reasons (empty = clean)."""
     reasons = []
+    steal = doc.get("steal_pct")
+    if steal is None:
+        if notes is not None:
+            notes.append("no steal_pct stamp (pre-r16 artifact) — co-tenant "
+                         "contention unadjudicated")
+    elif steal > max_steal:
+        reasons.append(
+            f"co-tenant steal during run: steal_pct={steal} > {max_steal}")
     failed = doc.get("failed", [])
     if failed:
         reasons.append(f"failed queries present: {failed}")
@@ -89,13 +104,27 @@ def selftest():
     custom_bar = dict(clean, isolate_min=0.5)
     assert any("isolated companion" in r for r in check(custom_bar, 1.0)), \
         "artifact's own isolate_min bar must apply"
-    print("bench_check selftest: 9/9 refusal paths OK")
+    stolen = dict(clean, steal_pct=11.8)
+    assert any("steal" in r for r in check(stolen, 1.0)), \
+        "co-tenant steal past the bar must refuse"
+    assert check(stolen, 1.0, max_steal=15.0) == [], \
+        "--max-steal override must admit it"
+    assert check(dict(clean, steal_pct=0.4), 1.0) == [], \
+        "sub-bar steal must pass"
+    no_steal_notes = []
+    assert check(clean, 1.0, notes=no_steal_notes) == [] and \
+        any("steal_pct" in n for n in no_steal_notes), \
+        "missing steal stamp passes but must leave a note"
+    print("bench_check selftest: 12/12 refusal paths OK")
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("artifacts", nargs="*")
     ap.add_argument("--max-load", type=float, default=1.0)
+    ap.add_argument("--max-steal", type=float, default=3.0,
+                    help="refuse artifacts whose stamped steal_pct exceeds "
+                         "this (co-tenant CPU share during the run)")
     ap.add_argument("--isolate-min", type=float, default=None,
                     help="override the heavy-row bar (inf = waive; default: "
                          "the artifact's own isolate_min, else 10.0)")
@@ -114,7 +143,11 @@ def main():
             docs = [json.loads(line) for line in f if line.strip()]
         doc = next((d for d in docs if d.get("metric") == "total_detail"),
                    docs[-1])
-        reasons = check(doc, args.max_load, args.isolate_min)
+        notes = []
+        reasons = check(doc, args.max_load, args.isolate_min,
+                        args.max_steal, notes)
+        for n in notes:
+            print(f"note {path}: {n}", file=sys.stderr)
         if reasons:
             bad += 1
             for r in reasons:
