@@ -12,6 +12,7 @@ object Bench {
     val load1mStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val cpuStart = HostStat.cpuJiffies()
+    val canaryStartMs = HostStat.canaryMs()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -169,10 +170,12 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val isoJson = isolated.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    // steal over the whole run: the co-tenant axis load1m can't see (r16,
-    // HostStat scaladoc) — bench_check refuses past its --max-steal bar
+    // steal over the whole run + the delivered-bandwidth canary before and
+    // after: the two co-tenant axes load1m can't see (r16, HostStat
+    // scaladoc) — bench_check refuses past --max-steal / --max-canary-ms
     val stealPct = HostStat.stealPct(cpuStart, HostStat.cpuJiffies())
-    val detail = s"""{"metric":"total_detail","value":$totalJson,"unit":"sec","load1m_start":${fmt(load1mStart)},"load1m":${fmt(load1m)},"steal_pct":${fmt(stealPct)},"runs":$runs,"c2_suspects":${suspects.size},"failed":$failedJson,"isolate_min":${fmt(isolateMin)},"isolate_runs":$isolateRuns,"isolated":$isoJson,"queries":$qsFull,"sf":"$sfDir"}"""
+    val canaryEndMs = HostStat.canaryMs()
+    val detail = s"""{"metric":"total_detail","value":$totalJson,"unit":"sec","load1m_start":${fmt(load1mStart)},"load1m":${fmt(load1m)},"steal_pct":${fmt(stealPct)},"canary_ms_start":${fmt(canaryStartMs)},"canary_ms_end":${fmt(canaryEndMs)},"runs":$runs,"c2_suspects":${suspects.size},"failed":$failedJson,"isolate_min":${fmt(isolateMin)},"isolate_runs":$isolateRuns,"isolated":$isoJson,"queries":$qsFull,"sf":"$sfDir"}"""
     println(detail)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),

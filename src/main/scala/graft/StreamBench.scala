@@ -243,7 +243,7 @@ object StreamBench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     val line = s"""{"metric":"stream_soak","batches":$batches,""" +
       s""""load1m_start":${fmt(load1mStart)},""" +
-      s""""load1m":${fmt(load1m)},"steal_pct":${fmt(stealPct())},"ops":$ops}"""
+      s""""load1m":${fmt(load1m)},"steal_pct":${fmt(stealPct())},"canary_ms_end":${fmt(HostStat.canaryMs())},"ops":$ops}"""
     println(line)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
@@ -307,6 +307,7 @@ object StreamBench {
       s""""docs":${batches.toLong * rows},""" +
       s""""load1m_start":${fmt(load1mStart)},"load1m":${fmt(load1m)},""" +
       s""""steal_pct":${fmt(stealPct())},""" +
+      s""""canary_ms_end":${fmt(HostStat.canaryMs())},""" +
       s""""state_rows_last":${obs.last.rowsTotal},""" +
       s""""state_mb_last":${fmt(obs.last.mb)},""" +
       s""""rows_slope_first_decile":${fmt(headSlope)},""" +
@@ -433,6 +434,7 @@ object StreamBench {
       s""""batch_ms":$batchMs,"rows_per_batch":$rows,""" +
       s""""load1m_start":${fmt(load1mStart)},"load1m":${fmt(load1m)},""" +
       s""""steal_pct":${fmt(stealPct())},""" +
+      s""""canary_ms_end":${fmt(HostStat.canaryMs())},""" +
       s""""horizons":$hJson}"""
     println(line)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
@@ -507,6 +509,7 @@ object StreamBench {
       s""""batches":$batches,"batch_ms":$batchMs,""" +
       s""""load1m_start":${fmt(load1mStart)},"load1m":${fmt(load1m)},""" +
       s""""steal_pct":${fmt(stealPct())},""" +
+      s""""canary_ms_end":${fmt(HostStat.canaryMs())},""" +
       s""""cells":$cellsJson}"""
     println(line)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
@@ -731,6 +734,7 @@ object StreamBench {
     val line = s"""{"metric":"stream_bench","unit":"rows_per_sec",""" +
       s""""load1m_start":${fmt(load1mStart)},"load1m":${fmt(load1m)},""" +
       s""""steal_pct":${fmt(stealPct())},""" +
+      s""""canary_ms_end":${fmt(HostStat.canaryMs())},""" +
       s""""batches":$Batches,"warm":$Warm,"ops":$ops}"""
     println(line)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>

@@ -16,6 +16,13 @@ An artifact is refused when:
     with 11.8%% measured steal), so the load gate alone is not enough.
     Artifacts older than r16 have no stamp; they pass this check with a
     stderr note — read them WITH their round's adjudication;
+  - (since r16) `canary_ms_start`/`canary_ms_end` — HostStat's
+    single-thread 512MB sequential-read timing, stamped by Bench before
+    and after the run — exceeds --max-canary-ms when that bar is given.
+    This is the SECOND co-tenant axis: r16 measured Spark 1.4-1.8x slow
+    with steal at 1-2.7%% and a register-only canary at its normal value —
+    the contention lived in the memory system, which only a
+    memory-touching probe sees;
   - (since r15) a HEAVY row — in-catalog timing >= the artifact's
     `isolate_min`, default 10 s — lacks its `isolated` min-of-N companion:
     heavy in-catalog rows carry ~2.5x pass variance, so without the
@@ -38,9 +45,21 @@ import json
 import sys
 
 
-def check(doc, max_load, isolate_min=None, max_steal=3.0, notes=None):
+def check(doc, max_load, isolate_min=None, max_steal=3.0, notes=None,
+          max_canary_ms=None):
     """Return a list of refusal reasons (empty = clean)."""
     reasons = []
+    if max_canary_ms is not None:
+        canaries = [doc.get(k) for k in ("canary_ms_start", "canary_ms_end")
+                    if doc.get(k) is not None]
+        if not canaries:
+            reasons.append("--max-canary-ms given but artifact has no "
+                           "canary stamp (pre-r16?)")
+        elif max(canaries) > max_canary_ms:
+            reasons.append(
+                f"delivered-bandwidth canary degraded: "
+                f"max(canary_ms)={max(canaries)} > {max_canary_ms} "
+                f"(co-tenant memory contention; see HostStat)")
     steal = doc.get("steal_pct")
     if steal is None:
         if notes is not None:
@@ -115,7 +134,17 @@ def selftest():
     assert check(clean, 1.0, notes=no_steal_notes) == [] and \
         any("steal_pct" in n for n in no_steal_notes), \
         "missing steal stamp passes but must leave a note"
-    print("bench_check selftest: 12/12 refusal paths OK")
+    slow_canary = dict(clean, canary_ms_start=40.0, canary_ms_end=150.0)
+    assert any("canary" in r
+               for r in check(slow_canary, 1.0, max_canary_ms=60.0)), \
+        "degraded end-canary must refuse when the bar is given"
+    assert check(dict(clean, canary_ms_start=40.0, canary_ms_end=45.0),
+                 1.0, max_canary_ms=60.0) == [], \
+        "sub-bar canaries must pass"
+    assert any("no canary stamp" in r
+               for r in check(clean, 1.0, max_canary_ms=60.0)), \
+        "--max-canary-ms against an unstamped artifact must refuse"
+    print("bench_check selftest: 15/15 refusal paths OK")
 
 
 def main():
@@ -125,6 +154,13 @@ def main():
     ap.add_argument("--max-steal", type=float, default=3.0,
                     help="refuse artifacts whose stamped steal_pct exceeds "
                          "this (co-tenant CPU share during the run)")
+    ap.add_argument("--max-canary-ms", type=float, default=None,
+                    help="refuse artifacts whose canary_ms_start/end exceeds "
+                         "this. The canary is HostStat's single-thread 512MB "
+                         "sequential-read timing — the memory-contention axis "
+                         "steal cannot see. Supply the driver host's clean "
+                         "reference x1.3 (see BENCH_NOTES r16 for the "
+                         "measured reference).")
     ap.add_argument("--isolate-min", type=float, default=None,
                     help="override the heavy-row bar (inf = waive; default: "
                          "the artifact's own isolate_min, else 10.0)")
@@ -145,7 +181,7 @@ def main():
                    docs[-1])
         notes = []
         reasons = check(doc, args.max_load, args.isolate_min,
-                        args.max_steal, notes)
+                        args.max_steal, notes, args.max_canary_ms)
         for n in notes:
             print(f"note {path}: {n}", file=sys.stderr)
         if reasons:
