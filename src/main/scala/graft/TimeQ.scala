@@ -11,11 +11,19 @@ object TimeQ {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = args.drop(1).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val builder = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // dev aid for config A/Bs (semicolon-separated k=v pairs): time the same
+    // queries under a candidate conf without a rebuild, e.g.
+    // SPARK_GRAFT_CONF="spark.sql.join.preferSortMergeJoin=false"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k.trim, v.trim)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // task-metric listener: spill + peak-execution-memory evidence for the
     // constrained-heap rehearsals (spills log at INFO, invisible at WARN —
@@ -23,6 +31,14 @@ object TimeQ {
     val memSpilled = new java.util.concurrent.atomic.AtomicLong
     val diskSpilled = new java.util.concurrent.atomic.AtomicLong
     val peakExec = new java.util.concurrent.atomic.AtomicLong
+    // shuffle bytes + task count (r16): the formatted explain of an executed
+    // AQE plan re-renders shared cached stages many times, so "how many
+    // shuffles actually ran / how many bytes moved" needs task metrics, not
+    // plan text — these two counters are the per-query shuffle ground truth
+    // the optimization A/Bs diff.
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val nTasks = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
@@ -32,22 +48,30 @@ object TimeQ {
             memSpilled.addAndGet(m.memoryBytesSpilled)
             diskSpilled.addAndGet(m.diskBytesSpilled)
             peakExec.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
+            shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            nTasks.incrementAndGet()
           }
         }
       })
     SparkEntry.queries("d9_scalar_count")(spark, dir).count() // warm session
     for (n <- names) {
       memSpilled.set(0); diskSpilled.set(0); peakExec.set(0)
+      var lastW = 0L; var lastR = 0L; var lastT = 0L
       val times = (1 to 3).map { _ =>
+        shufWrite.set(0); shufRead.set(0); nTasks.set(0)
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, dir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        lastW = shufWrite.get; lastR = shufRead.get; lastT = nTasks.get
+        dt
       }
       println(f"TIMEQ $n%-28s ${times.min}%6.3f min  " +
         times.map(t => f"$t%.3f").mkString(" ") +
         f"  spillMB=${memSpilled.get / 1048576}%d/${diskSpilled.get / 1048576}%d" +
-        f" peakTaskMB=${peakExec.get / 1048576}%d")
+        f" peakTaskMB=${peakExec.get / 1048576}%d" +
+        f" shufMB=${lastW / 1048576}%d/${lastR / 1048576}%d tasks=$lastT%d")
     }
     spark.stop()
   }

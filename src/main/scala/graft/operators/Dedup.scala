@@ -693,7 +693,17 @@ object Dedup {
       val labels = parent.keysIterator.map(x => (x, find(x))).toSeq
       return pairs.sparkSession.createDataFrame(labels).toDF("id", "label")
     }
-    val edges = p.union(p.select(col("j").as("i"), col("i").as("j"))).cache()
+    // r16 (guide §2.4): cache the symmetrized edge table PRE-PARTITIONED by
+    // its join key. InMemoryTableScan preserves the cached plan's hash
+    // partitioning (probed on this Spark: the cached side of a same-key join
+    // plans with NO Exchange), so every fixpoint round's labels ⋈ edges join
+    // reuses this one shuffle instead of re-exchanging the edge table — the
+    // largest table in the loop — once per round. The initial labels
+    // (distinct over the same key) and each round's groupBy(id) output are
+    // likewise partition-aligned, leaving the per-round data movement at
+    // exactly one exchange: the label-update aggregation itself.
+    val edges = p.union(p.select(col("j").as("i"), col("i").as("j")))
+      .repartition(col("i")).cache()
     var labels = edges.select(col("i").as("id")).distinct()
       .withColumn("label", col("id"))
       .cache()

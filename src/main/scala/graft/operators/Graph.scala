@@ -61,23 +61,45 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
     val nn = nodes.agg(count(lit(1)).as("n"))
-    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("wout")).cache()
-    var pr = nodes.crossJoin(broadcast(nn))
-      .select(col("node"), (lit(1.0) / col("n")).as("pr"))
-    for (k <- 1 to steps) {
-      val contrib = e.join(outw, "src")
-        .join(pr.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"),
-          (col("pr") * (col("w").cast("double") / col("wout"))).as("x"))
-        .groupBy(col("node")).agg(sum(col("x")).as("cs"))
-      pr = nodes.join(contrib, Seq("node"), "left_outer")
-        .crossJoin(broadcast(nn))
-        .select(col("node"),
+    // r16 (guide §2.4/§3.3): hoist the loop-invariant e ⋈ outw out of the
+    // step loop — the old chain re-joined edges to out-weights and
+    // re-shuffled the EDGE table by src every step. `frac` = w/wout is
+    // computed once (same division the step expression performed, so the
+    // per-step arithmetic pr * (w/wout) is bit-identical), cached, and each
+    // step only attaches the previous step's vocab-sized rank table.
+    val ew = e.join(e.groupBy(col("src")).agg(sum(col("w")).as("wout")), "src")
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("wout")).as("frac"))
+      .cache()
+    // r16 sparse rank propagation: a node with no in-edges has empty cs in
+    // EVERY step, so its rank is exactly pround((1-d)/n + d*0.0, prec) =
+    // pround((1-d)/n, prec) — representing it as an explicit row only to
+    // join it back each step cost a nodes ⋈ contrib shuffle per step. Keep
+    // the rank table SPARSE (dst nodes only) and fold the constant base in
+    // via coalesce at the next step's join; the final assembly joins the
+    // full node set once. x = pr * frac with pr = coalesce(rank, base) is
+    // IEEE-identical to the dense form (d*0.0 == 0.0 and x+0.0 == x for
+    // the positive ranks here), so results are unchanged — re-oracled.
+    var contrib = ew.crossJoin(broadcast(nn))
+      .select(col("dst").as("node"), ((lit(1.0) / col("n")) * col("frac")).as("x"))
+      .groupBy(col("node")).agg(sum(col("x")).as("cs"))
+    for (k <- 2 to steps) {
+      val pr = contrib.crossJoin(broadcast(nn))
+        .select(col("node").as("src"),
           Num.pround(lit(1.0 - damping) / col("n") +
-            lit(damping) * coalesce(col("cs"), lit(0.0)),
-            if (k == steps) 6 else 9).as("pr"))
+            lit(damping) * col("cs"), 9).as("pr"))
+      contrib = ew.join(pr, Seq("src"), "left_outer")
+        .crossJoin(broadcast(nn))
+        .select(col("dst").as("node"),
+          (coalesce(col("pr"),
+            Num.pround(lit(1.0 - damping) / col("n"), 9)) * col("frac")).as("x"))
+        .groupBy(col("node")).agg(sum(col("x")).as("cs"))
     }
-    pr
+    nodes.join(contrib, Seq("node"), "left_outer")
+      .crossJoin(broadcast(nn))
+      .select(col("node"),
+        Num.pround(lit(1.0 - damping) / col("n") +
+          lit(damping) * coalesce(col("cs"), lit(0.0)), 6).as("pr"))
   }
 
   private def pagerank10Oracle: String = {

@@ -814,6 +814,10 @@ object Similarity {
   private def kmeansIterateSeeds(e: DataFrame,
       seeds: DataFrame => DataFrame, steps: Int): DataFrame = {
     val va = withNorm(e).filter(col("nrm") > 0).cache()
+    // r16 note: re-deriving this long format per step (join the 1x array
+    // table, explode after) was A/B'd at sf1 and LOST 1.6x (3.40 -> 5.40 s)
+    // — the one-time exploded cache fill is cheaper than 3 re-explodes of
+    // the corpus, so the d-times-larger cache stays (OPTIMIZATION_r16.md).
     val ev = va.select(col("vec_id"), posexplode(col("v")).as(Seq("p", "x")))
       .select(col("vec_id"), (col("p") + 1).cast("long").as("pos"), col("x"))
       .cache()

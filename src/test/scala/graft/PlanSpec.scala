@@ -459,6 +459,31 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("fixpoint edge cache: co-partitioned cache keeps the per-round join " +
+      "exchange-free outside the one-time cache fill (r16)") {
+    import spark.implicits._
+    // replicate connectedComponents' loop shape: symmetrized edges cached
+    // PRE-PARTITIONED by the join key, labels derived from the same cache.
+    // InMemoryTableScan preserves the cached hash partitioning, so the only
+    // Exchange anywhere in a round's plan is the REPARTITION_BY_COL inside
+    // the cached relation — a per-round ENSURE_REQUIREMENTS exchange on the
+    // edge side is exactly the regression this test pins against.
+    val pr = (1L to 500L).map(i => (i, i + 1)).toDF("i", "j")
+    val edges = pr.union(pr.select($"j".as("i"), $"i".as("j")))
+      .repartition($"i").cache()
+    try {
+      edges.count() // fill, so the scan reports the cached partitioning
+      val labels = edges.select($"i".as("id")).distinct()
+        .withColumn("label", $"id")
+      val round = labels.join(edges.hint("merge"), $"id" === $"i")
+        .select($"j".as("id"), $"label")
+      val p = plan(round)
+      assert(!p.contains("ENSURE_REQUIREMENTS"),
+        s"fixpoint round re-exchanges a co-partitioned side:\n$p")
+      assert(p.contains("SortMergeJoin"), p)
+    } finally edges.unpersist()
+  }
+
   test("no catalog query degrades to a CartesianProduct") {
     // vector pair scans are deliberate *conditioned* nested-loop joins
     // (BroadcastNestedLoopJoin); a true CartesianProduct anywhere means a
