@@ -205,7 +205,24 @@ object Bench {
     // scaladoc) — bench_check refuses past --max-steal / --max-canary-ms
     val stealPct = HostStat.stealPct(cpuStart, HostStat.cpuJiffies())
     val canaryEndMs = HostStat.canaryMs()
-    val detail = s"""{"metric":"total_detail","value":$totalJson,"unit":"sec","load1m_start":${fmt(load1mStart)},"load1m":${fmt(load1m)},"steal_pct":${fmt(stealPct)},"canary_ms_start":${fmt(canaryStartMs)},"canary_ms_end":${fmt(canaryEndMs)},"runs":$runs,"c2_suspects":${suspects.size},"failed":$failedJson,"isolate_min":${fmt(isolateMin)},"isolate_runs":$isolateRuns,"isolated":$isoJson,"queries":$qsFull,"sf":"$sfDir"}"""
+    // Stamp any session-conf override envs into the artifact (ADVICE r16):
+    // an artifact produced under SPARK_GRAFT_CONF / non-default SHJ_LOCALMAP
+    // / CODEGEN_CACHE was previously indistinguishable from a clean run.
+    // bench_check refuses artifacts whose conf_overrides is non-empty.
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val overrides: Seq[String] =
+      sys.env.get("SPARK_GRAFT_CONF").filter(_.nonEmpty)
+        .map(v => s"SPARK_GRAFT_CONF=$v").toSeq ++
+      sys.env.get("SPARK_GRAFT_SHJ_LOCALMAP").filter(_ != "64m")
+        .map(v => s"SPARK_GRAFT_SHJ_LOCALMAP=$v").toSeq ++
+      sys.env.get("SPARK_GRAFT_CODEGEN_CACHE").filter(_ != "5000")
+        .map(v => s"SPARK_GRAFT_CODEGEN_CACHE=$v").toSeq
+    val overridesJson = overrides.map(jstr).mkString("[", ",", "]")
+    val detail = s"""{"metric":"total_detail","value":$totalJson,"unit":"sec","load1m_start":${fmt(load1mStart)},"load1m":${fmt(load1m)},"steal_pct":${fmt(stealPct)},"canary_ms_start":${fmt(canaryStartMs)},"canary_ms_end":${fmt(canaryEndMs)},"runs":$runs,"c2_suspects":${suspects.size},"conf_overrides":$overridesJson,"failed":$failedJson,"isolate_min":${fmt(isolateMin)},"isolate_runs":$isolateRuns,"isolated":$isoJson,"queries":$qsFull,"sf":"$sfDir"}"""
     println(detail)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),

@@ -70,14 +70,21 @@ object TimeQ {
         SparkEntry.queries(n)(spark, dir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        // onTaskEnd events arrive asynchronously on the listener bus, so
+        // trailing events would be missed if the counters were read right
+        // after count() returns (ADVICE r16) — drain the bus first
+        org.apache.spark.GraftListenerBridge
+          .waitUntilListenerBusEmpty(spark.sparkContext)
         lastW = shufWrite.get; lastR = shufRead.get; lastT = nTasks.get
         dt
       }
+      // shufMB/tasks are the LAST run's metrics while the headline time is
+      // min-of-3 — labelled so A/B notes can't conflate the two (ADVICE r16)
       println(f"TIMEQ $n%-28s ${times.min}%6.3f min  " +
         times.map(t => f"$t%.3f").mkString(" ") +
         f"  spillMB=${memSpilled.get / 1048576}%d/${diskSpilled.get / 1048576}%d" +
         f" peakTaskMB=${peakExec.get / 1048576}%d" +
-        f" shufMB=${lastW / 1048576}%d/${lastR / 1048576}%d tasks=$lastT%d")
+        f" lastRun: shufMB=${lastW / 1048576}%d/${lastR / 1048576}%d tasks=$lastT%d")
     }
     spark.stop()
   }

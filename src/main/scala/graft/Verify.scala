@@ -10,10 +10,19 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // match Bench's join-strategy conf (r16) so correctness is proven on
-      // the same physical plans the bench times
+      // match Bench's session confs (r16/r17) so verify covers the same
+      // join-strategy regime the bench times. NOTE (ADVICE r16): Verify
+      // defaults to 4 cores / 4 shuffle partitions vs Bench's 32, so
+      // post-shuffle partition sizes differ ~8x and AQE's runtime SMJ->SHJ
+      // decision can still diverge per stage — this is value-level oracle
+      // coverage of the same conf regime, not a bitwise plan match.
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP", "64m"))
+      // the codegen-class cache never changes plans or results, but keeping
+      // the verify session one conf short of the bench session broke the
+      // "verify under the exact bench session" discipline (VERDICT r16 #5)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -57,6 +57,10 @@ object Graph {
     * depth — the plan shape per step is unchanged. */
   def pagerankIterate(edges: DataFrame, damping: Double,
       steps: Int): DataFrame = {
+    // the r16 sparse-rank restructure computes step 1's contribution
+    // unconditionally, so steps <= 0 would silently return one full step
+    // instead of the uniform initial distribution (ADVICE r16)
+    require(steps >= 1, s"pagerankIterate needs steps >= 1, got $steps")
     val e = edges.cache()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
