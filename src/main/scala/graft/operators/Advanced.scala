@@ -289,7 +289,16 @@ object Advanced {
       lTimeUs: String, rTimeUs: String, windowUs: Long): DataFrame = {
     val lBin = expr(s"$lTimeUs div ${windowUs}L")
     val probes = explode(array(lBin, lBin - 1)).as("probe_bin")
-    val l = left.withColumn("probe_bin", probes)
+    // r17 (guide §3.1): the bin key's cardinality is SEMANTIC (time span /
+    // window), so it stays ~constant while rows grow with scale — exactly
+    // the few-key regime where AQE's SMJ→SHJ rewrite builds huge per-key
+    // hash chains and loses to the merge path (r16 sf10: 18.1→29.0 s).
+    // Pin merge past the probe's rows-per-key bar; the probe's broadcast
+    // gates keep the sub-10MB (sf0.1/sf1) plans broadcasting untouched.
+    val pm = graft.plans.ProbeUtil.preferMergeFewKeys(left, right,
+      expr(s"$lTimeUs div ${windowUs}L"), expr(s"$rTimeUs div ${windowUs}L"))
+    val l0 = left.withColumn("probe_bin", probes)
+    val l = if (pm) l0.hint("merge") else l0
     val r = right.withColumn("r_bin", expr(s"$rTimeUs div ${windowUs}L"))
     l.join(r, col("probe_bin") === col("r_bin") &&
         col(rTimeUs) >= col(lTimeUs) - windowUs && col(rTimeUs) <= col(lTimeUs))

@@ -381,7 +381,19 @@ object Analytics {
         explode(expr(s"sequence(s0 div $binUs, s1 div $binUs)")))
       .select(col("user_id").as(s"${alias}_u"), col("s0").as(s"${alias}0"),
         col("s1").as(s"${alias}1"), col("bin"))
-    binned("a").join(binned("b"), "bin")
+    // r17 (guide §3.1): per-bin occupancy grows with scale while the bin
+    // count tracks only the time span (sf10: ~318 exploded rows per bin
+    // over 60k bins) — the dense-key regime where the AQE SMJ→SHJ
+    // rewrite's per-key hash chains lose 2.5x (r16 ConfAB). Probe the
+    // TRUE exploded bin occupancy on the cached session table and pin
+    // merge past the bar; the probe's broadcast gates leave small scales
+    // (which broadcast) alone.
+    val binsDf = sess.select(
+      explode(expr(s"sequence(s0 div $binUs, s1 div $binUs)")).as("bin"))
+    val pm = graft.plans.ProbeUtil.preferMergeFewKeys(binsDf, binsDf,
+      col("bin"), col("bin"))
+    val a = if (pm) binned("a").hint("merge") else binned("a")
+    a.join(binned("b"), "bin")
       .filter(col("a_u") =!= col("b_u") &&
         col("a0") <= col("b1") && col("b0") <= col("a1") &&
         col("bin") === expr(s"greatest(a0, b0) div $binUs"))

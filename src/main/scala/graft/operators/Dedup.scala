@@ -727,7 +727,10 @@ object Dedup {
       dumpDir.foreach { d =>
         val probe = labels.unionByName(neighborLabels)
           .groupBy(col("id")).agg(min(col("label")).as("label"))
-        probe.write.format("noop").mode("overwrite").save()
+        // execute the probe's OWN QueryExecution so the dump is the final
+        // adaptive plan (a noop write would plan a separate command QE and
+        // leave this one isFinalPlan=false)
+        probe.queryExecution.toRdd.count()
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"$d/fixpoint_round$round.txt"),
           probe.queryExecution.explainString(

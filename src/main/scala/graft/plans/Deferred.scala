@@ -63,11 +63,34 @@ case class DeferredExec(
       require(w.nullable || !b.nullable,
         s"deferred column ${w.name} declared non-nullable but built nullable")
     }
-    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-      .queryExecution.toRdd
+    val qe = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution
+    // dev-only plan evidence (r17): a Deferred-wrapped query's ExplainDump
+    // output is an 8-line stub — the real plan lives HERE, in the built
+    // DataFrame. When the debug conf is set (ExplainDump --exec sets it),
+    // execute the inner QueryExecution and dump its FINAL adaptive plan
+    // alongside the stub. Unset (bench/verify), this is a no-op.
+    df.sparkSession.conf.getOption("spark.graft.debug.deferredPlanDir")
+      .foreach { d =>
+        qe.toRdd.count()
+        val tag = df.sparkSession.conf
+          .getOption("spark.graft.debug.deferredPlanTag").getOrElse("deferred")
+        val idx = DeferredExec.dumpCounter.incrementAndGet()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$d/${tag}_inner$idx.txt"),
+          qe.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+            .getBytes("UTF-8"))
+      }
+    qe.toRdd
   }
 
   override protected def doExecute(): RDD[InternalRow] = builtRdd
+}
+
+object DeferredExec {
+  /** Distinguishes multiple Deferred nodes built under one dump tag. */
+  val dumpCounter = new java.util.concurrent.atomic.AtomicLong
 }
 
 object Deferred {

@@ -5,9 +5,9 @@ import scala.util.control.NonFatal
 import org.apache.spark.sql.{DataFrame, GraftExpressionBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftSemi}
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, HintInfo, Join, LogicalPlan, Project, SHUFFLE_MERGE}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, sum}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min, sum}
 import org.apache.spark.sql.types._
 
 /** Optimizer rule that turns a naive trailing-window range join — plain SQL
@@ -170,9 +170,13 @@ object BlockRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
 
   /** What the probe measured, conf-independent (thresholds/factor apply at
     * decision time, so a session changing `autoSalt.*` confs is honored on
-    * a cache hit). */
+    * a cache hit). `binSpan` = max bin - min bin + 1 over both (sampled)
+    * sides — an upper bound on occupied-key cardinality that, unlike the
+    * observed-bin count, does not deflate under sampling; dividing rows by
+    * it UNDERestimates rows-per-key, which keeps the r17 merge-hint gate
+    * conservative (sparse time ranges never get hinted). */
   private[plans] final case class ProbeStats(
-      share: Double, nbins: Long, lRows: Long, rRows: Long)
+      share: Double, nbins: Long, lRows: Long, rRows: Long, binSpan: Long)
 
   /** Memoized probe results keyed by the children's semantic hashes PLUS
     * the planner's size fingerprint (data appended behind an identical
@@ -191,15 +195,25 @@ object BlockRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** One per-bin candidate-mass aggregate over both children; fires the
-    * salted plan only past the measured hot-share trigger. Any failure to
-    * probe (no active session, unexecutable child) means "don't salt". */
+    * salted plan only past the measured hot-share trigger, and (r17,
+    * VERDICT r16 #2) reuses the same stats to decide whether an unsalted
+    * binned join should pin the sort-MERGE path: the bin key's cardinality
+    * is the time span over the window constant — SEMANTIC, so it stays
+    * ~constant while rows scale, and past
+    * `spark.graft.join.fewKeyMergeHint.rowsPerKeyMin` rows per key the AQE
+    * SMJ→SHJ rewrite's per-key hash chains measurably lose to merge (the
+    * r16 sf10 dichotomy). The returned Boolean is that merge preference;
+    * always false when salting fires (the salt multiplies the key space by
+    * S, which is the few-key fix in the skewed regime). Any failure to
+    * probe (no active session, unexecutable child) means "don't salt,
+    * don't hint". */
   private[plans] def decideSalt(l: LogicalPlan, r: LogicalPlan,
       leftVar: Expression, rightVar: Expression, c: Long, bOnLeft: Boolean,
-      jt: JoinType): Option[SaltChoice] = {
+      jt: JoinType): (Option[SaltChoice], Boolean) = {
     if (!conf.getConfString(
         "spark.graft.rangeJoin.autoSalt.enabled", "true").toBoolean ||
         probing.get()) {
-      return None
+      return (None, false)
     }
     // a broadcastable side means a broadcast hash join, and BHJ has no
     // stream-side key skew (hot rows probe the broadcast table wherever
@@ -213,9 +227,9 @@ object BlockRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
     val bcast = conf.autoBroadcastJoinThreshold
     val bhj = bcast > 0 && (r.stats.sizeInBytes <= bcast ||
       (jt == Inner && l.stats.sizeInBytes <= bcast))
-    if (bhj) return None
+    if (bhj) return (None, false)
     val sparkOpt = SparkSession.getActiveSession
-    if (sparkOpt.isEmpty) return None
+    if (sparkOpt.isEmpty) return (None, false)
     val spark = sparkOpt.get
     // inside micro-batch planning the streaming side has been substituted
     // with THIS batch's relation, so the probe would technically run — but
@@ -224,7 +238,7 @@ object BlockRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
     // plans keep the binned rewrite, never the salt (AutoSaltSpec's
     // streaming case pins it).
     if (spark.sparkContext.getLocalProperty("sql.streaming.queryId") != null) {
-      return None
+      return (None, false)
     }
     val key = (l.semanticHash(), r.semanticHash(), c, bOnLeft,
       ProbeUtil.fingerprint(l, r))
@@ -244,7 +258,8 @@ object BlockRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
           None
       }
     }
-    stats.flatMap { st =>
+    if (stats.isEmpty) return (None, false)
+    val saltOpt = stats.flatMap { st =>
       val hotMin = conf.getConfString(
         "spark.graft.rangeJoin.autoSalt.hotShareMin", "0.05").toDouble
       val ratioMin = conf.getConfString(
@@ -278,6 +293,32 @@ object BlockRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
         Some(SaltChoice(s, saltOnLeft))
       }
     }
+    // r17: few-key merge preference from the SAME probe (only when salting
+    // declined — the salt multiplies the key space S-fold, which already
+    // breaks the long chains in the skewed regime). Chains per key: lRows
+    // on the single-bin side, 2x rRows on the 2-bin-exploding side, over
+    // the span-bounded key count; the min keeps the test conservative (a
+    // short-chain build side makes SHJ fine). Probed actual sizes must
+    // also clear the broadcast threshold so AQE's runtime broadcast
+    // conversion stays available (a merge hint would forbid it).
+    val preferMerge = saltOpt.isEmpty && stats.exists { st =>
+      conf.getConfString(
+        "spark.graft.join.fewKeyMergeHint.enabled", "true").toBoolean && {
+        val rpkMin = conf.getConfString(
+          "spark.graft.join.fewKeyMergeHint.rowsPerKeyMin", "64").toDouble
+        def width(p: LogicalPlan) =
+          math.max(8L, p.output.map(_.dataType.defaultSize.toLong).sum)
+        val rpk = math.min(st.lRows.toDouble, 2.0 * st.rRows) /
+          math.max(1L, st.binSpan)
+        rpk >= rpkMin && (bcast <= 0 ||
+          (st.lRows * width(l) > bcast && st.rRows * width(r) > bcast))
+      }
+    }
+    if (preferMerge) {
+      logInfo(s"graft fewKeyMergeHint: ~${stats.get.binSpan} bin keys for " +
+        s"|L|=${stats.get.lRows} |R|=${stats.get.rRows} rows -> SHUFFLE_MERGE")
+    }
+    (saltOpt, preferMerge)
   }
 
   /** One bounded aggregation JOB (r16; the r15 probe paid a cached
@@ -309,14 +350,17 @@ object BlockRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
         .select(
           (coalesce(col("nl"), lit(0L)) * (coalesce(col("nr"), lit(0L)) +
             coalesce(col("nr2"), lit(0L)))).as("mass"),
-          col("nl"), col("nr"))
+          col("nl"), col("nr"), col("bin"))
         .agg(sum(col("mass")).as("t"), max(col("mass")).as("m"),
           count(col("nl")).as("n"), sum(col("nl")).as("lr"),
-          sum(col("nr")).as("rr")).head()
+          sum(col("nr")).as("rr"),
+          min(col("bin")).as("b0"), max(col("bin")).as("b1")).head()
       if (row.isNullAt(0) || row.getLong(0) <= 0L) None
       else Some(ProbeStats(
         row.getLong(1).toDouble / row.getLong(0), row.getLong(2),
-        (row.getLong(3) * sL).toLong, (row.getLong(4) * sR).toLong))
+        (row.getLong(3) * sL).toLong, (row.getLong(4) * sR).toLong,
+        if (row.isNullAt(5) || row.isNullAt(6)) 1L
+        else row.getLong(6) - row.getLong(5) + 1L))
     } finally {
       probing.set(false)
     }
@@ -384,12 +428,23 @@ object BlockRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
           val lbAlias = Alias(floorDiv(micros(leftVar), c), s"${Marker}_l")()
           val binEq = (la: Alias) => EqualTo(la.toAttribute, binAttr)
           decideSalt(l, r, leftVar, rightVar, c, bOnLeft, jt) match {
-            case None =>
+            case (None, preferMerge) =>
               val leftKeyed = Project(l.output :+ lbAlias, l)
+              // the merge hint pins SortMergeJoin: JoinSelection consults
+              // strategy hints before both its size-based broadcast choice
+              // and the AQE PREFER_SHUFFLE_HASH rewrite, and
+              // DynamicJoinSelection only fills hint slots whose strategy
+              // is empty — so the pin survives re-planning. Only emitted
+              // when the probe proved both sides far beyond broadcast.
+              val h = if (!preferMerge) hint
+                else if (hint.leftHint.exists(_.strategy.isDefined) ||
+                  hint.rightHint.exists(_.strategy.isDefined)) hint
+                else hint.copy(leftHint = Some(hint.leftHint
+                  .getOrElse(HintInfo()).copy(strategy = Some(SHUFFLE_MERGE))))
               Project(j.output,
                 Join(leftKeyed, rightExp, jt,
-                  Some(And(cond, binEq(lbAlias))), hint))
-            case Some(SaltChoice(s, true)) =>
+                  Some(And(cond, binEq(lbAlias))), h))
+            case (Some(SaltChoice(s, true)), _) =>
               // per-row salt left (left stays physically unique: Semi/Anti
               // safe), all-S explode on the already-exploding right
               val ps = Alias(Pmod(
@@ -405,7 +460,7 @@ object BlockRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
                 Join(leftKeyed, rightSalted, jt,
                   Some(And(And(cond, binEq(lbAlias)),
                     EqualTo(ps.toAttribute, saltAttr))), hint))
-            case Some(SaltChoice(s, false)) =>
+            case (Some(SaltChoice(s, false)), _) =>
               // Inner only: per-row salt on the exploding right (2x total),
               // all-S explode on the single-bin left (S x) — the SaltProbe
               // arrangement, cheaper when the right side is the bigger one
