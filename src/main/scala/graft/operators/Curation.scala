@@ -331,9 +331,18 @@ object Curation {
   }
 
   def pqAdc(e: DataFrame, m: Int, subDim: Int, codebookK: Int,
+      k: Int): DataFrame =
+    pqAdcFromRecon(e, pqReconstruct(e, m, subDim, codebookK), k)
+
+  /** [[pqAdc]] over a PRE-BUILT reconstruction table — r17: pq_adc and
+    * ivf_pq train the IDENTICAL (m, subDim, codebookK) codebooks, so
+    * [[annRecallReport]] shares one cached [[pqReconstruct]] between both
+    * legs instead of running the explode→argmin→reassemble pipeline twice
+    * (the dedup report's shared-shingle-pass pattern). The standalone
+    * catalog entries still build their own. */
+  private[operators] def pqAdcFromRecon(e: DataFrame, recon: DataFrame,
       k: Int): DataFrame = {
     val v = e.select(col("vec_id"), Vec.toDouble(col("embedding")).as("v"))
-    val recon = pqReconstruct(e, m, subDim, codebookK)
     val q = v.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))
@@ -391,8 +400,8 @@ object Curation {
   def ivfPq(e: DataFrame, stride: Int, nProbe: Int, m: Int, subDim: Int,
       codebookK: Int, k: Int): DataFrame = {
     val c = Similarity.withNorm(e)
-    ivfPqCents(e, c, Similarity.coarseCentroids(c, stride), nProbe, m,
-      subDim, codebookK, k)
+    ivfPqCents(c, Similarity.coarseCentroids(c, stride),
+      pqReconstruct(e, m, subDim, codebookK), nProbe, k)
   }
 
   /** [[ivfPq]] under the √n IVF sizing law
@@ -400,15 +409,14 @@ object Curation {
   def ivfPqSqrt(e: DataFrame, nProbe: Int, m: Int, subDim: Int,
       codebookK: Int, k: Int): DataFrame = {
     val c = Similarity.withNorm(e)
-    ivfPqCents(e, c, Similarity.coarseCentroidsSqrt(c), nProbe, m,
-      subDim, codebookK, k)
+    ivfPqCents(c, Similarity.coarseCentroidsSqrt(c),
+      pqReconstruct(e, m, subDim, codebookK), nProbe, k)
   }
 
-  private def ivfPqCents(e: DataFrame, c: DataFrame, cents: DataFrame,
-      nProbe: Int, m: Int, subDim: Int, codebookK: Int, k: Int): DataFrame = {
+  private def ivfPqCents(c: DataFrame, cents: DataFrame, recon: DataFrame,
+      nProbe: Int, k: Int): DataFrame = {
     val cells = Similarity.assignCells(c, cents)
       .select(col("vec_id"), col("c_id"))
-    val recon = pqReconstruct(e, m, subDim, codebookK)
     val corpusIdx = cells.join(recon, Seq("vec_id"))
     val q = Similarity.probeCells(c.filter(col("vec_id") < 5), cents,
       "vec_id", nProbe)
@@ -511,14 +519,29 @@ object Curation {
     // pass runs twice (the dedup_recall_report pattern)
     val exact = Similarity.annBruteForce(queries, e, k)
       .select(col("q_id"), col("vec_id")).cache()
+    // r17: the pq_adc and ivf_pq legs train IDENTICAL (16, 4, 64)
+    // codebooks — one cached reconstruction can serve both instead of
+    // running the explode→argmin→reassemble pipeline twice. Conf-gated so
+    // the sharing is adjudicable interleaved in one JVM (ConfAB; the
+    // sequential-process wall numbers are untrustworthy on this host).
+    val share = e0.sparkSession.conf
+      .getOption("spark.graft.ann.shareRecon").forall(_ == "true")
+    val recon =
+      if (share) pqReconstruct(e, 16, 4, 64).cache()
+      else null
+    val cNorm = Similarity.withNorm(e)
     val methods: Seq[(String, DataFrame)] = Seq(
       // ivf legs mirror the SHIPPED catalog entries, √n sizing law included
       "ivf_cells" -> Similarity.annIvfSqrt(queries, e, nProbe = 3, k = k),
-      "ivf_pq" -> ivfPqSqrt(e, nProbe = 3, m = 16, subDim = 4,
-        codebookK = 64, k = k),
+      "ivf_pq" -> (if (share) {
+        ivfPqCents(cNorm, Similarity.coarseCentroidsSqrt(cNorm),
+          recon, nProbe = 3, k = k)
+      } else ivfPqSqrt(e, nProbe = 3, m = 16, subDim = 4,
+        codebookK = 64, k = k)),
       "lsh_bucketed" -> Similarity.annLsh(queries, e, numPlanes = 6, k = k,
         dim = 64),
-      "pq_adc" -> pqAdc(e, m = 16, subDim = 4, codebookK = 64, k = k),
+      "pq_adc" -> (if (share) pqAdcFromRecon(e, recon, k)
+        else pqAdc(e, m = 16, subDim = 4, codebookK = 64, k = k)),
       "truncated_rerank" -> Similarity.annTruncatedRerank(queries, e,
         prefixDim = 16, candK = 100, k = k))
     val reported = methods.map { case (nm, df) =>
