@@ -14,11 +14,18 @@ object FixpointProbe {
     val nClusters = args.headOption.map(_.toLong).getOrElse(500000L)
     val fanout = if (args.length > 1) args(1).toInt else 4
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val builder = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // same dev-conf passthrough as TimeQ/Bench — how the r17 fixpoint plan
+    // dumps (spark.graft.debug.fixpointPlanDir) are produced
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k.trim, v.trim)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val shufWrite = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
